@@ -1,0 +1,188 @@
+"""Time-series / event-stream queries in batch form (SURVEY §2B streaming).
+
+These are the batch twins of the structured-streaming operators in
+``mapreducefw_spark.streaming`` — same aggregation logic, oracle-checkable.
+The streaming versions are verified by batch-equivalence in tests
+(SURVEY §5.2 item 4): a windowed agg over a bounded stream must equal the
+corresponding batch query here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.queries import register
+from mapreducefw_spark.queries._util import dec, t
+
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+SELECT STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window (epoch-aligned, same as time_bucket)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS ws, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS ws, value FROM events
+)
+SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY ws
+ORDER BY window_start
+""",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): each event lands in 2 windows."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "sessionization_30m",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - COALESCE(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts - INTERVAL 10 YEAR)
+                   > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 30 min starts a new session (lag + flag sum).
+    The streaming twin is ``session_window`` in mapreducefw_spark.streaming."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+WITH ord AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       o.o_orderkey AS last_orderkey,
+       STRFTIME(o.o_orderdate, '%Y-%m-%d') AS last_orderdate
+FROM events e ASOF JOIN ord o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+""",
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): union both sides tagged, one
+    window pass per key carries the latest order forward, keep event rows.
+    One shuffle on the join key, no per-row lookups — scales linearly."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("key"), F.col("ts").alias("etime")
+    )
+    ord_ = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    events_tagged = ev.select(
+        "key",
+        F.col("etime").alias("time"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    orders_tagged = ord_.select(
+        "key",
+        F.col("o_orderdate").alias("time"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    # Orders sort before events at the same timestamp (is_event asc) => ties
+    # count as "order at or before event", matching ASOF's ts >= o_orderdate.
+    w = (
+        W.partitionBy("key")
+        .orderBy("time", "is_event", "o_orderdate")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = events_tagged.unionByName(orders_tagged).select(
+        "key",
+        "time",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate"),
+    )
+    return (
+        merged.filter((F.col("is_event") == 1) & F.col("last_orderkey").isNotNull())
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.date_format("time", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            "last_orderkey",
+            F.date_format("last_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+        )
+        .orderBy("event_id")
+    )
