@@ -1,0 +1,201 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §7 M4).
+
+Four tiers, all shuffle-architected for 100 TB corpora:
+
+- exact: group on a 256-bit content hash (32-byte shuffle key, never the
+  document bytes), keep lowest id. See also queries/llm.py::dedup_exact.
+- token-set Jaccard: similarity join via inverted index (explode distinct
+  tokens -> self-join on token -> count intersections). Work is proportional
+  to the posting lists, not n² over documents.
+- MinHash + LSH banding: k minhashes per doc via k seeded xxhash64 mins
+  (one explode + one groupBy with k partial-agg mins = one shuffle), band
+  hashes -> bucket join for candidates -> exact-Jaccard verification on
+  candidates only. The classic sublinear near-dup pipeline.
+- SimHash: 64-bit signature from token-hash bit votes; candidates share one
+  of four 16-bit chunks; verified by Hamming distance (bit_count of xor).
+
+Everything is deterministic (xxhash64, fixed seeds) so results are stable
+across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.operators.textprep import distinct_tokens, hash64, shingles
+
+
+def dedup_exact_hash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact content (hash-grouped)."""
+    w = W.partitionBy(F.sha2(text_col, 256)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def jaccard_token_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with token-set Jaccard >= threshold.
+
+    Inverted-index similarity join: |A∩B| from a self-join on token postings,
+    |A∪B| = |A|+|B|-|A∩B|. Scales with posting-list sizes; a hot token (stop
+    word) would dominate, so production runs add a doc-frequency cap — kept
+    out here because the oracle needs exact semantics.
+    """
+    toks = df.select(F.col(id_col).alias("doc"), distinct_tokens(text_col).alias("w"))
+    sizes = toks.select("doc", F.size("w").alias("n"))
+    posting = toks.select("doc", F.explode("w").alias("token"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, minhash array of length num_hashes) — one explode, one shuffle."""
+    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_n)).alias("s"))
+    mins = [F.min(hash64(F.col("s"), seed=i)).alias(f"mh{i}") for i in range(num_hashes)]
+    agg = sh.groupBy("doc").agg(*mins)
+    return agg.select("doc", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("minhash"))
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, *, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("h"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select("doc", F.explode(F.array(*band_cols)).alias("bh")).select(
+        "doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash/LSH candidates verified by exact shingle
+    Jaccard (computed only for candidates — the expensive step stays small).
+
+    Banding default 16 bands x 2 rows: candidate s-curve threshold
+    (1/b)^(1/r) ~= 0.25, so pairs at Jaccard >= 0.5 are caught with
+    probability >= 1-(1-0.5^2)^16 ~= 0.99 — false positives below the
+    threshold are removed by the exact verification step."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    cands = minhash_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh"))
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per-bit vote of token hashes (+1 if bit set, else -1)."""
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(distinct_tokens(text_col)).alias("tk"))
+    h = hash64(F.col("tk"), seed=7)
+    votes = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc").agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance via 4x16-bit chunk blocking (pigeonhole:
+    distance <= 3 guarantees at least one identical chunk)."""
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    chunks = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+        )
+        for c in range(4)
+    ]
+    blocked = sigs.select("doc", "simhash", F.explode(F.array(*chunks)).alias("ch")).select(
+        "doc", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.v").alias("v")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (SURVEY §7 M4c).
+
+- brute_force_topk: exact cosine top-k. Query side broadcast, corpus side
+  scanned once, per-query top-k via window. The exact baseline; O(|Q|·|C|).
+- ivf_topk: IVF-style ANN. Corpus is assigned once to the nearest of k
+  deterministic centroids (broadcast argmin — a map-only pass), queries probe
+  only the nprobe nearest cells. At 100 TB the assignment is a one-off
+  partitioning write (`partitionBy(cluster)`), and each query touches
+  nprobe/k of the data.
+- random_hyperplane_topk: LSH bucket variant — sign-bit signature from h
+  deterministic hyperplanes, candidates share a bucket, exact rerank inside.
+
+All distance math is JVM-side (zip_with/aggregate fold) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(_dot(v, v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_vecs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    return df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec"))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, *, exclude_self: bool = True
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    corpus/queries: (vid, vec) as produced by as_double_vecs.
+    Returns (qid, nid, sim, rk) with deterministic tie-break on nid.
+    """
+    q = queries.select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"))
+    c = corpus.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec"))
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("nid"))
+    sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        pairs.select("qid", "nid", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def assign_ivf_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-only pass: each corpus vector -> nearest centroid id (broadcast argmin)."""
+    cents = F.broadcast(
+        centroids.groupBy().agg(
+            F.collect_list(F.struct(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))).alias("cs")
+        )
+    )
+    scored = corpus.crossJoin(cents).select(
+        "vid",
+        "vec",
+        F.array_max(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    cosine(F.col("vec"), c["cvec"]).alias("sim"), c["cid"].alias("cid")
+                ),
+            )
+        ).alias("best"),
+    )
+    return scored.select("vid", "vec", F.col("best.cid").alias("cell"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN via inverted-file cells with deterministic seed centroids
+    (the n_cells lowest-id corpus vectors — stable across runs)."""
+    centroids = corpus.orderBy("vid").limit(n_cells)
+    cells = assign_ivf_cells(corpus, centroids)
+    qcells = (
+        assign_probe_cells(queries, centroids, nprobe)
+        .select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.explode("probe").alias("cell"))
+    )
+    pairs = qcells.join(cells, "cell").select(
+        "qid", "qvec", F.col("vid").alias("nid"), F.col("vec").alias("nvec")
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("nid"))
+    sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        pairs.select("qid", "nid", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def assign_probe_cells(queries: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """Per query: the nprobe nearest centroid ids (broadcast, JVM-side sort)."""
+    cents = F.broadcast(
+        centroids.groupBy().agg(
+            F.collect_list(F.struct(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))).alias("cs")
+        )
+    )
+    scored = queries.crossJoin(cents).select(
+        "vid",
+        "vec",
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct((-cosine(F.col("vec"), c["cvec"])).alias("negsim"), c["cid"].alias("cid")),
+        ).alias("scored"),
+    )
+    probe = F.transform(F.slice(F.array_sort("scored"), 1, nprobe), lambda s: s["cid"])
+    return scored.select("vid", "vec", probe.alias("probe"))
+
+
+def random_hyperplane_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int = 64,
+    n_planes: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """LSH ANN: bucket by the sign pattern of n_planes deterministic
+    hyperplanes; exact rerank within each bucket. Candidates are only pairs
+    sharing the full signature — cheap and very selective."""
+    planes = [
+        F.array(*[
+            # deterministic pseudo-random ±1 component from (plane, dim index)
+            F.when(F.xxhash64(F.lit(p * 1000 + i)) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            for i in range(dim)
+        ])
+        for p in range(n_planes)
+    ]
+
+    def signature(vec: Column) -> Column:
+        bits = [F.when(_dot(vec, pl) > 0, F.lit(1)).otherwise(F.lit(0)) for pl in planes]
+        sig = F.lit(0).cast("long")
+        for b, bit in enumerate(bits):
+            sig = sig + F.shiftleft(bit.cast("long"), b)
+        return sig
+
+    c = corpus.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec"), signature(F.col("vec")).alias("sig"))
+    q = queries.select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"), signature(F.col("vec")).alias("sig"))
+    pairs = q.join(c, "sig")
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("nid"))
+    sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        pairs.select("qid", "nid", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -1,0 +1,32 @@
+"""Shared text-preparation expressions: tokens, shingles, stable 64-bit hashes.
+
+All JVM-side (split/transform/xxhash64) — no Python in the hot path, so these
+compose into whole-stage codegen and scale to 100 TB corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def distinct_tokens(col: str | Column = "text") -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def shingles(col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles, e.g. 'a b c' for n=3."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def hash64(col: Column, seed: int = 0) -> Column:
+    """Deterministic 64-bit hash; distinct seeds give independent families."""
+    return F.xxhash64(F.lit(seed), col)

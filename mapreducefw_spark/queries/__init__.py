@@ -35,5 +35,6 @@ def load_all() -> None:
         windows,
         timeseries,
         llm,
+        llm_scale,
         parity,
     )

@@ -1,0 +1,47 @@
+"""Format readers/writers beyond parquet (SURVEY §2B sources/sinks).
+
+Explicit schemas everywhere — schema inference is a full extra pass at 100 TB
+and non-deterministic under sampling. Delta/Iceberg/Hudi jars are not in this
+image; their connectors are gated behind import-try stubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | str, **options) -> DataFrame:
+    return spark.read.options(header=True, **options).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str, **options) -> DataFrame:
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.text(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Partitioned columnar sink — the 100 TB layout (partition pruning on
+    read; one directory per partition value)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

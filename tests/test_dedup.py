@@ -1,0 +1,63 @@
+"""Property tests for dedup operators (SURVEY §5.2 item 4): exact duplicates
+must always be found; near-duplicates above threshold surface as pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    far = "completely different words nothing shared here at all whatsoever ok"
+    rows = [
+        (0, base),
+        (1, base),        # exact dup of 0
+        (2, near),        # near dup of 0/1
+        (3, far),
+        (4, "x y z"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = dedup.dedup_exact_hash(docs).select("doc_id").orderBy("doc_id")
+    assert [r.doc_id for r in kept.collect()] == [0, 2, 3, 4]
+
+
+def test_jaccard_pairs_find_exact_and_near(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_token_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup => jaccard exactly 1
+    assert pairs[(0, 2)] >= 0.5 and pairs[(1, 2)] >= 0.5
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.4).collect()
+    }
+    # exact duplicates always collide in every band
+    assert pairs[(0, 1)] == 1.0
+    # near-dup shares most shingles; banding at 8x4 catches >=0.4 reliably here
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_minhash_deterministic(docs):
+    a = sorted(map(tuple, dedup.minhash_dedup_pairs(docs, threshold=0.4).collect()))
+    b = sorted(map(tuple, dedup.minhash_dedup_pairs(docs, threshold=0.4).collect()))
+    assert a == b
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_near_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 4) not in pairs

@@ -1,0 +1,63 @@
+"""Streaming verified by batch-equivalence (SURVEY §7 M5): the same windowed
+aggregation over a bounded file stream must equal the batch result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.queries._util import t
+from mapreducefw_spark.streaming import stateful, windows
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return t(spark, sf_dir, "events").cache()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, batch_events):
+    stream = windows.events_stream(spark, sf_dir)
+    result = windows.run_bounded(windows.tumbling_counts(stream), "t_tumble")
+    expected = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    cols = ["window_start", "event_type", "n"]
+    assert _rows(result, cols) == _rows(expected, cols)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, batch_events):
+    stream = windows.events_stream(spark, sf_dir)
+    result = windows.run_bounded(windows.sliding_counts(stream), "t_slide")
+    expected = (
+        batch_events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    cols = ["window_start", "n"]
+    assert _rows(result, cols) == _rows(expected, cols)
+
+
+def test_session_stream_total_events_match(spark, sf_dir, batch_events):
+    stream = windows.events_stream(spark, sf_dir)
+    result = windows.run_bounded(windows.session_counts(stream, gap="30 minutes"), "t_sess")
+    # session windows: total events preserved, and per-user totals match batch
+    per_user = result.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    expected = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(per_user, ["user_id", "n"]) == _rows(expected, ["user_id", "n"])
+
+
+def test_stateful_running_counts(spark, sf_dir, batch_events):
+    stream = windows.events_stream(spark, sf_dir)
+    out = windows.run_bounded(
+        stateful.running_user_counts(stream), "t_state", output_mode="update"
+    )
+    # memory sink in update mode keeps every update; the max per user is the final state
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    expected = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(final, ["user_id", "n"]) == _rows(expected, ["user_id", "n"])

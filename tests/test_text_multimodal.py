@@ -1,0 +1,78 @@
+"""Language-ID heuristic, quality features, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from mapreducefw_spark.operators import multimodal, text
+
+
+def test_detect_language_markers(spark):
+    rows = [
+        (1, "the cat and the dog sat in the house"),
+        (2, "der hund und die katze ist nicht ein problem"),
+        (3, "el perro y la casa de que es un gato"),
+        (4, "le chat et les chiens est une maison"),
+        (5, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r.lang for r in df.select("id", text.detect_language("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "a a a a"), (2, "w x y z")], "id int, text string")
+    rows = {r.id: r for r in text.quality_features(df).collect()}
+    assert rows[1].n_tokens == 4 and rows[1].type_token_ratio == 0.25
+    assert rows[2].type_token_ratio == 1.0
+    assert rows[1].avg_word_len == 1.0
+
+
+def test_rolling_fingerprint_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten"),
+         (2, "one two three four five six seven eight nine ten"),
+         (3, "totally different content here with many other words now")],
+        "id int, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", text.rolling_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    from mapreducefw_spark.queries._util import t
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return multimodal.synthesize_media(docs).cache()
+
+
+def test_media_schema_and_meta(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.orderBy("media_id").first()
+    assert row.meta.n_bytes == len(bytes(row.payload))
+
+
+def test_decode_stub_raises_without_fake(media):
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_media(media, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decoding" in str(ei.value)
+
+
+def test_fake_decode_deterministic_features(media):
+    a = multimodal.decode_media(media, deterministic_fake=True).orderBy("media_id").collect()
+    b = multimodal.decode_media(media, deterministic_fake=True).orderBy("media_id").collect()
+    assert [r.features for r in a] == [r.features for r in b]
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in a)
+    assert all(r.width >= 64 and r.height >= 64 for r in a)
+
+
+def test_frame_sampling_one_to_n(media):
+    frames = multimodal.sample_frames(media, n_frames=4)
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    got = frames.groupBy("media_id").count().collect()
+    assert len(got) == n_videos
+    assert all(r["count"] == 4 for r in got)
