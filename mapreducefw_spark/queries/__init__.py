@@ -32,7 +32,9 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from mapreducefw_spark.queries import (  # noqa: F401
         relational,
+        relational2,
         windows,
+        windows2,
         timeseries,
         llm,
         llm_scale,
