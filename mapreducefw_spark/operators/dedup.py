@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from mapreducefw_spark.operators.textprep import distinct_tokens, hash64, shingles
+from mapreducefw_spark.operators.textprep import (
+    distinct_tokens,
+    ensure_parallelism,
+    hash64,
+    shingles,
+)
 
 
 def dedup_exact_hash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -48,7 +53,7 @@ def jaccard_token_pairs(
     word) would dominate, so production runs add a doc-frequency cap — kept
     out here because the oracle needs exact semantics.
     """
-    toks = df.select(F.col(id_col).alias("doc"), distinct_tokens(text_col).alias("w"))
+    toks = ensure_parallelism(df).select(F.col(id_col).alias("doc"), distinct_tokens(text_col).alias("w"))
     sizes = toks.select("doc", F.size("w").alias("n"))
     posting = toks.select("doc", F.explode("w").alias("token"))
     a, b = posting.alias("a"), posting.alias("b")
@@ -76,11 +81,42 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc, minhash array of length num_hashes) — one explode, one shuffle."""
-    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_n)).alias("s"))
-    mins = [F.min(hash64(F.col("s"), seed=i)).alias(f"mh{i}") for i in range(num_hashes)]
-    agg = sh.groupBy("doc").agg(*mins)
-    return agg.select("doc", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("minhash"))
+    """(doc, minhash array of length num_hashes): shingles are string-hashed
+    once (map-only), then k seeded long-hash mins via explode + hash
+    aggregation — map-side partial agg keeps the exchange at one k-long row
+    per doc per partition."""
+    base = shingle_hashes(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    return _minhash_from_hashes(base, num_hashes)
+
+
+def shingle_hashes(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """(doc, distinct shingle hashes as array<long>) — each string shingle is
+    hashed exactly once; downstream hash families and Jaccard verification
+    operate on the longs (collisions at 64 bits are negligible)."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    )
+
+
+def _minhash_from_hashes(hs_df: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, hs array<long>) -> (doc, minhash array<long>).
+
+    explode + hash-aggregate with k min() columns: the k seeded hashes run
+    over longs (cheap) inside whole-stage codegen, and map-side partial
+    aggregation shrinks the shuffle to one k-long row per doc per partition.
+    Beats k array-transforms, which fall out of codegen at this width."""
+    exploded = hs_df.select("doc", F.explode("hs").alias("h"))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(num_hashes)]
+    return (
+        exploded.groupBy("doc")
+        .agg(*mins)
+        .select("doc", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("minhash"))
+    )
 
 
 def minhash_candidate_pairs(
@@ -128,15 +164,16 @@ def minhash_dedup_pairs(
     probability >= 1-(1-0.5^2)^16 ~= 0.99 — false positives below the
     threshold are removed by the exact verification step."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
-    )
+    # Shingle-hash each document ONCE and reuse for both the signatures and
+    # the exact verification join. persist() stands in for the checkpoint a
+    # 100 TB run would write to storage between the two consumers.
+    hs = shingle_hashes(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n).persist()
+    sigs = _minhash_from_hashes(hs, num_hashes)
     cands = minhash_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh"))
-    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sa = hs.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = hs.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -150,7 +187,9 @@ def simhash_signatures(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash: per-bit vote of token hashes (+1 if bit set, else -1)."""
-    tok = df.select(F.col(id_col).alias("doc"), F.explode(distinct_tokens(text_col)).alias("tk"))
+    tok = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), F.explode(distinct_tokens(text_col)).alias("tk")
+    )
     h = hash64(F.col("tk"), seed=7)
     votes = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{b}")

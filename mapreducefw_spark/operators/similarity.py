@@ -32,7 +32,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def as_double_vecs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    return df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec"))
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
 
 
 def brute_force_topk(

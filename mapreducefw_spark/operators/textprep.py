@@ -6,8 +6,22 @@ compose into whole-stage codegen and scale to 100 TB corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition when the source has fewer partitions than cores.
+
+    Small fixtures arrive as single-row-group parquet (unsplittable -> one
+    task), which serializes compute-heavy map stages. At 100 TB inputs have
+    thousands of row groups and this is a no-op; the repartition only fires
+    on pathologically under-split inputs, where its shuffle cost is trivially
+    recovered."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def tokens(col: str | Column = "text") -> Column:

@@ -57,7 +57,12 @@ def map_reduce(
     key_cols : intermediate key columns (the k2 of the reference model).
     sort_cols : output sort key; defaults to the first column of the output.
     """
-    mapped = df.mapInPandas(map_fn, schema=map_schema)
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    # single-row-group fixtures arrive as one partition, which would serialize
+    # the Python map stage onto one Arrow worker; cap at 8 because each extra
+    # partition costs a Python worker spawn
+    mapped = ensure_parallelism(df, min_parts=8).mapInPandas(map_fn, schema=map_schema)
     reduced = mapped.groupBy(*key_cols).applyInPandas(
         lambda pdf: reduce_fn(pdf), schema=out_schema
     )

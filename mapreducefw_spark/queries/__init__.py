@@ -33,6 +33,7 @@ def load_all() -> None:
     from mapreducefw_spark.queries import (  # noqa: F401
         relational,
         relational2,
+        relational3,
         windows,
         windows2,
         timeseries,

@@ -97,7 +97,9 @@ ORDER BY lang, rk
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over (lang, token) with lang as the 'document' unit: one
     explode + two hash aggregations + a broadcast join on token stats."""
-    docs = t(spark, sf_dir, "documents")
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
     )
