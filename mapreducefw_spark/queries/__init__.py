@@ -34,6 +34,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         windows,
         windows2,
         timeseries,
