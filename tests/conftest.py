@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias usable inside hypothesis @given tests (function-scoped fixtures
+    clash with hypothesis; the session fixture does not)."""
+    return spark

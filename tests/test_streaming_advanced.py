@@ -1,0 +1,67 @@
+"""Advanced streaming: stream-static join, streaming dedup with watermark,
+foreachBatch sink (SURVEY §2B streaming rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.queries._util import t
+from mapreducefw_spark.streaming import windows
+
+
+def test_stream_static_join(spark, sf_dir):
+    """Enrich a stream with a static dimension — the classic lookup join."""
+    stream = windows.events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"),
+         ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type").groupBy("category").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = windows.run_bounded(enriched, "t_enrich")
+    batch = (
+        t(spark, sf_dir, "events")
+        .join(dim, "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_dedup_with_watermark(spark, sf_dir):
+    """dropDuplicates on a stream: re-delivered events collapse to one."""
+    stream = windows.events_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)  # simulate at-least-once redelivery
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = windows.run_bounded(agg, "t_dedup")
+    batch = t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: arbitrary exactly-once-style sink logic per microbatch."""
+    stream = windows.events_stream(spark, sf_dir)
+    target = str(tmp_path / "fb_out")
+    seen_epochs = []
+
+    def sink(batch_df, epoch_id):
+        seen_epochs.append(epoch_id)
+        batch_df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).parquet(target)
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen_epochs, "sink never invoked"
+    written = spark.read.parquet(target).groupBy("event_type").agg(F.sum("n").alias("n"))
+    batch = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    assert sorted(map(tuple, written.collect())) == sorted(map(tuple, batch.collect()))
