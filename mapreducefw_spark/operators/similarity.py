@@ -145,13 +145,16 @@ def random_hyperplane_topk(
     """LSH ANN: bucket by the sign pattern of n_planes deterministic
     hyperplanes; exact rerank within each bucket. Candidates are only pairs
     sharing the full signature — cheap and very selective."""
+    import hashlib
+
+    def component(p: int, i: int) -> float:
+        # deterministic pseudo-random ±1 from (plane, dim index), computed
+        # driver-side so the plan carries plain float literals
+        digest = hashlib.sha256(f"{p}:{i}".encode()).digest()
+        return 1.0 if digest[0] % 2 == 0 else -1.0
+
     planes = [
-        F.array(*[
-            # deterministic pseudo-random ±1 component from (plane, dim index)
-            F.when(F.xxhash64(F.lit(p * 1000 + i)) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-            for i in range(dim)
-        ])
-        for p in range(n_planes)
+        F.array(*[F.lit(component(p, i)) for i in range(dim)]) for p in range(n_planes)
     ]
 
     def signature(vec: Column) -> Column:

@@ -35,6 +35,7 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         windows,
         windows2,
         timeseries,

@@ -66,6 +66,50 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_hyperplane_topk(emb, q, k=5, n_planes=6).orderBy("qid", "rk")
 
 
+@register(
+    "embedding_cosine_dedup",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based near-duplicate pairs (cosine >= 0.4 — the synthetic
+    vectors max out near 0.46, so a production-style 0.9 returns nothing;
+    the operator shape is identical). The oracle is
+    the quadratic definition on a 300-vector slice; the scale path for the
+    full corpus is LSH-bucketed (embedding_lsh_dedup below)."""
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings")).filter(F.col("vid") < 300)
+    a = emb.select(F.col("vid").alias("id_a"), F.col("vec").alias("ea"))
+    b = emb.select(F.col("vid").alias("id_b"), F.col("vec").alias("eb"))
+    sim = similarity.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.4)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("embedding_lsh_dedup")  # LSH-bucketed near-dup over the full corpus: rows-only
+def embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: candidates share a random-hyperplane signature bucket, so
+    the quadratic compare runs only inside buckets."""
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    # 4 planes: P(bucket collision) ~ (1 - theta/pi)^4 — at cosine 0.4 that's
+    # ~16%, a usable recall/selectivity point for this low-similarity corpus
+    pairs = similarity.random_hyperplane_topk(emb, emb, k=50, n_planes=4)
+    return (
+        pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
+        .select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("lang_id_heuristic")  # heuristic: rows-only (semantics pinned in pytest)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")

@@ -60,6 +60,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         # events.parquet stores TIMESTAMP(NANOS); read as long, convert in loader
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # externally built sessions default to 200 shuffle partitions — wrong
+        # for local mode; AQE coalesces but the initial number still costs
+        ("spark.sql.shuffle.partitions", "32"),
     ]:
         try:
             spark.conf.set(k, v)
