@@ -83,6 +83,26 @@ def assign_ivf_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     return scored.select("vid", "vec", F.col("best.cid").alias("cell"))
 
 
+def kmeans_refine(corpus: DataFrame, centroids: DataFrame, iters: int = 2) -> DataFrame:
+    """Lloyd iterations in pure DataFrame ops: assign (broadcast argmin) ->
+    per-cell component means (posexplode + groupBy(cell, dim)) -> rebuild
+    arrays. Deterministic up to float-summation order, which only moves
+    borderline assignments — acceptable for an ANN cell structure."""
+    for _ in range(iters):
+        assigned = assign_ivf_cells(corpus, centroids)
+        comp = assigned.select("vid", "cell", F.posexplode("vec").alias("dim", "x"))
+        means = comp.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+        centroids = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("cell").alias("vid"),
+                F.transform("dm", lambda s: s["m"]).alias("vec"),
+            )
+        )
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -91,10 +111,13 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     exclude_self: bool = True,
+    kmeans_iters: int = 1,
 ) -> DataFrame:
-    """ANN via inverted-file cells with deterministic seed centroids
-    (the n_cells lowest-id corpus vectors — stable across runs)."""
+    """ANN via inverted-file cells: deterministic seed centroids (the n_cells
+    lowest-id corpus vectors) optionally refined by k-means iterations."""
     centroids = corpus.orderBy("vid").limit(n_cells)
+    if kmeans_iters > 0:
+        centroids = kmeans_refine(corpus, centroids, iters=kmeans_iters)
     cells = assign_ivf_cells(corpus, centroids)
     qcells = (
         assign_probe_cells(queries, centroids, nprobe)

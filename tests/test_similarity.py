@@ -44,7 +44,14 @@ def test_ivf_recall_vs_brute_force(vecs):
     q = vecs.filter(F.col("vid") < 10)
     exact = similarity.brute_force_topk(vecs, q, k=5).collect()
     ann = similarity.ivf_topk(vecs, q, k=5, n_cells=16, nprobe=8).collect()
-    assert _recall(ann, exact) >= 0.4  # nprobe=8/16 on random small data
+    assert _recall(ann, exact) >= 0.6  # measured ~0.85 at nprobe=4; margin for data drift
+
+
+def test_ivf_kmeans_refinement_recall(vecs):
+    q = vecs.filter(F.col("vid") < 10)
+    exact = similarity.brute_force_topk(vecs, q, k=5).collect()
+    ann = similarity.ivf_topk(vecs, q, k=5, n_cells=16, nprobe=4, kmeans_iters=2).collect()
+    assert _recall(ann, exact) >= 0.6
 
 
 def test_lsh_returns_valid_neighbors(vecs):
