@@ -117,6 +117,56 @@ def sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_rollup_multigrain",
+    oracle="""
+SELECT grain, STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type, value FROM events
+  UNION ALL
+  SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type, value FROM events
+  UNION ALL
+  SELECT 'week' AS grain, date_trunc('week', ts) AS bucket, event_type, value FROM events
+)
+GROUP BY grain, bucket, event_type
+ORDER BY grain, bucket_start, event_type
+""",
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one scan, three time
+    granularities (hour/day/week) via an exploded grain array — at 100 TB the
+    coarser grains reuse the same shuffle instead of re-scanning."""
+    ev = t(spark, sf_dir, "events")
+    grains = F.array(
+        *[
+            F.struct(F.lit(g).alias("grain"), F.date_trunc(g, "ts").alias("bucket"))
+            for g in ["hour", "day", "week"]
+        ]
+    )
+    return (
+        ev.select(F.explode(grains).alias("g"), "event_type", "value")
+        .groupBy(
+            F.col("g.grain").alias("grain"),
+            F.col("g.bucket").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "grain",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("grain", "bucket_start", "event_type")
+    )
+
+
+@register(
     "asof_join_latest_order",
     oracle="""
 WITH ord AS (
