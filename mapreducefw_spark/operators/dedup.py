@@ -183,6 +183,54 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (doc, group_id).
+
+    group_id is the minimum doc id reachable through the pair graph, found by
+    iterative min-label propagation (each round: every node takes the min of
+    its own and its neighbors' labels). Converges in O(graph diameter)
+    rounds; near-dup clusters are shallow, so max_iters=20 is generous.
+    Deterministic: labels are ids, min is order-free.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc")).distinct().withColumn("label", F.col("doc"))
+        # localCheckpoint per iteration truncates the lineage — without it each
+        # round replans the whole history and runtime grows exponentially
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("group_id"))
+
+
 def simhash_signatures(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

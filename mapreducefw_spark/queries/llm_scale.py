@@ -46,6 +46,20 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, threshold=0.5)
 
 
+@register("dedup_connected_groups")  # iterative algorithm: rows-only
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash pairs -> connected components -> one
+    representative (min doc id) per group with its member count."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    groups = dedup.dedup_groups(pairs)
+    return (
+        groups.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("group_id")
+    )
+
+
 @register("simhash_near_pairs")  # rows-only
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")

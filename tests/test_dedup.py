@@ -57,6 +57,16 @@ def test_minhash_deterministic(docs):
     assert a == b
 
 
+def test_dedup_groups_connected_components(spark):
+    # two chains and a singleton edge: {1,2,3,4} via 1-2,2-3,3-4 and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (10, 11, 1.0)],
+        "doc_a bigint, doc_b bigint, jaccard double",
+    )
+    groups = {r.doc: r.group_id for r in dedup.dedup_groups(pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_identical_docs_distance_zero(docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_near_pairs(docs).collect()}
     assert pairs[(0, 1)] == 0
