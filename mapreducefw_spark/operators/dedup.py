@@ -166,7 +166,9 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     # Shingle-hash each document ONCE and reuse for both the signatures and
     # the exact verification join. persist() stands in for the checkpoint a
-    # 100 TB run would write to storage between the two consumers.
+    # 100 TB run would write to storage between the two consumers; it stays
+    # cached for the session (callers running many jobs should
+    # spark.catalog.clearCache() or checkpoint to storage instead).
     hs = shingle_hashes(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n).persist()
     sigs = _minhash_from_hashes(hs, num_hashes)
     cands = minhash_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
@@ -261,6 +263,11 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Pairs within Hamming distance via 4x16-bit chunk blocking (pigeonhole:
     distance <= 3 guarantees at least one identical chunk)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk blocking only guarantees recall for max_hamming <= 3; "
+            f"got {max_hamming} (increase the chunk count to go further)"
+        )
     sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
     chunks = [
         F.struct(
@@ -282,7 +289,10 @@ def simhash_near_pairs(
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), ham.alias("hamming"))
-        .distinct()
+        # filter BEFORE distinct: the hamming predicate is map-side, so the
+        # dedup shuffle only carries qualifying pairs (each pair can appear
+        # once per shared chunk, up to 4x otherwise)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )

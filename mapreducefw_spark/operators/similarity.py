@@ -161,13 +161,20 @@ def random_hyperplane_topk(
     queries: DataFrame,
     k: int = 5,
     *,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 8,
     exclude_self: bool = True,
 ) -> DataFrame:
     """LSH ANN: bucket by the sign pattern of n_planes deterministic
     hyperplanes; exact rerank within each bucket. Candidates are only pairs
-    sharing the full signature — cheap and very selective."""
+    sharing the full signature — cheap and very selective.
+
+    dim defaults to the corpus's actual vector length (sniffed from one row);
+    a mismatched dim would null every dot product via zip_with padding and
+    silently collapse all vectors into one bucket."""
+    if dim is None:
+        first = corpus.select(F.size("vec").alias("d")).first()
+        dim = int(first["d"]) if first else 0
     import hashlib
 
     def component(p: int, i: int) -> float:

@@ -22,12 +22,7 @@ DEC = "decimal(12,2)"
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
-    df = table(spark, sf_dir, name)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long -> microsecond timestamp (integer floor-div matches
-        # DuckDB's nanos->micros truncation)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return table(spark, sf_dir, name)  # events nanos handled in the source layer
 
 
 def dec(col: str | Column) -> Column:

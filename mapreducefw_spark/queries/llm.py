@@ -37,14 +37,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key is 32 bytes instead of document bytes — the standard 100 TB
     exact-dedup layout. Window over the hash == window over text because
     sha2 collisions are negligible."""
-    docs = t(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
+    from mapreducefw_spark.operators.dedup import dedup_exact_hash
 
-    w = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    docs = t(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", "lang", "source", "n_chars", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        dedup_exact_hash(docs)
+        .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
 
@@ -180,32 +178,11 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against the
     corpus, JVM-side fold for the dot product, per-query top-k window.
     This is the exact baseline; the LSH/IVF scale path is in operators/."""
-    from pyspark.sql import Window as W
+    from mapreducefw_spark.operators.similarity import as_double_vecs, brute_force_topk
 
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
-    )
-    c = emb.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne"))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
-    sim = F.round(dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
-    return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .orderBy("qid", "rk")
-    )
+    emb = as_double_vecs(t(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vid") < 10)
+    return brute_force_topk(emb, q, k=5).orderBy("qid", "rk")
 
 
 @register(

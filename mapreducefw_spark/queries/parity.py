@@ -47,7 +47,9 @@ def mr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"k2": pdf["k1"], "v2": pdf["v1"]})
 
     def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        hits = pdf[pdf["v2"].str.contains(SEARCH_SUBSTR, regex=False)]
+        # na=False: NULL payloads are legal in the model (Search.cpp:27) and
+        # must filter out, not poison the boolean mask
+        hits = pdf[pdf["v2"].str.contains(SEARCH_SUBSTR, regex=False, na=False)]
         return pd.DataFrame(
             {"key": hits["v2"].to_numpy(), "value": [None] * len(hits)},
             dtype=object,

@@ -155,11 +155,13 @@ def python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     except ImportError:
         toks = F.split("text", " ")
-        grams = docs.select(
+        # greatest(...) guard: a 1-token doc would make sequence(1, 0) count
+        # DOWN to [1, 0] and element_at(toks, 0) throws under ANSI mode
+        grams = docs.filter(F.size(toks) >= 2).select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
                     lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
                 )
             ).alias("bigram"),

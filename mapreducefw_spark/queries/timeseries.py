@@ -103,8 +103,11 @@ def sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     The streaming twin is ``session_window`` in mapreducefw_spark.streaming."""
     ev = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # microsecond-exact gap: cast('long') would truncate to seconds and
+    # disagree with the oracle's exact interval compare near the boundary
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     return (
         ev.select("user_id", new_session.alias("new_session"))
         .groupBy("user_id")

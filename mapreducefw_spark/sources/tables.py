@@ -9,6 +9,7 @@ reads replace the chunked shared-cursor scheduler (``MRFCore.cpp:46-53``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -25,6 +26,20 @@ TABLES = [
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+        # default; read nanos as long and floor-div to microseconds (matches
+        # DuckDB's nanos->micros truncation). Handled here in the source
+        # layer so every consumer (load_tables, register_views, queries,
+        # streaming schema inference) gets a usable timestamp column.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
