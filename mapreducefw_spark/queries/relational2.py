@@ -359,8 +359,8 @@ WITH s AS (
   FROM lineitem
 )
 SELECT n,
-       (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
-       (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n) AS covar_pop
+       ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 10) AS corr_qty_price,
+       ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 10) AS covar_pop
 FROM s
 """,
 )
@@ -378,8 +378,12 @@ def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-    covar = (n * sxy - sx * sy) / (n.cast("double") * n)
+    # round(10): n*sxy - sx*sy cancels ~1e18-magnitude products, so a 1-ulp
+    # FMA difference between engines surfaces in the last digit at larger sf
+    corr = F.round(
+        (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 10
+    )
+    covar = F.round((n * sxy - sx * sy) / (n.cast("double") * n), 10)
     return agg.select("n", corr.alias("corr_qty_price"), covar.alias("covar_pop"))
 
 
