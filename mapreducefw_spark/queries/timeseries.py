@@ -120,6 +120,77 @@ def sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_batch",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n
+FROM islands
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window in BATCH mode (merged gap<30min intervals per user) —
+    the same API the streaming twin uses; oracle is gaps-and-islands SQL.
+    A session's end is last-event + gap, and an event at exactly that end
+    starts a NEW session (hence >= in the oracle's break condition)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "interval_join_events",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTES
+ORDER BY id_a, id_b
+""",
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (event-time range) join: pairs of events per user within a
+    5-minute follow window — equi key + range predicate, so Catalyst plans a
+    proper join on user_id with the range as a post-filter, never a cross."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.select(F.col("event_id").alias("id_a"), F.col("user_id").alias("u"), F.col("ts").alias("ta"))
+    b = ev.select(F.col("event_id").alias("id_b"), F.col("user_id").alias("u"), F.col("ts").alias("tb"))
+    return (
+        a.join(b, "u")
+        .filter(
+            (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "time_rollup_multigrain",
     oracle="""
 SELECT grain, STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
