@@ -32,8 +32,10 @@ def events_stream(spark: SparkSession, sf_dir: str, *, max_files_per_trigger: in
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(src, link)
+    except FileExistsError:
+        pass  # concurrent sessions may race on staging; first link wins
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
