@@ -36,6 +36,13 @@ HEADLINE = [
     "embedding_cosine_topk",
     "text_token_stats",
     "mr_wordcount",
+    "q10_returned_revenue",
+    "median_exact_prices",
+    "session_window_batch",
+    "time_rollup_multigrain",
+    "interval_join_events",
+    "tfidf_top_terms",
+    "salted_skew_aggregate",
 ]
 
 

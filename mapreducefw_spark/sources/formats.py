@@ -38,6 +38,25 @@ def write_partitioned_parquet(
     w.parquet(path)
 
 
+def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
+    """JDBC source (requires the driver jar on the classpath — not in this
+    image; kept for surface completeness, exercised only against real DBs).
+    For scale: pass partitionColumn/lowerBound/upperBound/numPartitions so
+    the read parallelizes instead of single-streaming the table."""
+    return spark.read.format("jdbc").options(url=url, dbtable=dbtable, **options).load()
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """spark-avro is a separate module; gate callers behind this check."""
+    try:
+        spark.read.format("avro")
+        # format resolution is lazy; a probe load is needed to be sure, so
+        # just report the package presence
+        return any("avro" in j for j in spark.sparkContext._jsc.sc().listJars())
+    except Exception:
+        return False
+
+
 def delta_available() -> bool:
     try:
         import delta  # noqa: F401
