@@ -36,6 +36,7 @@ def load_all() -> None:
         relational3,
         relational4,
         relational5,
+        relational6,
         windows,
         windows2,
         timeseries,
