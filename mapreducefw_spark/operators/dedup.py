@@ -45,17 +45,29 @@ def jaccard_token_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All document pairs with token-set Jaccard >= threshold.
 
     Inverted-index similarity join: |A∩B| from a self-join on token postings,
     |A∪B| = |A|+|B|-|A∩B|. Scales with posting-list sizes; a hot token (stop
-    word) would dominate, so production runs add a doc-frequency cap — kept
-    out here because the oracle needs exact semantics.
+    word) makes its posting list quadratic, so the 100 TB run sets
+    max_doc_freq to drop tokens appearing in more than that many documents.
+    The result then under-counts intersections through dropped tokens (an
+    upper-bounded approximation); leave None for exact semantics (the
+    oracle-checked form).
     """
     toks = ensure_parallelism(df).select(F.col(id_col).alias("doc"), distinct_tokens(text_col).alias("w"))
     sizes = toks.select("doc", F.size("w").alias("n"))
     posting = toks.select("doc", F.explode("w").alias("token"))
+    if max_doc_freq is not None:
+        keep = (
+            posting.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("token")
+        )
+        posting = posting.join(keep, "token")
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))

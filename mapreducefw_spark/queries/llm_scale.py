@@ -40,6 +40,20 @@ def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_token_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
+@register("jaccard_pairs_df_capped")  # approximation: rows-only
+def jaccard_pairs_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe Jaccard join: tokens in >95% of docs are dropped from
+    the inverted index, bounding the hottest posting lists (near-universal
+    tokens would otherwise make the self-join quadratic at corpus scale).
+    The word-soup fixture's tiny vocabulary makes every token 'hot', so the
+    cap is set high; real corpora use 0.1-0.5."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cap = max(int(docs.count() * 0.95), 1)
+    return dedup.jaccard_token_pairs(docs, threshold=0.5, max_doc_freq=cap).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 @register("minhash_dedup_pairs")  # LSH banding: not SQL-expressible -> rows-only
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
