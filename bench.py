@@ -9,11 +9,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
 
 from mapreducefw_spark.queries import QUERIES, load_all
 from mapreducefw_spark.session import get_spark
@@ -60,6 +62,9 @@ def main() -> None:
     for name in HEADLINE:
         best = None
         for _ in range(2):  # min of 2 runs: strips scheduler/GC noise
+            # cold cache each rep: a persist() surviving rep 1 would make
+            # rep 2 measure the cached path, not the real plan
+            spark.catalog.clearCache()
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             el = time.time() - t0
@@ -67,18 +72,40 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "cpus": int(cpus),
-            }
-        )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": int(cpus),
+    }
+
+    # regression gate: diff against the newest BENCH_r{N}.json the driver
+    # recorded; flag any query >1.3x slower than the previous round
+    prior_files = sorted(
+        REPO.glob("BENCH_r*.json"),
+        key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
     )
+    if prior_files:
+        prev = json.loads(prior_files[-1].read_text())
+        prev = prev.get("parsed", prev)  # driver wraps our JSON line under "parsed"
+        prev_q = prev.get("queries", {})
+        regressions = {
+            n: {"prev": prev_q[n], "now": now, "ratio": round(now / prev_q[n], 2)}
+            for n, now in per_query.items()
+            if n in prev_q and prev_q[n] > 0 and now / prev_q[n] > 1.3
+        }
+        result["vs_prev"] = {
+            "file": prior_files[-1].name,
+            "total_prev": prev.get("value"),
+            "total_ratio": round(total / prev["value"], 3) if prev.get("value") else None,
+            "regressions": regressions,
+        }
+        if regressions:
+            print(f"REGRESSIONS vs {prior_files[-1].name}: {regressions}", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

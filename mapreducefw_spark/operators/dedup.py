@@ -46,28 +46,34 @@ def jaccard_token_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    max_doc_freq_frac: float | None = None,
 ) -> DataFrame:
     """All document pairs with token-set Jaccard >= threshold.
 
     Inverted-index similarity join: |A∩B| from a self-join on token postings,
     |A∪B| = |A|+|B|-|A∩B|. Scales with posting-list sizes; a hot token (stop
-    word) makes its posting list quadratic, so the 100 TB run sets
-    max_doc_freq to drop tokens appearing in more than that many documents.
-    The result then under-counts intersections through dropped tokens (an
-    upper-bounded approximation); leave None for exact semantics (the
-    oracle-checked form).
+    word) makes its posting list quadratic, so the 100 TB run caps document
+    frequency to drop tokens appearing in too many documents — either an
+    absolute count (max_doc_freq) or a corpus fraction (max_doc_freq_frac,
+    resolved INSIDE the plan via a broadcast total-count aggregate, so no
+    driver-side action runs while the query is being built). The result then
+    under-counts intersections through dropped tokens (an upper-bounded
+    approximation); leave both None for exact semantics (the oracle-checked
+    form).
     """
     toks = ensure_parallelism(df).select(F.col(id_col).alias("doc"), distinct_tokens(text_col).alias("w"))
     sizes = toks.select("doc", F.size("w").alias("n"))
     posting = toks.select("doc", F.explode("w").alias("token"))
-    if max_doc_freq is not None:
-        keep = (
-            posting.groupBy("token")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("token")
-        )
-        posting = posting.join(keep, "token")
+    if max_doc_freq is not None or max_doc_freq_frac is not None:
+        dfreq = posting.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        if max_doc_freq_frac is not None:
+            ndocs = F.broadcast(toks.agg(F.count(F.lit(1)).alias("nd")))
+            dfreq = dfreq.crossJoin(ndocs).filter(
+                F.col("df") <= F.greatest(F.col("nd") * max_doc_freq_frac, F.lit(1.0))
+            )
+        if max_doc_freq is not None:
+            dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
+        posting = posting.join(dfreq.select("token"), "token")
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
@@ -131,10 +137,41 @@ def _minhash_from_hashes(hs_df: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(
-    sigs: DataFrame, *, bands: int = 8, rows_per_band: int = 4
+def cap_bucket_size(
+    buckets: DataFrame, key_cols: list[str], max_bucket_size: int | None
 ) -> DataFrame:
-    """LSH banding: docs sharing any band hash become candidate pairs."""
+    """Drop LSH buckets holding more than max_bucket_size docs.
+
+    Candidate generation self-joins on bucket keys, so one degenerate bucket
+    (millions of identical boilerplate docs sharing a band hash) is quadratic
+    inside that bucket. A window count over the bucket key bounds it: the
+    count rides the same hash partitioning the self-join needs anyway, so the
+    guard adds no extra exchange. Dropped buckets lose only pairs of
+    mass-duplicated docs — exactly the ones exact dedup already catches
+    upstream, which is why production near-dup pipelines run hash-dedup first.
+    """
+    if max_bucket_size is None:
+        return buckets
+    w = W.partitionBy(*key_cols)
+    return (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame,
+    *,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    Buckets above max_bucket_size are dropped before the self-join (see
+    cap_bucket_size) — the quadratic-inside-bucket guard for boilerplate-heavy
+    corpora. None disables the cap (exact candidate semantics)."""
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -145,6 +182,7 @@ def minhash_candidate_pairs(
     buckets = sigs.select("doc", F.explode(F.array(*band_cols)).alias("bh")).select(
         "doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
     )
+    buckets = cap_bucket_size(buckets, ["band", "h"], max_bucket_size)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -167,6 +205,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash/LSH candidates verified by exact shingle
     Jaccard (computed only for candidates — the expensive step stays small).
@@ -174,16 +213,20 @@ def minhash_dedup_pairs(
     Banding default 16 bands x 2 rows: candidate s-curve threshold
     (1/b)^(1/r) ~= 0.25, so pairs at Jaccard >= 0.5 are caught with
     probability >= 1-(1-0.5^2)^16 ~= 0.99 — false positives below the
-    threshold are removed by the exact verification step."""
+    threshold are removed by the exact verification step.
+
+    The shingle-hash pass feeds three consumers (signatures + both sides of
+    the verification join) and is deterministic (xxhash64), so it is simply
+    recomputed — a map-only pass. No persist(): caching it would pin
+    corpus-sized state in executor memory for the session (round-1 bench
+    logged cache-thrash warnings); a 100 TB run that wants reuse should
+    checkpoint hs to storage between the two jobs instead."""
     rows_per_band = num_hashes // bands
-    # Shingle-hash each document ONCE and reuse for both the signatures and
-    # the exact verification join. persist() stands in for the checkpoint a
-    # 100 TB run would write to storage between the two consumers; it stays
-    # cached for the session (callers running many jobs should
-    # spark.catalog.clearCache() or checkpoint to storage instead).
-    hs = shingle_hashes(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n).persist()
+    hs = shingle_hashes(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
     sigs = _minhash_from_hashes(hs, num_hashes)
-    cands = minhash_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    cands = minhash_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    )
     sa = hs.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = hs.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
@@ -242,6 +285,9 @@ def dedup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels is localCheckpoint()ed (materialized), so the edge cache can be
+    # released as soon as the loop exits — nothing downstream re-reads it
+    edges.unpersist()
     return labels.select("doc", F.col("label").alias("group_id"))
 
 
@@ -272,9 +318,12 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Pairs within Hamming distance via 4x16-bit chunk blocking (pigeonhole:
-    distance <= 3 guarantees at least one identical chunk)."""
+    distance <= 3 guarantees at least one identical chunk). Chunk buckets
+    above max_bucket_size are dropped before the self-join (cap_bucket_size)
+    so a mass-duplicated signature can't go quadratic."""
     if max_hamming > 3:
         raise ValueError(
             "4-chunk blocking only guarantees recall for max_hamming <= 3; "
@@ -291,6 +340,7 @@ def simhash_near_pairs(
     blocked = sigs.select("doc", "simhash", F.explode(F.array(*chunks)).alias("ch")).select(
         "doc", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.v").alias("v")
     )
+    blocked = cap_bucket_size(blocked, ["chunk", "v"], max_bucket_size)
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

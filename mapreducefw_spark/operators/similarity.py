@@ -161,7 +161,7 @@ def random_hyperplane_topk(
     queries: DataFrame,
     k: int = 5,
     *,
-    dim: int | None = None,
+    dim: int,
     n_planes: int = 8,
     exclude_self: bool = True,
 ) -> DataFrame:
@@ -169,12 +169,13 @@ def random_hyperplane_topk(
     hyperplanes; exact rerank within each bucket. Candidates are only pairs
     sharing the full signature — cheap and very selective.
 
-    dim defaults to the corpus's actual vector length (sniffed from one row);
-    a mismatched dim would null every dot product via zip_with padding and
-    silently collapse all vectors into one bucket."""
-    if dim is None:
-        first = corpus.select(F.size("vec").alias("d")).first()
-        dim = int(first["d"]) if first else 0
+    dim is caller-supplied (it's table metadata, like any vector store keeps):
+    sniffing it from a row would run a Spark action during plan construction,
+    and a mismatched dim would null every dot product via zip_with padding and
+    silently collapse all vectors into one bucket — so it must be right, and
+    known up front."""
+    if dim <= 0:
+        raise ValueError(f"dim must be a positive vector length, got {dim}")
     import hashlib
 
     def component(p: int, i: int) -> float:

@@ -11,17 +11,18 @@ from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition when the source has fewer partitions than cores.
+    """Spread compute-heavy map stages across local cores.
 
-    Small fixtures arrive as single-row-group parquet (unsplittable -> one
-    task), which serializes compute-heavy map stages. At 100 TB inputs have
-    thousands of row groups and this is a no-op; the repartition only fires
-    on pathologically under-split inputs, where its shuffle cost is trivially
-    recovered."""
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    The sandbox fixtures are single-row-group parquet (unsplittable -> one
+    task), which serializes shingling/hashing. The decision is STATIC — local
+    master => repartition to core count, cluster master => pass through
+    untouched. No ``df.rdd`` probe: that forces analysis + an RDD conversion
+    per call, and on a real cluster inputs arrive well-split, where a blind
+    repartition would shuffle the whole corpus for nothing."""
+    sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
+    return df.repartition(min_parts or sc.defaultParallelism)
 
 
 def tokens(col: str | Column = "text") -> Column:

@@ -16,6 +16,12 @@ from mapreducefw_spark.operators import dedup, multimodal, similarity, text
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
 
+# The embeddings fixture's vector length (constant across all sf dirs —
+# verified via parquet metadata). Vector dim is table metadata in any real
+# vector store; operators take it as a parameter instead of sniffing a row,
+# which would run a Spark action during plan construction.
+EMBEDDING_DIM = 64
+
 
 @register(
     "jaccard_token_pairs",
@@ -46,12 +52,12 @@ def jaccard_pairs_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inverted index, bounding the hottest posting lists (near-universal
     tokens would otherwise make the self-join quadratic at corpus scale).
     The word-soup fixture's tiny vocabulary makes every token 'hot', so the
-    cap is set high; real corpora use 0.1-0.5."""
+    cap is set high; real corpora use 0.1-0.5. The fractional cap resolves
+    inside the plan (broadcast count aggregate) — no driver-side action."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    cap = max(int(docs.count() * 0.95), 1)
-    return dedup.jaccard_token_pairs(docs, threshold=0.5, max_doc_freq=cap).orderBy(
-        "doc_a", "doc_b"
-    )
+    return dedup.jaccard_token_pairs(
+        docs, threshold=0.5, max_doc_freq_frac=0.95
+    ).orderBy("doc_a", "doc_b")
 
 
 @register("minhash_dedup_pairs")  # LSH banding: not SQL-expressible -> rows-only
@@ -72,6 +78,38 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("group_id")
     )
+
+
+@register(
+    "dedup_groups_small",
+    oracle="""
+WITH RECURSIVE s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < 100
+),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
+),
+e AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+walk(doc, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, walk.r FROM e JOIN walk ON walk.doc = e.dst
+)
+SELECT doc, MIN(r) AS group_id FROM walk GROUP BY doc ORDER BY doc
+""",
+)
+def dedup_groups_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components, oracle-checked: exact token-Jaccard pairs on a
+    doc_id<100 slice feed min-label propagation; DuckDB computes the same
+    components via a recursive reachability CTE. Pins the iterative
+    algorithm's semantics end-to-end (the full-corpus form stays rows-only)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.jaccard_token_pairs(docs, threshold=0.5)
+    return dedup.dedup_groups(pairs).orderBy("doc")
 
 
 @register("simhash_near_pairs")  # rows-only
@@ -95,7 +133,9 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vid") < 10)
-    return similarity.random_hyperplane_topk(emb, q, k=5, n_planes=6).orderBy("qid", "rk")
+    return similarity.random_hyperplane_topk(
+        emb, q, k=5, dim=EMBEDDING_DIM, n_planes=6
+    ).orderBy("qid", "rk")
 
 
 @register(
@@ -134,7 +174,7 @@ def embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
     # 4 planes: P(bucket collision) ~ (1 - theta/pi)^4 — at cosine 0.4 that's
     # ~16%, a usable recall/selectivity point for this low-similarity corpus
-    pairs = similarity.random_hyperplane_topk(emb, emb, k=50, n_planes=4)
+    pairs = similarity.random_hyperplane_topk(emb, emb, k=50, dim=EMBEDDING_DIM, n_planes=4)
     return (
         pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
         .select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "sim")

@@ -82,7 +82,10 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:  # flat map: one row per token (1 -> N emits)
-            tokens = pdf["text"].str.split(" ").explode()
+            # dropna first: str.split(NaN) survives the != '' filter and
+            # would emit a null-key group, while the oracle's
+            # UNNEST(string_split(NULL)) emits zero rows
+            tokens = pdf["text"].dropna().str.split(" ").explode()
             tokens = tokens[tokens != ""]
             yield pd.DataFrame({"k2": tokens, "v2": 1})
 

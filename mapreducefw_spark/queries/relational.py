@@ -579,7 +579,7 @@ SELECT p_partkey,
        SUBSTRING(p_name, 1, 3) AS pfx,
        CONCAT(p_brand, ':', p_type) AS brand_type,
        REPLACE(p_name, ' ', '_') AS snake,
-       CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_num,
+       TRY_CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_num,
        LEN(string_split(p_name, ' ')) AS n_words
 FROM part
 WHERE p_partkey < 500

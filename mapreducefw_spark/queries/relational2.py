@@ -389,9 +389,21 @@ def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("percentile_approx_prices")  # sketch-based: engine-specific, rows-only
 def percentile_approx_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quartiles (KLL-style sketch — the 100 TB percentile path).
+
+    Scalar q25/q50/q75 columns, not one array column: the driver's
+    canonicalizer sorts rows with pandas and dies on list cells
+    (CORRECTNESS_r01.json err), and scalar outputs are what downstream
+    consumers want anyway."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("quartiles")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("qs")
+    )
+    return q.select(
+        "l_returnflag",
+        F.element_at("qs", 1).alias("q25"),
+        F.element_at("qs", 2).alias("q50"),
+        F.element_at("qs", 3).alias("q75"),
     ).orderBy("l_returnflag")
 
 

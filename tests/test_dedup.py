@@ -67,6 +67,37 @@ def test_dedup_groups_connected_components(spark):
     assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+@pytest.fixture(scope="module")
+def boilerplate(spark):
+    """Degenerate corpus: 2000 identical docs — every LSH bucket collapses to
+    one giant bucket, the quadratic-inside-bucket edge case."""
+    text = "terms of service apply to all users of this site every day forever"
+    return spark.createDataFrame(
+        [(i, text) for i in range(2000)], "doc_id bigint, text string"
+    )
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(boilerplate):
+    # capped: the 2000-doc bucket exceeds max_bucket_size and is dropped,
+    # so candidate generation never goes quadratic (2M pairs -> 0)
+    capped = dedup.minhash_dedup_pairs(boilerplate, threshold=0.5, max_bucket_size=100)
+    assert capped.count() == 0
+    # a cap above the corpus size keeps exact behavior: all pairs survive
+    kept = dedup.minhash_dedup_pairs(
+        boilerplate.filter(F.col("doc_id") < 40), threshold=0.5, max_bucket_size=10_000
+    )
+    assert kept.count() == 40 * 39 // 2
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(boilerplate):
+    capped = dedup.simhash_near_pairs(boilerplate, max_bucket_size=100)
+    assert capped.count() == 0
+    kept = dedup.simhash_near_pairs(
+        boilerplate.filter(F.col("doc_id") < 40), max_bucket_size=10_000
+    )
+    assert kept.count() == 40 * 39 // 2
+
+
 def test_simhash_identical_docs_distance_zero(docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_near_pairs(docs).collect()}
     assert pairs[(0, 1)] == 0

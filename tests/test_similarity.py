@@ -56,7 +56,7 @@ def test_ivf_kmeans_refinement_recall(vecs):
 
 def test_lsh_returns_valid_neighbors(vecs):
     q = vecs.filter(F.col("vid") < 10)
-    rows = similarity.random_hyperplane_topk(vecs, q, k=5, n_planes=4).collect()
+    rows = similarity.random_hyperplane_topk(vecs, q, k=5, dim=64, n_planes=4).collect()
     # bucketing may prune aggressively; whatever it returns must be valid + ranked
     seen = {}
     for r in rows:

@@ -63,3 +63,15 @@ def test_filesystem_search_semantics(spark, tmp_path):
     # duplicates preserved (bag), sorted ascending, NULL payloads
     assert keys == ["alpha.txt", "alpha.txt", "alphabet.md"]
     assert all(r.value is None for r in out.collect())
+
+
+def test_gated_sources_honest_about_missing_jars(spark):
+    # no avro module / delta package / JDBC driver in this image: the gates
+    # must report that truthfully instead of failing later mid-query
+    assert formats.avro_available(spark) is False
+    assert formats.delta_available() is False
+    with pytest.raises(Exception):
+        # wrapper builds the reader; load fails cleanly without a driver jar
+        formats.read_jdbc(
+            spark, "jdbc:nosuchdb://localhost/none", "t", driver="com.example.NoDriver"
+        ).collect()
