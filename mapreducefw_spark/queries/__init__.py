@@ -111,6 +111,7 @@ def load_all() -> None:
         llm,
         llm_scale,
         parity,
+        pipeline,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -191,6 +191,34 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "view_click_attribution",
+    oracle="""
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id AS user_id
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTES
+ORDER BY view_id, click_id
+""",
+)
+def view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join (streaming/joins.py): clicks
+    attributed to same-user views within 30 minutes. Equi key (user_id) +
+    time-range post-filter — the same plan shape Structured Streaming keys
+    its join state by, so batch and stream produce identical pairs (pinned
+    in tests/test_streaming_advanced.py)."""
+    from mapreducefw_spark.streaming.joins import view_click_join
+
+    ev = t(spark, sf_dir, "events")
+    return view_click_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        within="30 minutes",
+    ).orderBy("view_id", "click_id")
+
+
+@register(
     "time_rollup_multigrain",
     oracle="""
 SELECT grain, STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,

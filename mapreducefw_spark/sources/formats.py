@@ -38,6 +38,20 @@ def write_partitioned_parquet(
     w.parquet(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType | str, *, row_tag: str, **options
+) -> DataFrame:
+    """XML source (built into Spark 4 — no external package). rowTag picks the
+    repeating element; explicit schema for the same reasons as csv/json."""
+    return (
+        spark.read.format("xml").options(rowTag=row_tag, **options).schema(schema).load(path)
+    )
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options) -> DataFrame:
     """JDBC source (requires the driver jar on the classpath — not in this
     image; kept for surface completeness, exercised only against real DBs).

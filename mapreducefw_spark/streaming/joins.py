@@ -1,0 +1,48 @@
+"""Stream-stream joins (Structured Streaming) — the last big streaming shape
+after windowed aggs, sessionization, and stateful ops.
+
+Spark buffers both sides in state keyed by the equi column; the watermark plus
+the event-time range bound how long a row can wait for a match, so state is
+GC-able and the join runs unbounded. The batch twin
+(``queries/timeseries.py::view_click_attribution``) is oracle-checked; pytest
+pins stream == batch on the bounded replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def view_click_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Attribute each click to the views by the same user in the preceding
+    ``within`` interval (click strictly after the view).
+
+    Both inputs need watermarks — without them Spark would keep every view
+    forever waiting for a possible future click. The range condition on the
+    two event times lets the state store evict a view once the watermark
+    passes view_ts + within.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("view_id", "click_id", F.col("v_user").alias("user_id"))

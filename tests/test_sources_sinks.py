@@ -75,3 +75,14 @@ def test_gated_sources_honest_about_missing_jars(spark):
         formats.read_jdbc(
             spark, "jdbc:nosuchdb://localhost/none", "t", driver="com.example.NoDriver"
         ).collect()
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    # XML is built into Spark 4 (no external package)
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id bigint, name string"
+    )
+    path = str(tmp_path / "xml_out")
+    formats.write_xml(df, path, row_tag="row")
+    back = formats.read_xml(spark, path, "id bigint, name string", row_tag="row")
+    assert sorted(map(tuple, back.collect())) == [(1, "alpha"), (2, "beta")]

@@ -65,3 +65,25 @@ def test_foreachbatch_sink(spark, sf_dir, tmp_path):
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     assert sorted(map(tuple, written.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join == the batch twin on the bounded replay.
+
+    Append mode: inner stream-stream join emits once per matched pair."""
+    from mapreducefw_spark.streaming import joins
+
+    stream = windows.events_stream(spark, sf_dir)
+    joined = joins.view_click_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+        within="30 minutes",
+    )
+    out = windows.run_bounded(joined, "t_ssj", output_mode="append")
+    ev = t(spark, sf_dir, "events")
+    batch = joins.view_click_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        within="30 minutes",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
