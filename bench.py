@@ -61,7 +61,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):  # min of 2 runs: strips scheduler/GC noise
+        for _ in range(3):  # min of 3 runs: host VM noise swings single reps >2x
             # cold cache each rep: a persist() surviving rep 1 would make
             # rep 2 measure the cached path, not the real plan
             spark.catalog.clearCache()
