@@ -91,6 +91,44 @@ def jaccard_token_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, how many
+    distinct word n-grams it shares with each benchmark document.
+
+    The standard decontamination pass before pre-training: any corpus doc
+    sharing enough n-grams with an eval set is dropped. Implemented as an
+    inverted-index join on 64-bit gram hashes — the shuffle carries
+    (gram_hash, doc_id) pairs, never document text, and the benchmark side
+    of a real run is tiny (eval sets), so its posting list broadcasts.
+    ``max_gram_freq`` caps hot grams (boilerplate) exactly like the Jaccard
+    join's doc-frequency guard; leave None for exact semantics.
+
+    Returns (corpus_doc, bench_doc, n_shared) — threshold downstream.
+    """
+    c = shingle_hashes(corpus, text_col=text_col, id_col=id_col, shingle_n=n).select(
+        F.col("doc").alias("corpus_doc"), F.explode("hs").alias("g")
+    )
+    b = shingle_hashes(benchmark, text_col=text_col, id_col=id_col, shingle_n=n).select(
+        F.col("doc").alias("bench_doc"), F.explode("hs").alias("g")
+    )
+    if max_gram_freq is not None:
+        freq = c.groupBy("g").agg(F.count(F.lit(1)).alias("cf"))
+        c = c.join(freq.filter(F.col("cf") <= max_gram_freq).select("g"), "g")
+    return (
+        c.join(F.broadcast(b), "g")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,

@@ -60,6 +60,50 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs Java regex and RE2
+# (DuckDB) match identically: contractions, letter runs, digit runs, other
+# runs — each optionally preceded by one space. No lookahead (RE2 lacks it).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_pretokens(text_col: str | Column = "text") -> Column:
+    """BPE-style pre-tokenization (the split a GPT-2/tiktoken tokenizer does
+    before byte-pair merges). Counting these is the standard corpus-size
+    estimate when the merge table isn't available; the regex runs JVM-side
+    in one map pass."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+# PII patterns (email / dotted-quad / US-style phone). Deliberately simple,
+# anchorless, and engine-portable; a production scrubber would add locale
+# packs, but the operator shape — regexp_count to flag, regexp_replace to
+# scrub, both inside one codegen stage — is what matters at 100 TB.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_counts(text_col: str | Column = "text") -> dict[str, Column]:
+    """One count column per PII class — map-only, no Python."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)) for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text_col: str | Column = "text") -> Column:
+    """Replace every PII match with [CLASS] markers, applied in one chained
+    regexp_replace pass per class (still a single projection)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = c
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
 def rolling_fingerprint(text_col: str | Column = "text", window: int = 8) -> Column:
     """Deterministic document fingerprint: min of rolling xxhash64 over token
     windows (a winnowing-style sketch — robust to small edits, unlike sha2)."""

@@ -112,6 +112,7 @@ def load_all() -> None:
         llm_scale,
         parity,
         pipeline,
+        pipeline2,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -76,3 +76,53 @@ def test_frame_sampling_one_to_n(media):
     got = frames.groupBy("media_id").count().collect()
     assert len(got) == n_videos
     assert all(r["count"] == 4 for r in got)
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (1, "mail me at jane.doe+spam@example.co.uk or call 555-123-4567"),
+        (2, "server at 10.0.255.1 responded; backup 192.168.1.2 did not"),
+        (3, "no pii here, just words and numbers like 12345"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            *[c.alias(n) for n, c in text.pii_counts("text").items()],
+            text.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ip) == (1, 1, 0)
+    assert "[EMAIL]" in out[1].red and "[PHONE]" in out[1].red
+    assert "jane" not in out[1].red and "4567" not in out[1].red
+    assert out[2].n_ip == 2 and out[2].red.count("[IP]") == 2
+    assert (out[3].n_email, out[3].n_ip, out[3].n_phone) == (0, 0, 0)
+    assert out[3].red == rows[2][1]
+
+
+def test_bpe_pretokens(spark):
+    df = spark.createDataFrame(
+        [(1, "I can't stop... counting 123 tokens!")], "id int, text string"
+    )
+    [r] = df.select(text.bpe_pretokens("text").alias("tk")).collect()
+    assert r.tk == [
+        "I", " can", "'t", " stop", "...", " counting", " 123", " tokens", "!",
+    ]
+
+
+def test_ngram_contamination_finds_planted_overlap(spark):
+    from mapreducefw_spark.operators.dedup import ngram_contamination
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base + " extra tail words here"),      # shares many 5-grams
+         (2, "totally unrelated words one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    got = {
+        (r.corpus_doc, r.bench_doc): r.n_shared
+        for r in ngram_contamination(corpus, bench, n=5).collect()
+    }
+    assert got == {(1, 100): 6}  # 10-token overlap -> 6 shared 5-grams
