@@ -95,8 +95,12 @@ ORDER BY lang, rk
 """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF over (lang, token) with lang as the 'document' unit: one
-    explode + two hash aggregations + a broadcast join on token stats."""
+    """TF-IDF over (lang, token) with lang as the 'document' unit.
+
+    Document frequency comes from a window count over the tf table — its
+    rows are already unique per (lang, token), so count(*) over (partition
+    by token) IS countDistinct(lang) without the extra groupBy + self-join
+    (two exchanges of the vocabulary table saved vs the naive plan)."""
     from mapreducefw_spark.operators.textprep import ensure_parallelism
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
@@ -104,16 +108,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token") != ""
     )
     tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("token").agg(F.countDistinct("lang").alias("df"))
+    dfw = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
     n_langs = docs.select(F.countDistinct("lang").alias("n"))
-    scored = (
-        tf.join(df_, "token")
-        .crossJoin(F.broadcast(n_langs))
-        .select(
-            "lang",
-            "token",
-            F.round(F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 6).alias("tfidf"),
-        )
+    scored = dfw.crossJoin(F.broadcast(n_langs)).select(
+        "lang",
+        "token",
+        F.round(F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 6).alias("tfidf"),
     )
     w = W.partitionBy("lang").orderBy(F.desc("tfidf"), "token")
     return (

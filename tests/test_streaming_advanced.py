@@ -87,3 +87,34 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         within="30 minutes",
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs protobuf (TWS state-server protocol); absent in this image",
+)
+def test_transform_with_state_profiles(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: final per-user profile == batch."""
+    from mapreducefw_spark.streaming import stateful
+
+    stream = windows.events_stream(spark, sf_dir)
+    out = windows.run_bounded(
+        stateful.user_profile_stats(stream), "t_tws", output_mode="update"
+    )
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n"), F.max("n_event_types").alias("nt")
+    )
+    ev = t(spark, sf_dir, "events")
+    expected = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_type").alias("nt"),
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, expected.collect()))
