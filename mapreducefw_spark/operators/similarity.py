@@ -47,12 +47,20 @@ def brute_force_topk(
     corpus/queries: (vid, vec) as produced by as_double_vecs.
     Returns (qid, nid, sim, rk) with deterministic tie-break on nid.
     """
-    q = queries.select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"))
-    c = corpus.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec"))
+    # Compute each side's norm ONCE, below the join (the projection feeding a
+    # join is not collapsed into the post-join projection), so the per-pair
+    # work is a single dot fold + divide. Inlining cosine() above the join
+    # instead re-derives the corpus norm once per query — 3 folds per pair.
+    q = queries.select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec"), _norm(F.col("vec")).alias("qn")
+    )
+    c = corpus.select(
+        F.col("vid").alias("nid"), F.col("vec").alias("nvec"), _norm(F.col("vec")).alias("nn")
+    )
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("nid"))
-    sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
+    sim = F.round(_dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6)
     w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
     return (
         pairs.select("qid", "nid", sim.alias("sim"))
