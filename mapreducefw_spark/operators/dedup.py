@@ -200,6 +200,21 @@ def cap_bucket_size(
     )
 
 
+def _band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, minhash) -> (doc, band, h): one bucket row per band, the band's
+    signature rows folded into a single 64-bit key. Map-only."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("h"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("doc", F.explode(F.array(*band_cols)).alias("bh")).select(
+        "doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    )
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     *,
@@ -212,16 +227,7 @@ def minhash_candidate_pairs(
     Buckets above max_bucket_size are dropped before the self-join (see
     cap_bucket_size) — the quadratic-inside-bucket guard for boilerplate-heavy
     corpora. None disables the cap (exact candidate semantics)."""
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("h"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select("doc", F.explode(F.array(*band_cols)).alias("bh")).select(
-        "doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
-    )
+    buckets = _band_buckets(sigs, bands, rows_per_band)
     buckets = cap_bucket_size(buckets, ["band", "h"], max_bucket_size)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
@@ -269,6 +275,61 @@ def minhash_dedup_pairs(
     )
     sa = hs.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = hs.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def cross_corpus_minhash_pairs(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora — the snapshot-merge dedup:
+    which docs of a new crawl (A) near-duplicate the corpus already ingested
+    (B). Self-join LSH would also emit intra-corpus pairs and pay a bucket
+    join over |A|+|B|; banding each side separately and joining A-buckets to
+    B-buckets on (band, h) yields only inter-corpus candidates, and the
+    existing corpus's buckets are a reusable artifact (write once per
+    snapshot, join each new crawl against it). Candidates are verified by
+    exact shingle Jaccard, same as the self-join form.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a from A, doc_b from B.
+    """
+    rows_per_band = num_hashes // bands
+    hs_a = shingle_hashes(corpus_a, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    hs_b = shingle_hashes(corpus_b, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    bk_a = cap_bucket_size(
+        _band_buckets(_minhash_from_hashes(hs_a, num_hashes), bands, rows_per_band),
+        ["band", "h"],
+        max_bucket_size,
+    )
+    bk_b = cap_bucket_size(
+        _band_buckets(_minhash_from_hashes(hs_b, num_hashes), bands, rows_per_band),
+        ["band", "h"],
+        max_bucket_size,
+    )
+    cands = (
+        bk_a.alias("a")
+        .join(bk_b.alias("b"), ["band", "h"])
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = hs_a.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = hs_b.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (

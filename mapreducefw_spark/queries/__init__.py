@@ -113,6 +113,7 @@ def load_all() -> None:
         parity,
         pipeline,
         pipeline2,
+        pipeline3,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

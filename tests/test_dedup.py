@@ -102,3 +102,17 @@ def test_simhash_identical_docs_distance_zero(docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_near_pairs(docs).collect()}
     assert pairs[(0, 1)] == 0
     assert (0, 4) not in pairs
+
+
+def test_cross_corpus_minhash_inter_pairs_only(docs):
+    """A x B near-dups surface; intra-corpus pairs never do."""
+    a = docs.filter(F.col("doc_id").isin(0, 3))      # new snapshot: base + far
+    b = docs.filter(F.col("doc_id").isin(1, 2, 4))   # existing corpus
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.cross_corpus_minhash_pairs(a, b, threshold=0.4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0          # exact dup across corpora
+    assert (0, 2) in pairs               # near dup across corpora
+    assert all(da in (0, 3) and db in (1, 2, 4) for da, db in pairs)
+    assert (3, 4) not in pairs           # dissimilar stays out
