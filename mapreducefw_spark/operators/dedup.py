@@ -99,6 +99,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     n: int = 5,
     max_gram_freq: int | None = None,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination check: for each corpus document, how many
     distinct word n-grams it shares with each benchmark document.
@@ -107,7 +108,10 @@ def ngram_contamination(
     sharing enough n-grams with an eval set is dropped. Implemented as an
     inverted-index join on 64-bit gram hashes — the shuffle carries
     (gram_hash, doc_id) pairs, never document text, and the benchmark side
-    of a real run is tiny (eval sets), so its posting list broadcasts.
+    of a real run is tiny (eval sets), so its posting list broadcasts by
+    default; pass ``broadcast_benchmark=False`` when the "benchmark" is a
+    corpus-sized slice (e.g. decontaminating one shard against another) —
+    a broadcast that big would blow the driver/executor broadcast limits.
     ``max_gram_freq`` caps hot grams (boilerplate) exactly like the Jaccard
     join's doc-frequency guard; leave None for exact semantics.
 
@@ -122,8 +126,10 @@ def ngram_contamination(
     if max_gram_freq is not None:
         freq = c.groupBy("g").agg(F.count(F.lit(1)).alias("cf"))
         c = c.join(freq.filter(F.col("cf") <= max_gram_freq).select("g"), "g")
+    if broadcast_benchmark:
+        b = F.broadcast(b)
     return (
-        c.join(F.broadcast(b), "g")
+        c.join(b, "g")
         .groupBy("corpus_doc", "bench_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -220,13 +226,16 @@ def minhash_candidate_pairs(
     *,
     bands: int = 8,
     rows_per_band: int = 4,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
     Buckets above max_bucket_size are dropped before the self-join (see
     cap_bucket_size) — the quadratic-inside-bucket guard for boilerplate-heavy
-    corpora. None disables the cap (exact candidate semantics)."""
+    corpora. The default (None) keeps exact candidate semantics: silently
+    capping would drop true near-dup pairs for callers that never asked for
+    it. Scale-path call sites (the registered corpus queries) opt in
+    explicitly."""
     buckets = _band_buckets(sigs, bands, rows_per_band)
     buckets = cap_bucket_size(buckets, ["band", "h"], max_bucket_size)
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -251,7 +260,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash/LSH candidates verified by exact shingle
     Jaccard (computed only for candidates — the expensive step stays small).
@@ -296,7 +305,7 @@ def cross_corpus_minhash_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs ACROSS two corpora — the snapshot-merge dedup:
     which docs of a new crawl (A) near-duplicate the corpus already ingested
@@ -400,8 +409,13 @@ def simhash_signatures(
     Map-only: token hashes land in an array column once, then each bit's vote
     is an array count (set bits = size of a filter) — vote_b > 0 iff set_b >
     n/2. No explode, no shuffle; the signature build pipelines into chunk
-    blocking within one stage (same rationale as _minhash_from_hashes)."""
-    hashed = ensure_parallelism(df).select(
+    blocking within one stage (same rationale as _minhash_from_hashes).
+
+    Null-text docs are dropped up front: split(NULL) is a null array, every
+    bit vote is false, and all such docs would collapse onto simhash 0 —
+    pairing with each other and with genuine all-zero signatures at
+    hamming 0 (the earlier explode-based form dropped them implicitly)."""
+    hashed = ensure_parallelism(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("doc"),
         F.transform(distinct_tokens(text_col), lambda tk: hash64(tk, seed=7)).alias("th"),
     )
@@ -421,12 +435,13 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance via 4x16-bit chunk blocking (pigeonhole:
     distance <= 3 guarantees at least one identical chunk). Chunk buckets
     above max_bucket_size are dropped before the self-join (cap_bucket_size)
-    so a mass-duplicated signature can't go quadratic."""
+    so a mass-duplicated signature can't go quadratic; the default (None) is
+    exact — scale-path call sites opt into the cap explicitly."""
     if max_hamming > 3:
         raise ValueError(
             "4-chunk blocking only guarantees recall for max_hamming <= 3; "

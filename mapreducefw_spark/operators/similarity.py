@@ -171,11 +171,20 @@ def random_hyperplane_topk(
     *,
     dim: int,
     n_planes: int = 8,
+    n_tables: int = 1,
     exclude_self: bool = True,
 ) -> DataFrame:
     """LSH ANN: bucket by the sign pattern of n_planes deterministic
-    hyperplanes; exact rerank within each bucket. Candidates are only pairs
-    sharing the full signature — cheap and very selective.
+    hyperplanes; exact rerank on the candidate set.
+
+    Multi-table OR-construction (n_tables > 1): each table draws its own
+    hyperplane family, a pair is a candidate if it shares the FULL signature
+    in ANY table. Recall for a pair at angle θ is 1-(1-p^n_planes)^n_tables
+    with p = 1-θ/π — a single table is very selective but misses most true
+    neighbors (AND-only), so production configs run several tables. The
+    bucket join carries (table, sig) keys; candidates are deduped as bare
+    (qid, nid) id pairs BEFORE vectors are joined back for the rerank, so the
+    distinct shuffle never carries embeddings.
 
     dim is caller-supplied (it's table metadata, like any vector store keeps):
     sniffing it from a row would run a Spark action during plan construction,
@@ -186,28 +195,48 @@ def random_hyperplane_topk(
         raise ValueError(f"dim must be a positive vector length, got {dim}")
     import hashlib
 
-    def component(p: int, i: int) -> float:
-        # deterministic pseudo-random ±1 from (plane, dim index), computed
-        # driver-side so the plan carries plain float literals
-        digest = hashlib.sha256(f"{p}:{i}".encode()).digest()
+    def component(t: int, p: int, i: int) -> float:
+        # deterministic pseudo-random ±1 from (table, plane, dim index),
+        # computed driver-side so the plan carries plain float literals
+        digest = hashlib.sha256(f"{t}:{p}:{i}".encode()).digest()
         return 1.0 if digest[0] % 2 == 0 else -1.0
 
-    planes = [
-        F.array(*[F.lit(component(p, i)) for i in range(dim)]) for p in range(n_planes)
-    ]
-
-    def signature(vec: Column) -> Column:
+    def signature(vec: Column, t: int) -> Column:
+        planes = [
+            F.array(*[F.lit(component(t, p, i)) for i in range(dim)])
+            for p in range(n_planes)
+        ]
         bits = [F.when(_dot(vec, pl) > 0, F.lit(1)).otherwise(F.lit(0)) for pl in planes]
         sig = F.lit(0).cast("long")
         for b, bit in enumerate(bits):
             sig = sig + F.shiftleft(bit.cast("long"), b)
         return sig
 
-    c = corpus.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec"), signature(F.col("vec")).alias("sig"))
-    q = queries.select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"), signature(F.col("vec")).alias("sig"))
-    pairs = q.join(c, "sig")
+    def sigs(df: DataFrame, id_alias: str) -> DataFrame:
+        per_table = F.array(
+            *[
+                F.struct(F.lit(t).alias("table"), signature(F.col("vec"), t).alias("sig"))
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col("vid").alias(id_alias), F.explode(per_table).alias("ts")
+        ).select(id_alias, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+
+    cand = (
+        sigs(queries, "qid")
+        .join(sigs(corpus, "nid"), ["table", "sig"])
+        .select("qid", "nid")
+        .distinct()
+    )
     if exclude_self:
-        pairs = pairs.filter(F.col("qid") != F.col("nid"))
+        cand = cand.filter(F.col("qid") != F.col("nid"))
+    pairs = cand.join(
+        corpus.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec")), "nid"
+    ).join(
+        F.broadcast(queries.select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"))),
+        "qid",
+    )
     sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
     w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
     return (

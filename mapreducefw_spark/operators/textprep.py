@@ -18,9 +18,18 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     master => repartition to core count, cluster master => pass through
     untouched. No ``df.rdd`` probe: that forces analysis + an RDD conversion
     per call, and on a real cluster inputs arrive well-split, where a blind
-    repartition would shuffle the whole corpus for nothing."""
+    repartition would shuffle the whole corpus for nothing.
+
+    Idempotent under composition: operators that stack (e.g. a query spreading
+    its input before handing it to an operator that spreads again) would chain
+    two full shuffles with a projection between them — Catalyst's
+    CollapseRepartition only merges ADJACENT repartitions. A peek at the
+    analyzed logical plan (cheap: analysis only, no job) skips the repartition
+    when one is already present anywhere upstream."""
     sc = df.sparkSession.sparkContext
     if not sc.master.startswith("local"):
+        return df
+    if "Repartition" in df._jdf.queryExecution().analyzed().toString():
         return df
     return df.repartition(min_parts or sc.defaultParallelism)
 

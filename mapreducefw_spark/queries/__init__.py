@@ -29,69 +29,67 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness harness checks the FIRST 50 registered queries.
-# Round 1 verified the relational batches (48/50 green, see
-# CORRECTNESS_r01.json); round 2 rotates the other half of the surface --
-# parity / windows / timeseries / llm / dedup / ANN -- into the checked
-# window. Proven-green queries rotate out and back in on later rounds.
+# Round 1 verified the relational batches (48/50 green, CORRECTNESS_r01);
+# round 2 the windows/timeseries/LLM half (49/49 non-failing, CORRECTNESS_r02).
+# Round 3 window = the 14 queries that have NEVER held a checked slot, a
+# permanent canary core of proven queries (regression tripwire — stays in the
+# window every round), and re-verification slots for round-1-green queries
+# that were rotated out in round 2. Rotated-out queries are still checked
+# locally each round via `python tools/check_oracle.py` over the FULL registry.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # reference parity (the literal reference workload, SearchMRC.cpp:46-98)
+    # -- never driver-checked until now: attribution + training-data pipeline
+    "view_click_attribution",
+    "jaccard_pairs_df_capped",
+    "training_prep_pipeline",
+    "stratified_split_counts",
+    "stratified_split_hashed",
+    "bigram_top_terms",
+    "bpe_token_counts",
+    "benchmark_contamination",
+    "pii_scrub_stats",
+    "repetition_scores",
+    "stopword_candidates",
+    "source_mix_weights",
+    "cross_snapshot_jaccard",
+    "cross_snapshot_minhash",
+    # -- permanent canary core (r1+r2 proven; every round from here on)
     "mr_search",
     "mr_wordcount",
-    # window functions
-    "window_rank_customers",
-    "window_lag_lead_orders",
-    "window_frames_running",
-    "window_range_frame",
-    "topk_parts_per_brand",
-    "window_distribution_fns",
-    "window_nth_last_value",
-    "tfidf_top_terms",
-    "window_global_rank",
-    # timeseries / streaming batch twins
-    "events_tumbling_1h",
-    "events_sliding_1h_30m",
-    "sessionization_30m",
-    "session_window_batch",
-    "interval_join_events",
-    "time_rollup_multigrain",
-    "asof_join_latest_order",
-    # LLM-pipeline: text analysis + exact dedup + embeddings
-    "dedup_exact",
-    "dedup_exact_keyed",
-    "doc_fingerprint",
-    "text_token_stats",
-    "text_quality_scores",
-    "embedding_cosine_topk",
-    "embedding_label_norms",
-    "multimodal_bytes_meta",
-    # LLM-pipeline: scale-path dedup + ANN
-    "jaccard_token_pairs",
-    "minhash_dedup_pairs",
-    "dedup_connected_groups",
-    "dedup_groups_small",
-    "simhash_near_pairs",
-    "embedding_ivf_topk",
-    "embedding_lsh_topk",
-    "embedding_cosine_dedup",
-    "embedding_lsh_dedup",
-    "lang_id_heuristic",
-    "rolling_fingerprint",
-    "multimodal_pipeline",
-    # aggregate extensions
-    "median_exact_prices",
-    "conditional_aggregates",
-    "events_zscore_anomalies",
-    "percentile_approx_prices",
-    # scalar-function batch 2
-    "string_functions_2",
-    "null_combinators",
-    "map_higher_order",
-    "to_json_roundtrip",
-    # generators / catalog / sampling / UDTF
-    "explode_posexplode_tokens",
-    "catalog_input_file_name",
-    "tablesample_seeded",
-    "python_udtf_bigrams",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "join_left_outer_order_counts",
+    "join_semi_big_spenders",
+    "join_anti_orderless_customers",
+    "grouping_sets_explicit",
+    "sort_multikey_nulls",
+    # -- re-verify round-1 greens not seen by the driver since r1
+    "join_broadcast_nation_region",
+    "join_full_outer_nation_presence",
+    "join_range_theta",
+    "filter_predicates",
+    "agg_supplier_stats",
+    "count_distinct_parts",
+    "approx_count_distinct_parts",
+    "rollup_order_priority",
+    "cube_lineitem_flags",
+    "except_all_nations",
+    "string_functions",
+    "date_functions",
+    "json_extract_events",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "subquery_correlated_max",
+    "subquery_above_avg_orders",
+    "pivot_flag_status",
+    "unpivot_supplier_metrics",
+    "array_agg_order_parts",
+    "string_agg_nation_names",
+    "stats_corr_qty_price",
+    "pandas_udaf_geomean",
 )
 
 

@@ -62,8 +62,10 @@ def jaccard_pairs_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("minhash_dedup_pairs")  # LSH banding: not SQL-expressible -> rows-only
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale path: opt into the bucket cap (degenerate-bucket guard); at the
+    # fixture scales no bucket comes near 10k docs so output is exact
     docs = t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=10_000)
 
 
 @register("dedup_connected_groups")  # iterative algorithm: rows-only
@@ -71,7 +73,7 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash pairs -> connected components -> one
     representative (min doc id) per group with its member count."""
     docs = t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=10_000)
     groups = dedup.dedup_groups(pairs)
     return (
         groups.groupBy("group_id")
@@ -115,7 +117,7 @@ def dedup_groups_small(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("simhash_near_pairs")  # rows-only
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=3)
+    return dedup.simhash_near_pairs(docs, max_hamming=3, max_bucket_size=10_000)
 
 
 @register("embedding_ivf_topk")  # ANN: rows-only (recall pinned in pytest)
@@ -133,8 +135,13 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vid") < 10)
+    # multi-table OR-construction: 12 tables x 4 planes. One table alone
+    # recalls ~12% of true top-5 at this corpus's neighbor angles (~69deg,
+    # p~0.61 per plane); the 12-table union measures 0.78 recall@5 (pinned
+    # >= 0.6 in tests/test_accuracy_pins.py). Signatures are map-only float
+    # folds; candidates dedup as bare id pairs before the vector rerank join.
     return similarity.random_hyperplane_topk(
-        emb, q, k=5, dim=EMBEDDING_DIM, n_planes=6
+        emb, q, k=5, dim=EMBEDDING_DIM, n_planes=4, n_tables=12
     ).orderBy("qid", "rk")
 
 
@@ -172,9 +179,12 @@ def embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: candidates share a random-hyperplane signature bucket, so
     the quadratic compare runs only inside buckets."""
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    # 4 planes: P(bucket collision) ~ (1 - theta/pi)^4 — at cosine 0.4 that's
-    # ~16%, a usable recall/selectivity point for this low-similarity corpus
-    pairs = similarity.random_hyperplane_topk(emb, emb, k=50, dim=EMBEDDING_DIM, n_planes=4)
+    # 4 planes x 3 tables: per-table P(bucket collision) ~ (1 - theta/pi)^4
+    # is ~16% at cosine 0.4; OR over 3 tables lifts pair recall to ~40% while
+    # each table's buckets keep the in-bucket compare far from quadratic
+    pairs = similarity.random_hyperplane_topk(
+        emb, emb, k=50, dim=EMBEDDING_DIM, n_planes=4, n_tables=3
+    )
     return (
         pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
         .select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "sim")

@@ -84,15 +84,21 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out benchmark set (here: every 20th doc stands in for the eval set).
 
     Inverted-index join on 64-bit gram hashes — the shuffle never carries
-    text, and the benchmark posting list (eval sets are small) broadcasts,
-    so at 100 TB this is one map pass over the corpus plus a broadcast
-    hash join. Docs surfacing here get dropped before training."""
+    text. A REAL eval set is tiny and its posting list broadcasts
+    (the operator's default); this demo's "benchmark" is a 5% corpus slice,
+    which scales WITH the corpus, so the query opts out of the broadcast —
+    at 100 TB a corpus-fraction broadcast would blow the broadcast limits."""
     from mapreducefw_spark.operators.dedup import ngram_contamination
 
     docs = t(spark, sf_dir, "documents")
     is_bench = F.pmod("doc_id", F.lit(20)) == 0
     return (
-        ngram_contamination(docs.filter(~is_bench), docs.filter(is_bench), n=5)
+        ngram_contamination(
+            docs.filter(~is_bench),
+            docs.filter(is_bench),
+            n=5,
+            broadcast_benchmark=False,
+        )
         .filter(F.col("n_shared") >= 3)
         .orderBy("corpus_doc", "bench_doc")
     )

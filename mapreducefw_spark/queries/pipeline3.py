@@ -116,4 +116,5 @@ def cross_snapshot_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
         threshold=0.5,
+        max_bucket_size=10_000,
     )

@@ -41,6 +41,44 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_aqe_skew_join_splits_heavy_partition(spark):
+    """Skewed-join posture beyond salting: a heavy-hitter key (90% of the left
+    side) under AQE must get its oversized shuffle partition SPLIT — the final
+    adaptive plan marks the join skew=true. Thresholds are lowered so the
+    fixture-scale skew crosses them; on a real cluster the defaults (256MB,
+    factor 5) do the same against genuinely heavy keys."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle path
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # payload column is a hash (incompressible): skew detection reads
+        # COMPRESSED shuffle-partition bytes, and a constant-key partition of
+        # bare longs squeezes under any realistic threshold
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.xxhash64("id").alias("v"),
+        )
+        right = spark.range(0, 1_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        joined = left.join(right, "k").select("k", "v", "w")
+        rows = joined.collect()  # executes THIS queryExecution -> final AQE plan
+        # k=0: 54k left rows match right k=0; k=id (ids 9,19,...): only the
+        # 100 ids below 1000 find a right-side match
+        assert len(rows) == 54_000 + 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_salted_aggregate_matches_plain(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     salted = {
