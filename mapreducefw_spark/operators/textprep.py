@@ -31,7 +31,14 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         return df
     if "Repartition" in df._jdf.queryExecution().analyzed().toString():
         return df
-    return df.repartition(min_parts or sc.defaultParallelism)
+    # probe actual partition count (local-only, post-dedup, so the planning
+    # cost is paid at most once per query build): sf0.1 fixtures already
+    # split into enough tasks, where a blind repartition measured 1.3x on
+    # the jaccard join; single-row-group small fixtures still get spread
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def tokens(col: str | Column = "text") -> Column:

@@ -103,6 +103,7 @@ def load_all() -> None:
         relational4,
         relational5,
         relational6,
+        relational7,
         windows,
         windows2,
         timeseries,
@@ -112,6 +113,7 @@ def load_all() -> None:
         pipeline,
         pipeline2,
         pipeline3,
+        pipeline4,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -1,0 +1,54 @@
+"""Sequence-packing + sharding invariants (operators/packing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.operators import packing
+from mapreducefw_spark.queries._util import t
+
+
+def test_pack_spans_offsets_are_contiguous(spark, sf_dir):
+    """The two-phase prefix sum must equal the naive cumsum: doc n+1 starts
+    exactly where doc n ends, INCLUDING across bucket boundaries (bucket_size
+    50 over 500 docs forces 10 boundaries)."""
+    docs = t(spark, sf_dir, "documents")
+    rows = packing.pack_spans(docs, seq_len=512, bucket_size=50).orderBy("doc_id").collect()
+    assert rows[0].start_off == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start_off == prev.end_off, (prev.doc_id, cur.doc_id)
+        assert cur.end_off - cur.start_off == cur.n_tokens
+
+
+def test_pack_spans_chunk_arithmetic(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    rows = packing.pack_spans(docs, seq_len=100, bucket_size=50).collect()
+    for r in rows:
+        assert r.first_chunk == r.start_off // 100
+        assert r.last_chunk == (r.end_off - 1) // 100
+        assert r.chunks_spanned == r.last_chunk - r.first_chunk + 1
+        assert r.chunks_spanned >= 1
+    # with seq_len 100 and avg docs ~100 tokens, some doc must straddle
+    assert any(r.chunks_spanned > 1 for r in rows)
+
+
+def test_pack_spans_bucket_size_invariant(spark, sf_dir):
+    """Offsets are a function of the data, not the bucketing."""
+    docs = t(spark, sf_dir, "documents")
+    a = {r.doc_id: r.start_off for r in packing.pack_spans(docs, bucket_size=37).collect()}
+    b = {r.doc_id: r.start_off for r in packing.pack_spans(docs, bucket_size=200).collect()}
+    assert a == b
+
+
+def test_shard_assignment_deterministic_and_balanced(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    a = {r.doc_id: r.shard for r in packing.shard_assignment(docs, n_shards=16, seed=42).collect()}
+    b = {r.doc_id: r.shard for r in packing.shard_assignment(docs, n_shards=16, seed=42).collect()}
+    assert a == b  # deterministic
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert len(counts) == 16  # every shard populated at 500 docs
+    assert max(counts.values()) <= 4 * min(counts.values())  # rough uniformity
+    c = {r.doc_id: r.shard for r in packing.shard_assignment(docs, n_shards=16, seed=7).collect()}
+    assert a != c  # a new seed reshuffles
