@@ -45,6 +45,11 @@ HEADLINE = [
     "interval_join_events",
     "tfidf_top_terms",
     "salted_skew_aggregate",
+    # round 3: TPC-H batch 2 + training-data layout
+    "q7_nation_volume",
+    "q13_order_count_distribution",
+    "sequence_pack_spans",
+    "snapshot_diff",
 ]
 
 

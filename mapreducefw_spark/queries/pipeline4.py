@@ -56,6 +56,63 @@ def sequence_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id >= 100
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: classify every doc as added / removed / changed /
+    unchanged between two crawl versions (old = id<400, new = id>=100 with
+    every 50th doc's text edited). The comparison shuffles 32-char content
+    hashes, never text — a FULL OUTER join on doc_id with hash inequality,
+    which is how an ingestion pipeline decides what to re-process each
+    snapshot. At 100 TB both sides would be hash manifests written at ingest
+    time, making the diff independent of corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400).select("doc_id", F.md5("text").alias("h"))
+    new = (
+        docs.filter(F.col("doc_id") >= 100)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text"))
+            ).alias("h"),
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "training_shard_stats",
     oracle="""
 WITH s AS (
