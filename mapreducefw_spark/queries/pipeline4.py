@@ -12,9 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducefw_spark.operators import packing
+from mapreducefw_spark.operators import dedup, packing
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
+from pyspark.sql import Window as W
 
 SEQ_LEN = 512
 
@@ -141,4 +142,114 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
         .orderBy("shard")
+    )
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle="""
+WITH RECURSIVE s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id < 100
+),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
+),
+e AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+walk(doc, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, walk.r FROM e JOIN walk ON walk.doc = e.dst
+),
+g AS (SELECT doc, MIN(r) AS group_id FROM walk GROUP BY doc),
+j AS (SELECT g.doc, g.group_id, s.n_tokens FROM g JOIN s ON s.doc_id = g.doc),
+sel AS (
+  SELECT group_id, doc, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY n_tokens DESC, doc) AS rn
+  FROM j
+)
+SELECT sel.group_id, sel.doc AS canonical_doc,
+       m.n_members
+FROM sel JOIN (SELECT group_id, COUNT(*) AS n_members FROM j GROUP BY group_id) m
+  USING (group_id)
+WHERE rn = 1
+ORDER BY group_id
+""",
+)
+def dedup_canonical_selection(spark, sf_dir):
+    """After near-dup clustering, KEEP one document per group — the longest
+    (most tokens; ties to the lowest id), which is the usual 'best version'
+    heuristic for crawl duplicates. Exact Jaccard pairs on a doc_id<100
+    slice feed connected components; the winner is a per-group window top-1.
+    DuckDB recomputes the identical pipeline with a recursive reachability
+    CTE, pinning the full select-the-canonical flow, not just the grouping."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.jaccard_token_pairs(docs, threshold=0.5)
+    groups = dedup.dedup_groups(pairs)
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    j = groups.join(toks, "doc")
+    w = W.partitionBy("group_id").orderBy(F.desc("n_tokens"), "doc")
+    members = j.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(members, "group_id")
+        .select("group_id", F.col("doc").alias("canonical_doc"), "n_members")
+        .orderBy("group_id")
+    )
+
+
+@register(
+    "text_normalize_stats",
+    oracle="""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN upper(text) || ' !!' ELSE text END AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS raw_len,
+       CAST(LENGTH(norm) AS BIGINT) AS norm_len,
+       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm,
+       CASE WHEN norm <> text THEN 1 ELSE 0 END AS changed
+FROM n
+ORDER BY doc_id
+""",
+)
+def text_normalize_stats(spark, sf_dir):
+    """Unicode-free text normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace) — the first cleaning pass of a corpus pipeline.
+    The fixture text is already clean, so every 3rd doc is deterministically
+    dirtied (uppercased + punctuation) on BOTH engines before normalizing;
+    `changed` marks docs the pass altered. All JVM-side regexp_replace —
+    one map pass, no shuffle except the output sort."""
+    docs = t(spark, sf_dir, "documents")
+    dirty = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.upper("text"), F.lit(" !!"))
+    ).otherwise(F.col("text"))
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(dirty), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length(dirty).cast("long").alias("raw_len"),
+            F.length(norm).cast("long").alias("norm_len"),
+            F.size(F.split(norm, " ")).cast("long").alias("n_tokens_norm"),
+            F.when(norm != dirty, 1).otherwise(0).alias("changed"),
+        )
+        .orderBy("doc_id")
     )

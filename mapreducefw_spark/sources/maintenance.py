@@ -1,0 +1,74 @@
+"""Table-maintenance operations a 100 TB lakehouse pipeline runs between
+queries: small-file compaction and partition-scoped overwrites.
+
+Small files are the classic failure mode of streaming/incremental ingest —
+every micro-batch writes a file per task, and a year later the scan spends
+longer opening files than reading them. Compaction rewrites a dataset (or a
+partition of it) into size-targeted files.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dataset_size_bytes(path: str) -> int:
+    """Total bytes under a local dataset path. On a real deployment this
+    comes from the catalog / object-store listing, not a filesystem walk."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~target-sized files; returns the file
+    count written.
+
+    Reads the current data, repartitions to ceil(size/target) and rewrites
+    via a staging directory + atomic-ish swap (read-then-overwrite-in-place
+    would destroy the input the job is still scanning). A transactional
+    table format (Delta/Iceberg) replaces the swap with a metadata commit;
+    the compute shape — one shuffle sized by the data, not the file count —
+    is the same. 128 MB targets match common parquet row-group sizing so
+    downstream scans split cleanly.
+    """
+    n_files = max(1, math.ceil(dataset_size_bytes(path) / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    old = f"{staging}_old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n_files
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving all other partitions of the dataset untouched — the
+    idempotent daily-backfill write. Static overwrite mode (the default)
+    would truncate the whole table first."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1,0 +1,98 @@
+"""Table maintenance (sources/maintenance.py) + runtime-filter plan shape:
+small-file compaction, dynamic partition overwrite, bloom-filter join
+injection — the between-queries operations of a 100 TB deployment."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.queries._util import t
+from mapreducefw_spark.sources import maintenance
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [f for f in glob.glob(f"{path}/**/*.parquet", recursive=True)]
+
+
+def test_compaction_reduces_file_count_preserves_data(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "frag")
+    orders = t(spark, sf_dir, "orders")
+    # simulate micro-batch ingest: 64 tiny files
+    orders.repartition(64).write.parquet(target)
+    assert len(_parquet_files(target)) == 64
+    before = orders.count()
+    before_sum = orders.agg(F.sum("o_orderkey")).collect()[0][0]
+
+    n = maintenance.compact_parquet(spark, target, target_file_bytes=10 * 1024 * 1024)
+    files = _parquet_files(target)
+    assert len(files) == n <= 4  # sf0.001 orders is well under 4x10MB
+    after = spark.read.parquet(target)
+    assert after.count() == before
+    assert after.agg(F.sum("o_orderkey")).collect()[0][0] == before_sum
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "by_status")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    orders.write.partitionBy("o_orderstatus").parquet(target)
+    statuses = {r.o_orderstatus for r in orders.select("o_orderstatus").distinct().collect()}
+    assert len(statuses) > 1
+    victim = sorted(statuses)[0]
+
+    # rewrite ONE partition with amended data
+    amended = orders.filter(F.col("o_orderstatus") == victim).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    maintenance.overwrite_partitions(amended, target, ["o_orderstatus"])
+
+    out = spark.read.parquet(target)
+    assert out.count() == orders.count()  # nothing lost
+    zeroed = out.filter(F.col("o_orderstatus") == victim)
+    assert zeroed.agg(F.max("o_totalprice")).collect()[0][0] == 0.0
+    untouched = out.filter(F.col("o_orderstatus") != victim)
+    orig_sum = (
+        orders.filter(F.col("o_orderstatus") != victim)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")))
+        .collect()[0][0]
+    )
+    assert (
+        untouched.agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))).collect()[0][0]
+        == orig_sum
+    )
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """Runtime filtering: a selective dimension filter becomes a bloom filter
+    applied to the fact side BEFORE the join shuffle — Spark's dynamic
+    answer to semi-join pushdown at 100 TB. Written to parquet first:
+    injection needs a file-scan application side."""
+    sf_dir = "/root/testdata/sf0.01"
+    li_path, o_path = str(tmp_path / "li"), str(tmp_path / "o")
+    t(spark, sf_dir, "lineitem").write.parquet(li_path)
+    t(spark, sf_dir, "orders").write.parquet(o_path)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(li_path)
+        orders = spark.read.parquet(o_path).filter(F.col("o_totalprice") > 400000)
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        rows = j.collect()
+        assert rows  # join is non-empty, so the bloom path actually ran
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
