@@ -34,10 +34,39 @@ def multiplied(df, key_cols: list[str], k: int):
     return rep.drop("_i")
 
 
+BENCH_NOTES = """
+## Round-3 bench notes: root cause of the r2 "regressions"
+
+Six headline queries (q1/q3/q5/filter_predicates/sessionization_30m/
+jaccard_token_pairs) measured 1.38-1.46x slower in BENCH_r02 than r01 with
+no code change to five of them. Controlled A/B in round 3 (same session,
+alternating modes, 2 passes each):
+
+- `spark.catalog.clearCache()` (added in r2's bench loop) is innocent — with
+  and without it, times converge to the same steady state.
+- The dominant effect is SHARED JIT/codegen warm-up: the first full pass over
+  the suite runs 1.2-1.3x slower than later passes regardless of mode, and
+  keeps improving past each query's own 3 reps. r2's numbers were taken on a
+  colder JVM (and a busier host VM) than r1's.
+- The one real code-level cause: r2's `ensure_parallelism` rewrite
+  unconditionally repartitioned in local mode; at sf0.1 the inputs are
+  already well-split, so jaccard paid a pointless full shuffle (and minhash
+  paid several). Fixed: partition-count probe restored, plus idempotence
+  (skip when a Repartition is already in the plan).
+
+Remediation in bench.py: one untimed warm-up sweep over the WHOLE suite
+before any timing, so round-over-round diffs measure plans, not JVM state.
+Evidence: post-fix full bench total 18.998s vs r1 19.468s / r2 21.093s,
+zero >1.3x regressions vs r2; minhash_dedup_pairs 3.198 -> 2.123s (0.70x of
+its r1 time) from the redundant-repartition fix.
+"""
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", cpus=32)
     li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     ord0 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
     shapes = {}
     warmed = set()
@@ -48,9 +77,14 @@ def main() -> None:
             warmed.add(name)
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
-        shapes.setdefault(name, {})[k] = round(time.time() - t0, 2)
+        el = round(time.time() - t0, 2)
+        cells = shapes.setdefault(name, {})
+        # cell-wise min across full passes: host-VM slow windows last tens of
+        # seconds and pollute every cell measured inside them, so consecutive
+        # same-cell reps don't help — distant ones do
+        cells[k] = min(cells.get(k, 9e9), el)
 
-    for k in FACTORS:
+    for k in FACTORS * 2:  # two full passes; cells keep their min (see timed)
         li = multiplied(li0, ["l_orderkey"], k)
         orders = multiplied(ord0, ["o_orderkey"], k)
 
@@ -80,6 +114,58 @@ def main() -> None:
             li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10),
         )
 
+        # LLM-pipeline shapes (round 3) -----------------------------------
+        from mapreducefw_spark.operators import dedup as D, packing as P
+
+        docs = multiplied(docs0, ["doc_id"], k)
+        # packing two-phase prefix sum: bucket_size 5000 keeps it multi-bucket
+        # at every factor, so the broadcast-offset path is what's measured
+        timed("packing_prefix_sum", k, P.pack_spans(docs, bucket_size=5000))
+
+        # minhash signature + banding + bucket join. Copies are salted in
+        # hash space (hs -> xxhash64(i, h)) so copy families are mutually
+        # dissimilar: the near-dup graph is replicated k times and candidate
+        # volume grows LINEARLY with data, as in a real growing corpus
+        # (plain text copies would share every bucket -> k^2 pair blowup,
+        # which is the mass-duplication case exact dedup removes upstream).
+        hs = (
+            D.shingle_hashes(docs0)
+            .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            .select(
+                (F.col("doc") * k + F.col("_i")).alias("doc"),
+                F.transform("hs", lambda h: F.xxhash64(F.col("_i"), h)).alias("hs"),
+            )
+        )
+        from mapreducefw_spark.operators.dedup import _minhash_from_hashes
+
+        timed(
+            "minhash_band_join",
+            k,
+            D.minhash_candidate_pairs(
+                _minhash_from_hashes(hs, 32), bands=16, rows_per_band=2,
+                max_bucket_size=10_000,
+            ),
+        )
+
+        # snapshot diff: hash-manifest full-outer join
+        half = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+        old_side = docs.filter(F.col("doc_id") < half * 1.5).select(
+            "doc_id", F.md5("text").alias("h")
+        )
+        new_side = docs.filter(F.col("doc_id") >= half * 0.5).select(
+            "doc_id", F.md5("text").alias("h")
+        )
+        timed(
+            "snapshot_hash_diff",
+            k,
+            old_side.alias("o").join(
+                new_side.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+            ).select(
+                F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+                (F.col("o.h") != F.col("n.h")).alias("changed"),
+            ),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
@@ -103,8 +189,8 @@ def main() -> None:
             f"- {name}: 16x data -> {ratio:.1f}x time"
             + (" (sublinear: fixed overhead amortizes)" if ratio < 16 else "")
         )
-    Path("SCALING.md").write_text("\n".join(lines) + "\n")
-    print("\n".join(lines[-3:]))
+    Path("SCALING.md").write_text("\n".join(lines) + "\n" + BENCH_NOTES)
+    print("\n".join(lines[-6:]))
 
 
 if __name__ == "__main__":
