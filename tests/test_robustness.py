@@ -1,0 +1,97 @@
+"""Failure-path semantics: malformed-record handling on ingest, and
+streaming checkpoint/restart exactly-once — the operational guarantees a
+100 TB deployment leans on when (not if) inputs are dirty and jobs die."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.queries._util import t
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """PERMISSIVE captures broken lines in _corrupt_record (pipeline keeps
+    flowing, bad rows are quarantined); DROPMALFORMED silently drops;
+    FAILFAST raises — the three ingest policies."""
+    p = str(tmp_path / "in.json")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n')
+        f.write('{"a": 2, "b": "y"}\n')
+        f.write('{"a": THIS IS NOT JSON\n')
+    schema = "a int, b string, _corrupt_record string"
+
+    permissive = spark.read.schema(schema).json(p)
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and "NOT JSON" in bad[0]._corrupt_record
+
+    dropped = spark.read.schema("a int, b string").option("mode", "DROPMALFORMED").json(p)
+    assert dropped.count() == 2
+
+    with pytest.raises(Exception):
+        spark.read.schema("a int, b string").option("mode", "FAILFAST").json(p).collect()
+
+
+def test_csv_malformed_quarantine(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("1,alpha\n")
+        f.write("2,beta\n")
+        f.write("not_an_int,gamma\n")
+    schema = "a int, b string, _corrupt_record string"
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(p)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sum(r._corrupt_record is not None for r in rows) == 1
+    good = spark.read.schema("a int, b string").option("mode", "DROPMALFORMED").csv(p)
+    assert {r.a for r in good.collect()} == {1, 2}
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart a file-source stream against the SAME checkpoint:
+    batch-1 files must not be re-emitted after restart, and the union of the
+    two runs must be exactly the source — Spark's source-offset tracking +
+    idempotent file sink, the mechanism that makes 100 TB backfills safe to
+    retry."""
+    events = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    total = events.count()
+    hold = str(tmp_path / "hold")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    events.repartition(4).write.parquet(hold)
+    schema = spark.read.parquet(hold).schema
+    files = sorted(glob.glob(f"{hold}/part-*.parquet"))
+    assert len(files) == 4
+    os.makedirs(src)
+
+    def run_available() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:2]:
+        shutil.move(f, src)
+    run_available()
+    n_first = spark.read.parquet(sink).count()
+    assert 0 < n_first < total
+
+    for f in files[2:]:  # "late" data lands, job restarts from checkpoint
+        shutil.move(f, src)
+    run_available()
+
+    out = spark.read.parquet(sink)
+    assert out.count() == total  # nothing lost, nothing duplicated
+    assert out.select(F.countDistinct("event_id")).collect()[0][0] == total
