@@ -1,0 +1,69 @@
+"""Streaming corpus ingestion: the training-data prep chain as a stream.
+
+The batch twin (``queries/pipeline.py::training_prep_pipeline``) runs
+quality-filter -> exact-dedup -> manifest over a finished corpus; a live
+crawl runs the same chain incrementally so documents are clean and unique
+the moment they land. The quality gate is stateless (map-only); the dedup
+is the stateful part — Spark keeps one state entry per content hash.
+
+On an unbounded 100 TB crawl the hash state grows forever;
+``dropDuplicatesWithinWatermark`` bounds it when near-time re-delivery is
+the duplication mode (re-crawls within days), while global history dedup
+belongs in the batch snapshot pass (``cross_snapshot_minhash``). The
+bounded-replay tests use the unbounded form so stream == batch exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_TOKENS = 5000
+QUALITY_MIN_TTR = 0.3
+
+
+def corpus_stream(spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1) -> DataFrame:
+    """readStream over the documents parquet (symlink-staged: the file
+    stream source wants a directory)."""
+    src = f"{sf_dir}/documents.parquet"
+    static = spark.read.parquet(src)
+    stage = os.path.join(
+        tempfile.gettempdir(), "mrfw_docstream_" + hashlib.sha1(src.encode()).hexdigest()[:12]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    try:
+        os.symlink(src, link)
+    except FileExistsError:
+        pass
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage)
+    )
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Stateless quality filter — identical expression batch or stream."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    return docs.filter(
+        n.between(QUALITY_MIN_TOKENS, QUALITY_MAX_TOKENS) & (ttr >= QUALITY_MIN_TTR)
+    )
+
+
+def streaming_corpus_prep(docs: DataFrame) -> DataFrame:
+    """quality filter -> exact content dedup, streaming form.
+
+    State is keyed by the 32-byte sha2(text) — never the text itself — so
+    the state store carries ~48 bytes/doc, not documents. Which duplicate
+    survives depends on arrival order (batch keeps lowest doc_id instead),
+    so equivalence checks compare the KEPT CONTENT SET, which both forms
+    agree on regardless of order."""
+    return quality_gate(docs).withColumn("h", F.sha2("text", 256)).dropDuplicates(["h"])

@@ -61,3 +61,24 @@ def test_stateful_running_counts(spark, sf_dir, batch_events):
     final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
     expected = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     assert _rows(final, ["user_id", "n"]) == _rows(expected, ["user_id", "n"])
+
+
+def test_streaming_corpus_prep_equals_batch(spark, sf_dir):
+    """The corpus-prep chain (quality gate -> exact dedup) as a stream keeps
+    exactly the content set the batch form keeps: which COPY survives is
+    arrival-order-dependent, which CONTENT survives is not."""
+    from mapreducefw_spark.queries._util import t as load
+    from mapreducefw_spark.streaming import ingest
+
+    stream = ingest.corpus_stream(spark, sf_dir)
+    out = windows.run_bounded(
+        ingest.streaming_corpus_prep(stream), "t_corpus_prep", output_mode="append"
+    )
+    stream_hashes = {r.h for r in out.select("h").collect()}
+
+    batch = ingest.quality_gate(load(spark, sf_dir, "documents")).select(
+        F.sha2("text", 256).alias("h")
+    )
+    batch_hashes = {r.h for r in batch.distinct().collect()}
+    assert stream_hashes == batch_hashes
+    assert out.count() == len(batch_hashes)  # one survivor per content
