@@ -123,7 +123,7 @@ ORDER BY o_year
 """,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8: one nation's share of BRASS-part revenue into ASIA customers by
+    """Q8: one nation's share of PROMO-part revenue into ASIA customers by
     order year. Share = exact-decimal conditional sum / exact-decimal total,
     divided in double identically on both engines. Dimension tables
     (part-filtered, nation, region) broadcast; only lineitem-orders shuffles."""
@@ -308,4 +308,38 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("cntry")
+    )
+
+
+@register(
+    "lateral_topn_orders",
+    oracle="""
+SELECT c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) o
+WHERE c_custkey < 200
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+""",
+)
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through Spark SQL: top-3 orders per
+    customer as a lateral per-row subquery. Catalyst decorrelates this into
+    the same per-group window top-k a DataFrame user would write — the
+    point is the SQL surface parity, checked against DuckDB's LATERAL."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+        WHERE c_custkey < 200
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
     )

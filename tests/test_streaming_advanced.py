@@ -118,3 +118,23 @@ def test_transform_with_state_profiles(spark, sf_dir):
         F.countDistinct("event_type").alias("nt"),
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_dedup_within_watermark_bounds_state(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: the state-bounded streaming dedup —
+    duplicates arriving within the watermark horizon collapse; state for
+    老 keys is evictable (unlike plain dropDuplicates, whose state grows
+    forever). On the bounded replay every duplicate is near-time, so the
+    result equals exact dedup."""
+    from mapreducefw_spark.streaming import windows as swin
+
+    stream = swin.events_stream(spark, sf_dir)
+    doubled = stream.union(stream)  # re-delivery: every event twice
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = swin.run_bounded(deduped, "t_dedup_wm", output_mode="append")
+    from mapreducefw_spark.queries._util import t as load
+
+    expected = load(spark, sf_dir, "events").count()
+    assert out.count() == expected
