@@ -343,3 +343,34 @@ def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+@register(
+    "nullsafe_join_counts",
+    oracle="""
+WITH c AS (SELECT NULLIF(c_nationkey % 5, 4) AS grp, c_custkey FROM customer),
+     s AS (SELECT NULLIF(s_nationkey % 5, 4) AS grp, s_suppkey FROM supplier)
+SELECT c.grp, COUNT(*) AS n_pairs
+FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+GROUP BY c.grp
+ORDER BY c.grp NULLS FIRST
+""",
+)
+def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics needed when a grouping
+    key legitimately contains 'unknown'. Spark hash-partitions null-safe
+    keys like any other value (nulls all land in one partition — a skew
+    hazard at scale if 'unknown' dominates, same cure as any hot key)."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("cgrp"), "c_custkey"
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("sgrp"), "s_suppkey"
+    )
+    return (
+        cust.join(supp, cust.cgrp.eqNullSafe(supp.sgrp))
+        .groupBy(F.col("cgrp").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("grp").asc_nulls_first())
+    )

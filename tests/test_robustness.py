@@ -95,3 +95,25 @@ def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == total  # nothing lost, nothing duplicated
     assert out.select(F.countDistinct("event_id")).collect()[0][0] == total
+
+
+def test_observe_metrics_ride_the_action(spark, sf_dir):
+    """df.observe(): pipeline health metrics (row counts, null counts, sums)
+    computed DURING the action as accumulators — no second scan. This is how
+    a 100 TB job reports data-quality counters without doubling its I/O."""
+    from pyspark.sql.observation import Observation
+
+    obs = Observation("ingest_metrics")
+    docs = t(spark, sf_dir, "documents")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("n_null_text"),
+    )
+    kept = observed.filter(F.size(F.split("text", " ")) >= 20).count()
+    metrics = obs.get
+    assert metrics["n_rows"] == docs.count()
+    assert metrics["n_null_text"] == 0
+    assert metrics["n_tokens"] > 0
+    assert kept <= metrics["n_rows"]
