@@ -110,10 +110,19 @@ def main() -> None:
             for n, now in per_query.items()
             if n in prev_q and prev_q[n] > 0 and now / prev_q[n] > 1.3
         }
+        # compare totals over the INTERSECTION of query sets: the headline
+        # list grows round over round, and a raw-total ratio would read
+        # "slower" when the only change is more queries measured
+        common = [n for n in per_query if n in prev_q]
         result["vs_prev"] = {
             "file": prior_files[-1].name,
             "total_prev": prev.get("value"),
             "total_ratio": round(total / prev["value"], 3) if prev.get("value") else None,
+            "comparable_total": round(sum(per_query[n] for n in common), 3),
+            "comparable_prev": round(sum(prev_q[n] for n in common), 3),
+            "comparable_ratio": round(
+                sum(per_query[n] for n in common) / max(sum(prev_q[n] for n in common), 1e-9), 3
+            ),
             "regressions": regressions,
         }
         if regressions:
