@@ -37,9 +37,15 @@ def pack_spans(
     window boundary spans multiple chunks (standard packing semantics —
     chunk boundaries ignore document boundaries).
     """
+    # Null text is 0 tokens. Without the guard, size(split(NULL)) = -1 would
+    # give that doc end_off < start_off and shift every later doc's global
+    # offset down by one — silent corruption of all downstream chunk bounds.
+    n_tokens = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.split(text_col, " "))
+    )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.floor(F.col(id_col) / bucket_size).alias("_bkt"),
     )
     # phase 1: one row per bucket; the cumsum window runs over ~n/bucket_size

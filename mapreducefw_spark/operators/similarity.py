@@ -173,6 +173,7 @@ def random_hyperplane_topk(
     n_planes: int = 8,
     n_tables: int = 1,
     exclude_self: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """LSH ANN: bucket by the sign pattern of n_planes deterministic
     hyperplanes; exact rerank on the candidate set.
@@ -231,12 +232,18 @@ def random_hyperplane_topk(
     )
     if exclude_self:
         cand = cand.filter(F.col("qid") != F.col("nid"))
+    qside = queries.select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"))
+    # Search mode (small query set): forcing a broadcast of the query vectors
+    # keeps the rerank join shuffle-free. Dedup mode (queries == corpus, e.g.
+    # embedding_lsh_dedup) MUST NOT force it — a corpus-sized F.broadcast
+    # ignores autoBroadcastJoinThreshold and would hit the 8 GB broadcast
+    # limit / driver OOM at scale, so that path takes the ordinary shuffle
+    # join and lets AQE pick the strategy.
+    if broadcast_queries:
+        qside = F.broadcast(qside)
     pairs = cand.join(
         corpus.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec")), "nid"
-    ).join(
-        F.broadcast(queries.select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"))),
-        "qid",
-    )
+    ).join(qside, "qid")
     sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
     w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
     return (

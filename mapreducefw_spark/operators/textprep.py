@@ -21,20 +21,21 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     repartition would shuffle the whole corpus for nothing.
 
     Idempotent under composition: operators that stack (e.g. a query spreading
-    its input before handing it to an operator that spreads again) would chain
-    two full shuffles with a projection between them — Catalyst's
-    CollapseRepartition only merges ADJACENT repartitions. A peek at the
-    analyzed logical plan (cheap: analysis only, no job) skips the repartition
-    when one is already present anywhere upstream."""
+    its input before handing it to an operator that spreads again) skip the
+    shuffle when the input is already spread, because the partition-count
+    probe sees the upstream repartition's output count. The probe (not a
+    plan-string scan) is the gate on purpose: a substring match on
+    "Repartition" would be fooled by an upstream coalesce(1) or an undersized
+    repartition(2, key) — both produce Repartition nodes yet leave the data
+    badly split, which is exactly the serialization this function exists to
+    prevent. getNumPartitions() on the planned RDD needs no job, and the
+    cluster-master early-return keeps the per-call planning cost local-only."""
     sc = df.sparkSession.sparkContext
     if not sc.master.startswith("local"):
         return df
-    if "Repartition" in df._jdf.queryExecution().analyzed().toString():
-        return df
-    # probe actual partition count (local-only, post-dedup, so the planning
-    # cost is paid at most once per query build): sf0.1 fixtures already
-    # split into enough tasks, where a blind repartition measured 1.3x on
-    # the jaccard join; single-row-group small fixtures still get spread
+    # sf0.1 fixtures already split into enough tasks, where a blind
+    # repartition measured 1.3x on the jaccard join; single-row-group small
+    # fixtures (and upstream coalesces) still get spread
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

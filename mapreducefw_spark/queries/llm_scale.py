@@ -183,7 +183,8 @@ def embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is ~16% at cosine 0.4; OR over 3 tables lifts pair recall to ~40% while
     # each table's buckets keep the in-bucket compare far from quadratic
     pairs = similarity.random_hyperplane_topk(
-        emb, emb, k=50, dim=EMBEDDING_DIM, n_planes=4, n_tables=3
+        emb, emb, k=50, dim=EMBEDDING_DIM, n_planes=4, n_tables=3,
+        broadcast_queries=False,  # queries == corpus: never force-broadcast it
     )
     return (
         pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))

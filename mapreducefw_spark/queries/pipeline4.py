@@ -24,7 +24,7 @@ SEQ_LEN = 512
     "sequence_pack_spans",
     oracle=f"""
 WITH tk AS (
-  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  SELECT doc_id, CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens
   FROM documents
 ),
 c AS (

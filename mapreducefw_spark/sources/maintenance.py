@@ -49,7 +49,17 @@ def compact_parquet(
     n_files = max(1, math.ceil(dataset_size_bytes(path) / target_file_bytes))
     df = spark.read.parquet(path)
     staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        # Cluster rows by their output partition so each hive partition is
+        # written by as few tasks as possible. A round-robin repartition(n)
+        # here would spread every partition's rows across all n tasks and
+        # emit ~n * n_partitions tiny files — the opposite of compaction.
+        from pyspark.sql import functions as F
+
+        shuffled = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        shuffled = df.repartition(n_files)
+    writer = shuffled.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
@@ -57,7 +67,13 @@ def compact_parquet(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
-    return n_files
+    written = sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return written
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:

@@ -33,6 +33,35 @@ def test_compaction_reduces_file_count_preserves_data(spark, sf_dir, tmp_path):
     assert after.agg(F.sum("o_orderkey")).collect()[0][0] == before_sum
 
 
+def test_compaction_partitioned_clusters_by_partition_cols(spark, sf_dir, tmp_path):
+    """Partitioned compaction must cluster rows by the partition columns
+    before the partitionBy write — a round-robin repartition(n) would spread
+    every hive partition across all n tasks and emit ~n files per partition
+    (amplifying the small-file problem it exists to fix)."""
+    target = str(tmp_path / "frag_part")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    # micro-batch ingest into a hive-partitioned layout: 16 tasks x P statuses
+    orders.repartition(16).write.partitionBy("o_orderstatus").parquet(target)
+    n_status = orders.select("o_orderstatus").distinct().count()
+    assert len(_parquet_files(target)) > n_status  # genuinely fragmented
+    before_sum = orders.agg(F.sum("o_orderkey")).collect()[0][0]
+
+    written = maintenance.compact_parquet(
+        spark, target, target_file_bytes=10 * 1024 * 1024,
+        partition_by=["o_orderstatus"],
+    )
+    files = _parquet_files(target)
+    # hash-clustered on the partition column: one file per status (the whole
+    # sf0.001 table is far below one 10MB target file), and the returned
+    # count reports what actually landed on disk
+    assert written == len(files) == n_status
+    after = spark.read.parquet(target)
+    assert after.count() == orders.count()
+    assert after.agg(F.sum("o_orderkey")).collect()[0][0] == before_sum
+
+
 def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, sf_dir, tmp_path):
     target = str(tmp_path / "by_status")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")

@@ -40,6 +40,19 @@ def test_pack_spans_bucket_size_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_pack_spans_null_text_is_zero_tokens(spark):
+    """A null-text doc contributes 0 tokens. Unguarded, size(split(NULL))
+    is -1, which would give end_off < start_off and shift every later doc's
+    global offset — silent corruption of all downstream chunk bounds."""
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in packing.pack_spans(docs, seq_len=4, bucket_size=2).collect()}
+    assert rows[1].n_tokens == 0
+    assert rows[1].start_off == rows[1].end_off == 3
+    assert rows[2].start_off == 3 and rows[2].end_off == 5  # unshifted
+
+
 def test_shard_assignment_deterministic_and_balanced(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     a = {r.doc_id: r.shard for r in packing.shard_assignment(docs, n_shards=16, seed=42).collect()}

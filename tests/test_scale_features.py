@@ -105,3 +105,25 @@ def test_salted_aggregate_partition_invariant(spark, sf_dir):
         for r in salted_sum_count(li.repartition(17), ["l_returnflag"], "l_quantity").collect()
     )
     assert a == b
+
+
+def test_ensure_parallelism_spreads_upstream_coalesce(spark, sf_dir):
+    """An upstream coalesce(1) (which plants a Repartition node in the plan)
+    must still get spread — the gate is the actual partition count, not the
+    presence of a repartition node."""
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    squeezed = t(spark, sf_dir, "documents").coalesce(1)
+    assert squeezed.rdd.getNumPartitions() == 1
+    spread = ensure_parallelism(squeezed, min_parts=8)
+    assert spread.rdd.getNumPartitions() >= 8
+
+
+def test_ensure_parallelism_idempotent_no_double_shuffle(spark, sf_dir):
+    """Re-applying to an already-spread frame adds no second exchange."""
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    once = ensure_parallelism(t(spark, sf_dir, "documents").coalesce(1), min_parts=8)
+    twice = ensure_parallelism(once, min_parts=8)
+    plan = twice._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Repartition") <= 1, plan

@@ -123,7 +123,7 @@ def test_transform_with_state_profiles(spark, sf_dir):
 def test_dedup_within_watermark_bounds_state(spark, sf_dir):
     """dropDuplicatesWithinWatermark: the state-bounded streaming dedup —
     duplicates arriving within the watermark horizon collapse; state for
-    老 keys is evictable (unlike plain dropDuplicates, whose state grows
+    old keys is evictable (unlike plain dropDuplicates, whose state grows
     forever). On the bounded replay every duplicate is near-time, so the
     result equals exact dedup."""
     from mapreducefw_spark.streaming import windows as swin
