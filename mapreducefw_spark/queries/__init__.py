@@ -36,11 +36,13 @@ def register(name: str, oracle: str | None = None):
 # window every round), and re-verification slots for round-1-green queries
 # that were rotated out in round 2. Rotated-out queries are still checked
 # locally each round via `python tools/check_oracle.py` over the FULL registry.
-# Round-4 rotation queue (registered this round, locally oracle-green, not
-# yet driver-checked): the relational7 batch (q4/q7/q8/q9/q13/q17/q22,
-# lateral_topn_orders, nullsafe_join_counts) and the pipeline4 batch
-# (sequence_pack_spans, training_shard_stats, snapshot_diff,
-# dedup_canonical_selection, text_normalize_stats).
+# Round-4 rotation queue (registered this round, locally oracle-green at
+# sf0.001/0.01/0.1, not yet driver-checked): the relational7 batch
+# (q4/q7/q8/q9/q13/q17/q22, lateral_topn_orders, nullsafe_join_counts),
+# the relational8 batch (q2/q11/q12/q15/q16/q20/q21 — completes all 22
+# TPC-H shapes), and the pipeline4 batch (sequence_pack_spans,
+# training_shard_stats, snapshot_diff, dedup_canonical_selection,
+# text_normalize_stats).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked until now: attribution + training-data pipeline
     "view_click_attribution",
@@ -109,6 +111,7 @@ def load_all() -> None:
         relational5,
         relational6,
         relational7,
+        relational8,
         windows,
         windows2,
         timeseries,
