@@ -42,7 +42,7 @@ def register(name: str, oracle: str | None = None):
 # the relational8 batch (q2/q11/q12/q15/q16/q20/q21 — completes all 22
 # TPC-H shapes), and the pipeline4 batch (sequence_pack_spans,
 # training_shard_stats, snapshot_diff, dedup_canonical_selection,
-# text_normalize_stats).
+# text_normalize_stats, cdc_apply_changelog).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked until now: attribution + training-data pipeline
     "view_click_attribution",

@@ -253,3 +253,72 @@ def text_normalize_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+changes AS (
+  SELECT doc_id, lang, 'cdc_update' AS source, n_chars + 1 AS n_chars,
+         'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars, 'D', 2 FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'xx', 'cdc_insert', n_chars, 'I', 1
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id, lang, 'cdc_late_upsert', n_chars + 2, 'U', 3
+  FROM documents WHERE doc_id % 34 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    FROM changes) WHERE rn = 1
+)
+SELECT doc_id, lang, source, n_chars
+FROM base WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+UNION ALL
+SELECT doc_id, lang, source, n_chars FROM latest WHERE op <> 'D'
+ORDER BY doc_id
+""",
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """MERGE-style CDC apply (operators/cdc.py): fold an I/U/D changelog
+    into a snapshot with last-writer-wins on the sequence number. The
+    synthetic changelog exercises every path deterministically on both
+    engines: plain updates (doc_id%10), deletes (doc_id%17), inserts under
+    new keys (doc_id%25), update-then-delete collisions (doc_id%170 — the
+    delete wins), and delete-then-reinsert (doc_id%34 — the later upsert
+    wins). The base table takes one scan and one broadcast anti-join, no
+    shuffle and no window — only the changelog is windowed."""
+    from mapreducefw_spark.operators import cdc
+
+    base = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    docs = t(spark, sf_dir, "documents")
+    updates = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "lang",
+        F.lit("cdc_update").alias("source"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    deletes = docs.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        F.lit("cdc_insert").alias("source"),
+        F.col("n_chars"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    late = docs.filter(F.col("doc_id") % 34 == 0).select(
+        "doc_id", "lang",
+        F.lit("cdc_late_upsert").alias("source"),
+        (F.col("n_chars") + 2).alias("n_chars"),
+        F.lit("U").alias("op"), F.lit(3).alias("seq"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts).unionByName(late)
+    return cdc.apply_changelog(base, changes, key_cols=["doc_id"]).orderBy("doc_id")
