@@ -25,21 +25,44 @@ TABLES = [
 ]
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a TIMESTAMP (ltz) whose UTC
+    instant equals the file's naive wall-clock value — the semantics DuckDB
+    gives the oracle side — regardless of fixture vintage or session timezone.
+
+    Fixture generations have stored ts as TIMESTAMP(NANOS) (which Spark reads
+    as bigint under ``nanosAsLong``, and rejects otherwise) or as a type
+    Spark reads as TIMESTAMP_NTZ. Shared by the batch loader and the
+    streaming sources so both see one stable column type."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos read as long -> floor-div matches DuckDB nanos->micros
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # Timezone-FREE conversion: wall-clock field arithmetic, never a
+        # cast through the session zone (a cast would shift the instant by
+        # the session offset and hit DST ambiguity; to_utc_timestamp
+        # composes with the implicit cast and double-shifts).
+        us = (
+            (
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).cast("long") * 86400
+                + F.hour("ts").cast("long") * 3600
+                + F.minute("ts").cast("long") * 60
+            )
+            * 1_000_000
+            + (F.expr("extract(second from ts)") * 1_000_000).cast("long")
+        )
+        return df.withColumn("ts", F.timestamp_micros(us))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-        # default; read nanos as long and floor-div to microseconds (matches
-        # DuckDB's nanos->micros truncation). Handled here in the source
-        # layer so every consumer (load_tables, register_views, queries,
-        # streaming schema inference) gets a usable timestamp column.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

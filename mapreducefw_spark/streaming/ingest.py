@@ -15,12 +15,10 @@ bounded-replay tests use the unbounded form so stream == batch exactly.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mapreducefw_spark.streaming.staging import stage_single_file_dir
 
 QUALITY_MIN_TOKENS = 20
 QUALITY_MAX_TOKENS = 5000
@@ -32,15 +30,7 @@ def corpus_stream(spark: SparkSession, sf_dir: str, *, max_files_per_trigger: in
     stream source wants a directory)."""
     src = f"{sf_dir}/documents.parquet"
     static = spark.read.parquet(src)
-    stage = os.path.join(
-        tempfile.gettempdir(), "mrfw_docstream_" + hashlib.sha1(src.encode()).hexdigest()[:12]
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    try:
-        os.symlink(src, link)
-    except FileExistsError:
-        pass
+    stage = stage_single_file_dir(src, "mrfw_docstream")
     return (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -9,41 +9,29 @@ against a Kafka source.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducefw_spark.queries._util import t
 from mapreducefw_spark.session import tune_session
+from mapreducefw_spark.sources.tables import normalize_event_ts
+from mapreducefw_spark.streaming.staging import stage_single_file_dir
 
 
 def events_stream(spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1) -> DataFrame:
-    """readStream over the events parquet with the static schema; converts
-    the nanos-as-long ts exactly like the batch loader."""
+    """readStream over the events parquet with the static schema; normalizes
+    ts (nanos-as-long or TIMESTAMP_NTZ) exactly like the batch loader."""
     tune_session(spark)
     src = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(src)
     # FileStreamSource needs a directory; stage a symlink dir over the file
-    stage = os.path.join(
-        tempfile.gettempdir(), "mrfw_stream_" + hashlib.sha1(src.encode()).hexdigest()[:12]
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    try:
-        os.symlink(src, link)
-    except FileExistsError:
-        pass  # concurrent sessions may race on staging; first link wins
+    stage = stage_single_file_dir(src, "mrfw_stream")
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def tumbling_counts(events: DataFrame, *, length: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
