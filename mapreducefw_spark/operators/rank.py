@@ -1,0 +1,90 @@
+"""Scale-safe global rank / running total: two-phase range partitioning.
+
+A bare ``Window.orderBy(...)`` with no partitionBy funnels the whole input
+through ONE task — fine for a small dimension, fatal at 100 TB. The classic
+distributed alternative (TeraSort's shape): range-partition on the sort key,
+rank locally per partition, then shift each partition by the totals of the
+partitions before it. Reference semantic contract: the global sort-by-k3
+phase of the reference engine (``MRFCore.cpp:252-446``) — same total order,
+expressed shuffle-parallel.
+
+Every step here is sized correctly for scale:
+- the data shuffles ONCE (the range exchange, which Spark samples to pick
+  balanced boundaries);
+- per-partition windows partition by ``spark_partition_id()``, so no
+  unpartitioned WindowExec appears anywhere in the plan;
+- the cross-partition offsets come from an N-row aggregate (N = shuffle
+  partitions, not data size) cumulated by a triangular broadcast self-join
+  and broadcast back — no window, no collect, no second pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def global_rank_running(
+    df: DataFrame,
+    order_cols: list[Column],
+    sum_col: Column | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Add ``global_rank`` (and ``running_total`` if ``sum_col`` is given)
+    columns under the total order of ``order_cols``, without a global window.
+
+    ``order_cols`` must define a TOTAL order (make it unique with a
+    tie-breaker column): with unique keys rank() == row_number(), which is
+    what the per-partition phase computes. ``sum_col``'s type is preserved
+    through the partial sums (pass a decimal for exact money arithmetic).
+    """
+    spark = df.sparkSession
+    n = num_parts or spark.sparkContext.defaultParallelism
+
+    # Phase 1: ONE range shuffle; partition ids are monotone in the total
+    # order (AQE may coalesce partitions, but only adjacent ones, which
+    # preserves contiguity of key ranges).
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
+    running = w_local.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = ranged.withColumn("_lrank", F.row_number().over(w_local))
+    if sum_col is not None:
+        local = local.withColumn("_lsum", F.sum(sum_col).over(running))
+
+    # Phase 2: per-partition totals — N rows, N = shuffle partitions.
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("_tot"))
+    totals = ranged.groupBy("_pid").agg(*aggs)
+
+    # Cumulative offsets over the tiny totals frame via a triangular self
+    # join (strictly-before partitions), NOT a global window: N^2 pairs of an
+    # N-row frame is nothing, and the plan stays free of unpartitioned
+    # WindowExec by construction.
+    before = totals.select(
+        F.col("_pid").alias("_bpid"),
+        F.col("_cnt").alias("_bcnt"),
+        *([F.col("_tot").alias("_btot")] if sum_col is not None else []),
+    )
+    off_aggs = [F.coalesce(F.sum("_bcnt"), F.lit(0)).alias("_rank_off")]
+    if sum_col is not None:
+        off_aggs.append(F.sum("_btot").alias("_sum_off"))
+    offsets = (
+        totals.join(F.broadcast(before), F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(*off_aggs)
+    )
+
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        "global_rank", (F.col("_lrank") + F.col("_rank_off")).cast("int")
+    )
+    drop = ["_pid", "_lrank", "_rank_off"]
+    if sum_col is not None:
+        out = out.withColumn(
+            "running_total", F.col("_lsum") + F.coalesce(F.col("_sum_off"), F.lit(0))
+        )
+        drop += ["_lsum", "_sum_off"]
+    return out.drop(*drop)

@@ -30,36 +30,47 @@ def register(name: str, oracle: str | None = None):
 
 # The driver's correctness harness checks the FIRST 50 registered queries.
 # Round 1 verified the relational batches (48/50 green, CORRECTNESS_r01);
-# round 2 the windows/timeseries/LLM half (49/49 non-failing, CORRECTNESS_r02).
-# Round 3 window = the 14 queries that have NEVER held a checked slot, a
-# permanent canary core of proven queries (regression tripwire — stays in the
-# window every round), and re-verification slots for round-1-green queries
-# that were rotated out in round 2. Rotated-out queries are still checked
-# locally each round via `python tools/check_oracle.py` over the FULL registry.
-# Round-4 rotation queue (registered this round, locally oracle-green at
-# sf0.001/0.01/0.1, not yet driver-checked): the relational7 batch
-# (q4/q7/q8/q9/q13/q17/q22, lateral_topn_orders, nullsafe_join_counts),
-# the relational8 batch (q2/q11/q12/q15/q16/q20/q21 — completes all 22
-# TPC-H shapes), and the pipeline4 batch (sequence_pack_spans,
-# training_shard_stats, snapshot_diff, dedup_canonical_selection,
-# text_normalize_stats, cdc_apply_changelog).
+# round 2 the windows/timeseries/LLM half (49/49 non-failing); round 3 the
+# attribution/pipeline batch + re-verified round-1 greens (50/50 non-failing).
+# Round-4 window: the 22 queries that have NEVER held a checked slot
+# (relational7, relational8 — completing driver rows for all 22 TPC-H shapes
+# — and pipeline4), this round's two new queries (scalable global rank,
+# AQE-skew fact x fact join), the permanent canary core, and the 16 stalest
+# round-2-checked queries (every events/timestamp query is included — the
+# fixture ts type changed this round and the normalization deserves driver
+# rows). After this round every registered query has at least one driver
+# correctness row. Rotated-out queries are still checked locally each round
+# via `python tools/check_oracle.py` over the FULL registry.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked until now: attribution + training-data pipeline
-    "view_click_attribution",
-    "jaccard_pairs_df_capped",
-    "training_prep_pipeline",
-    "stratified_split_counts",
-    "stratified_split_hashed",
-    "bigram_top_terms",
-    "bpe_token_counts",
-    "benchmark_contamination",
-    "pii_scrub_stats",
-    "repetition_scores",
-    "stopword_candidates",
-    "source_mix_weights",
-    "cross_snapshot_jaccard",
-    "cross_snapshot_minhash",
-    # -- permanent canary core (r1+r2 proven; every round from here on)
+    # -- never driver-checked: relational7 batch
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "lateral_topn_orders",
+    "nullsafe_join_counts",
+    # -- never driver-checked: relational8 batch (completes all 22 TPC-H)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_by_returnflag",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q20_dominant_blue_suppliers",
+    "q21_sole_late_supplier",
+    # -- never driver-checked: pipeline4 batch
+    "sequence_pack_spans",
+    "snapshot_diff",
+    "training_shard_stats",
+    "dedup_canonical_selection",
+    "text_normalize_stats",
+    "cdc_apply_changelog",
+    # -- new this round
+    "window_global_rank_scalable",
+    "skew_join_events_orders",
+    # -- permanent canary core (r1-r3 proven; every round)
     "mr_search",
     "mr_wordcount",
     "q1_pricing_summary",
@@ -70,33 +81,24 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "join_anti_orderless_customers",
     "grouping_sets_explicit",
     "sort_multikey_nulls",
-    # -- re-verify round-1 greens not seen by the driver since r1
-    "join_broadcast_nation_region",
-    "join_full_outer_nation_presence",
-    "join_range_theta",
-    "filter_predicates",
-    "agg_supplier_stats",
-    "count_distinct_parts",
-    "approx_count_distinct_parts",
-    "rollup_order_priority",
-    "cube_lineitem_flags",
-    "except_all_nations",
-    "string_functions",
-    "date_functions",
-    "json_extract_events",
-    "q6_forecast_revenue",
-    "q10_returned_revenue",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_pushdown",
-    "subquery_correlated_max",
-    "subquery_above_avg_orders",
-    "pivot_flag_status",
-    "unpivot_supplier_metrics",
-    "array_agg_order_parts",
-    "string_agg_nation_names",
-    "stats_corr_qty_price",
-    "pandas_udaf_geomean",
+    # -- stalest r2-checked: every events/timestamp query (ts normalization
+    #    changed this round) + bench-headline LLM/window queries
+    "events_tumbling_1h",
+    "events_sliding_1h_30m",
+    "sessionization_30m",
+    "session_window_batch",
+    "interval_join_events",
+    "time_rollup_multigrain",
+    "asof_join_latest_order",
+    "events_zscore_anomalies",
+    "embedding_cosine_topk",
+    "minhash_dedup_pairs",
+    "jaccard_token_pairs",
+    "tfidf_top_terms",
+    "dedup_exact",
+    "median_exact_prices",
+    "percentile_approx_prices",
+    "window_global_rank",
 )
 
 

@@ -36,6 +36,56 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_join_events_orders",
+    oracle="""
+WITH ev AS (
+  SELECT CASE WHEN user_id % 10 < 9 THEN 7 ELSE user_id END AS k, value
+  FROM events
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS event_value
+FROM ev JOIN orders ON o_custkey = ev.k
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def skew_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x fact join with a deliberate heavy-hitter key: 90% of events
+    collapse onto one user, so one shuffle partition carries ~90% of the
+    left side. The join is pinned to the shuffle path with a MERGE hint (a
+    100 TB fact side cannot broadcast) and relies on AQE's skew-join split
+    for the oversized partition (session sets skewJoin.enabled; the split is
+    asserted under lowered thresholds in tests/test_plan_shapes.py). The
+    downstream aggregate keys on o_orderpriority, NOT the join key — an agg
+    on the join key would force AQE to preserve the join's hash partitioning
+    and forbid the skew split. The fact side is spread first: AQE splits a
+    skewed partition at mapper-output granularity, so a single-mapper input
+    (one-file fixture parquet) is unsplittable no matter how skewed. The
+    oracle is the plain join — skew handling is result-invariant."""
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    ev = ensure_parallelism(t(spark, sf_dir, "events")).select(
+        F.when(F.col("user_id") % 10 < 9, F.lit(7)).otherwise(F.col("user_id")).alias("k"),
+        "value",
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice", "o_orderpriority"
+    )
+    return (
+        ev.join(orders.hint("merge"), "k")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("event_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "scd2_merge_emulation",
     oracle="""
 WITH updates AS (

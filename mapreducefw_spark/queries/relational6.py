@@ -156,8 +156,8 @@ ORDER BY global_rank
 )
 def window_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Un-partitioned window (single-reducer by construction — acceptable for
-    small dimensions; at 100 TB a global rank goes through orderBy+zipWithIndex
-    or a two-phase range partitioner, never a bare global window)."""
+    small dimensions; at 100 TB use ``window_global_rank_scalable`` below,
+    the two-phase range-partitioned form of the same query)."""
     from mapreducefw_spark.queries._util import dec
 
     supp = t(spark, sf_dir, "supplier")
@@ -168,4 +168,37 @@ def window_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
         F.rank().over(w).alias("global_rank"),
         F.sum(dec("s_acctbal")).over(running).cast("double").alias("running_total"),
+    ).orderBy("global_rank")
+
+
+@register(
+    "window_global_rank_scalable",
+    oracle="""
+SELECT s_suppkey, s_acctbal,
+       RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS global_rank,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) OVER (ORDER BY s_acctbal DESC, s_suppkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM supplier
+ORDER BY global_rank
+""",
+)
+def window_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ``window_global_rank``, computed the way a 100 TB input
+    demands: one range shuffle, per-partition windows keyed by partition id,
+    broadcast offsets — no unpartitioned WindowExec in the plan (pinned in
+    tests/test_plan_shapes.py)."""
+    from mapreducefw_spark.operators.rank import global_rank_running
+    from mapreducefw_spark.queries._util import dec
+
+    supp = t(spark, sf_dir, "supplier")
+    ranked = global_rank_running(
+        supp,
+        [F.desc("s_acctbal"), F.col("s_suppkey")],
+        sum_col=dec("s_acctbal"),
+    )
+    return ranked.select(
+        "s_suppkey",
+        "s_acctbal",
+        "global_rank",
+        F.col("running_total").cast("double").alias("running_total"),
     ).orderBy("global_rank")
