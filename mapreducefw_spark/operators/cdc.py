@@ -35,6 +35,14 @@ def apply_changelog(
 
     ``changes`` carries the same payload columns as ``base`` plus
     (op_col, seq_col). Returns base's columns exactly.
+
+    ``broadcast_changes`` assumes the documented shape: a changelog orders of
+    magnitude smaller than the base (daily CDC). It force-broadcasts the
+    changed-key set past autoBroadcastJoinThreshold, so a corpus-scale
+    changelog (bulk backfill, full re-snapshot) MUST pass
+    ``broadcast_changes=False`` or risk OOMing the driver — same contract as
+    ``similarity.broadcast_queries``. With False the anti-join plans as a
+    sort-merge on the key, which is the right plan at that size.
     """
     payload = base.columns
     w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())

@@ -271,6 +271,8 @@ changes AS (
   UNION ALL
   SELECT doc_id, lang, 'cdc_late_upsert', n_chars + 2, 'U', 3
   FROM documents WHERE doc_id % 34 = 0
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars, 'D', 4 FROM documents WHERE doc_id % 55 = 0
 ),
 latest AS (
   SELECT * FROM (
@@ -289,10 +291,13 @@ def cdc_apply_changelog(spark, sf_dir):
     into a snapshot with last-writer-wins on the sequence number. The
     synthetic changelog exercises every path deterministically on both
     engines: plain updates (doc_id%10), deletes (doc_id%17), inserts under
-    new keys (doc_id%25), update-then-delete collisions (doc_id%170 — the
-    delete wins), and delete-then-reinsert (doc_id%34 — the later upsert
-    wins). The base table takes one scan and one broadcast anti-join, no
-    shuffle and no window — only the changelog is windowed."""
+    new keys (doc_id%25), delete-then-reinsert (doc_id%34 — the seq-3 upsert
+    outlives the seq-2 delete), and genuine delete-wins (doc_id%55 — a seq-4
+    delete that beats every earlier op, including the seq-3 upsert when both
+    hit, e.g. doc_id 0). The %17 deletes alone can't prove delete-wins: every
+    doc_id%170 key is also %34, so the late upsert always resurrected it.
+    The base table takes one scan and one broadcast anti-join, no shuffle
+    and no window — only the changelog is windowed."""
     from mapreducefw_spark.operators import cdc
 
     base = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
@@ -320,5 +325,14 @@ def cdc_apply_changelog(spark, sf_dir):
         (F.col("n_chars") + 2).alias("n_chars"),
         F.lit("U").alias("op"), F.lit(3).alias("seq"),
     )
-    changes = updates.unionByName(deletes).unionByName(inserts).unionByName(late)
+    late_deletes = docs.filter(F.col("doc_id") % 55 == 0).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.lit("D").alias("op"), F.lit(4).alias("seq"),
+    )
+    changes = (
+        updates.unionByName(deletes)
+        .unionByName(inserts)
+        .unionByName(late)
+        .unionByName(late_deletes)
+    )
     return cdc.apply_changelog(base, changes, key_cols=["doc_id"]).orderBy("doc_id")

