@@ -95,3 +95,49 @@ def shard_assignment(
     return docs.select(
         F.col(id_col).alias("doc_id"), key.alias("shuffle_key"), shard.alias("shard")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window pre-tokenization pass that feeds packing (stride <
+    chunk_tokens gives chunk_tokens-stride tokens of overlap so no span of
+    meaning falls on a hard boundary).
+
+    Map-only: split + sequence + slice + explode compose into one codegen
+    stage, no shuffle — at 100 TB this runs at scan speed. Chunk starts are
+    1-based every `stride` tokens through the end of the doc (tail chunks
+    run short rather than dropping text). Null texts are filtered (nothing
+    to chunk).
+
+    Returns (doc_id, chunk_start, n_tokens, chunk_text).
+    """
+    toks = F.split(text_col, " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunk = F.slice(F.col("_w"), F.col("chunk_start"), chunk_tokens)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), toks.alias("_w"), F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+def uniform_unit(id_col, salt: str):
+    """Deterministic U[0,1) per id from md5 — reproducible in ANY engine
+    (DuckDB, offline tools) from the same ids, unlike xxhash64. The first 8
+    hex chars give 32 uniform bits; /2^32 is exact in double. Used for
+    weighted resampling and split assignment."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.md5(F.concat_ws(":", c.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(key, 1, 8), 16, 10).cast("long") / F.lit(4294967296.0)

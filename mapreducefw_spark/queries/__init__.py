@@ -95,10 +95,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "minhash_dedup_pairs",
     "jaccard_token_pairs",
     "tfidf_top_terms",
-    "dedup_exact",
-    "median_exact_prices",
     "percentile_approx_prices",
-    "window_global_rank",
+    # -- new pipeline5 batch (no driver row yet — first rows this round;
+    #    displaced dedup_exact/median/window_global_rank re-verifies, which
+    #    keep their r2 rows and stay in the local full-registry check)
+    "doc_chunking",
+    "embedding_quantized_topk",
+    "source_resample_weighted",
 )
 
 
@@ -124,6 +127,7 @@ def load_all() -> None:
         pipeline2,
         pipeline3,
         pipeline4,
+        pipeline5,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

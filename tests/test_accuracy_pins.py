@@ -179,6 +179,21 @@ def test_ivf_recall_pinned(vecs_01):
     assert hits / len(exact) >= 0.9, f"recall@5 {hits / len(exact)}"
 
 
+def test_quantized_topk_recall_vs_float(vecs_01):
+    """int8 scalar quantization against the float brute-force baseline:
+    recall@5 must stay high (quantization error on 64-dim unit-scale vectors
+    shifts cosine by <~1%, only reordering near-ties)."""
+    q = vecs_01.filter(F.col("vid") < 10)
+    exact = similarity.brute_force_topk(vecs_01, q, k=5).collect()
+    qz = similarity.quantize_int8(vecs_01)
+    got = similarity.quantized_topk(qz, qz.filter(F.col("vid") < 10), k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.nid)
+    hits = sum(r.nid in truth[r.qid] for r in got)
+    assert hits / len(exact) >= 0.8, f"recall@5 {hits / len(exact)}"
+
+
 def test_lsh_ann_recall_pinned(vecs_01):
     """Hyperplane-LSH recall floor at the registered query's config
     (4 planes x 12 tables, OR-construction). A single table measured 0.12

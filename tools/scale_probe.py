@@ -59,6 +59,34 @@ before any timing, so round-over-round diffs measure plans, not JVM state.
 Evidence: post-fix full bench total 18.998s vs r1 19.468s / r2 21.093s,
 zero >1.3x regressions vs r2; minhash_dedup_pairs 3.198 -> 2.123s (0.70x of
 its r1 time) from the redundant-repartition fix.
+
+## Round 4 notes
+
+- **The binding bench number is the driver's `BENCH_r{N}.json`**, recorded at
+  driver settings on the driver's schedule. Local runs (including the
+  "post-fix 18.998s" above) are working feedback, not the record — round 3's
+  local total and the driver's 24.586s diverged because the driver's run
+  still carried the `ensure_parallelism` per-plan partition probe.
+- Root cause of r3's `embedding_cosine_topk` 5.14x regression: the probe's
+  `df.rdd.getNumPartitions()` costs an analysis + RDD-conversion py4j round
+  trip per *fresh* DataFrame (~40-115ms warmed, >1s first touch; measured
+  this round). Fixed by memoizing on `df.semanticHash()` (~1ms) with an
+  identity marker on outputs; post-fix local A/B at driver settings:
+  embedding_cosine_topk 3.194 -> 1.032s, time_rollup_multigrain 0.528s,
+  jaccard/minhash/tfidf/mr_wordcount at or under r2 levels.
+- The regenerated fixtures changed events.ts from TIMESTAMP(NANOS) to a
+  TIMESTAMP_NTZ-readable type; the source layer now normalizes either
+  vintage with timezone-free field arithmetic (sources/tables.py).
+- Round-4 bench validation (local, non-binding): comparable total 20.108s vs
+  r3's driver-recorded 24.586s (0.82x); embedding_cosine_topk 0.500s (was
+  3.194). The bench flagged q1 (1.63x) and interval_join_events (1.54x) vs
+  r3 — q1 re-measures at 0.930s min-of-5 in isolation (host noise; it reads
+  only lineitem, untouched this round). interval_join_events re-measures at
+  0.850s min-of-5; micro-benchmarks bound the new events-ts normalization at
+  <=30ms of that (raw scan 0.103s vs converted 0.119s; binned agg 0.136s vs
+  0.165s), the plan is unchanged, and the output (771 pairs) is tiny — the
+  remainder is the regenerated fixture's data distribution + host variance,
+  not a code regression.
 """
 
 
@@ -145,6 +173,38 @@ def main() -> None:
                 _minhash_from_hashes(hs, 32), bands=16, rows_per_band=2,
                 max_bucket_size=10_000,
             ),
+        )
+
+        # round 4: two-phase range-partitioned global rank over the fact table
+        from mapreducefw_spark.operators.rank import global_rank_running
+
+        timed(
+            "global_rank_two_phase",
+            k,
+            global_rank_running(
+                li.select("l_orderkey", "l_extendedprice"),
+                [F.desc("l_extendedprice"), F.col("l_orderkey")],
+                sum_col=dec("l_extendedprice"),
+            ),
+        )
+
+        # round 4: skewed fact-fact shuffle join (90% of the left collapses
+        # onto one hot key; AQE splits the oversized partition at scale)
+        hot = li.select(
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(7))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        )
+        timed(
+            "skew_join_hot_key",
+            k,
+            hot.join(
+                orders.select(F.col("o_orderkey").alias("k"), "o_totalprice").hint("merge"),
+                "k",
+            )
+            .groupBy()
+            .agg(F.sum(dec("l_quantity")).alias("q"), F.sum(dec("o_totalprice")).alias("r")),
         )
 
         # snapshot diff: hash-manifest full-outer join
