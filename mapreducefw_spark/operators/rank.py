@@ -44,9 +44,19 @@ def global_rank_running(
 
     # Phase 1: ONE range shuffle; partition ids are monotone in the total
     # order (AQE may coalesce partitions, but only adjacent ones, which
-    # preserves contiguity of key ranges).
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # preserves contiguity of key ranges). The ranged frame feeds two
+    # consumers (local windows + per-partition totals); localCheckpoint
+    # pins ONE materialization of the partitioning — the range partitioner
+    # samples per shuffle, so re-executing the exchange in a forked subtree
+    # (exchange reuse is not guaranteed, and is broken here by the
+    # nondeterministic spark_partition_id projection) would assign boundary
+    # rows different pids in each branch and silently corrupt the offsets.
+    # Same cost shape as TeraSort's two-job structure: the checkpoint writes
+    # what the shuffle already materialized, once.
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = W.partitionBy("_pid").orderBy(*order_cols)
     running = w_local.rowsBetween(W.unboundedPreceding, W.currentRow)

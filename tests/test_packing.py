@@ -65,3 +65,39 @@ def test_shard_assignment_deterministic_and_balanced(spark, sf_dir):
     assert max(counts.values()) <= 4 * min(counts.values())  # rough uniformity
     c = {r.doc_id: r.shard for r in packing.shard_assignment(docs, n_shards=16, seed=7).collect()}
     assert a != c  # a new seed reshuffles
+
+
+def test_chunk_documents_covers_every_token_and_reconstructs(spark, sf_dir):
+    """Chunking invariants: every token position of every doc falls in at
+    least one chunk; stride-aligned chunk prefixes concatenate back to the
+    original text; all chunks except possibly the tail are full-width."""
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 50)
+    )
+    originals = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    chunks = packing.chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(originals)
+    for doc_id, rows in by_doc.items():
+        toks = originals[doc_id]
+        rows.sort(key=lambda r: r.chunk_start)
+        # coverage: starts are 1, 49, 97, ... through len
+        starts = [r.chunk_start for r in rows]
+        assert starts == list(range(1, len(toks) + 1, 48))
+        covered = set()
+        rebuilt = []
+        for i, r in enumerate(rows):
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(ctoks) == r.n_tokens
+            expected = toks[r.chunk_start - 1 : r.chunk_start - 1 + 64]
+            assert ctoks == expected  # chunk content == source slice
+            covered.update(range(r.chunk_start, r.chunk_start + r.n_tokens))
+            take = len(ctoks) if i == len(rows) - 1 else min(48, len(ctoks))
+            rebuilt.extend(ctoks[:take])
+        assert covered == set(range(1, len(toks) + 1))
+        # non-overlapping prefixes reconstruct the doc exactly
+        assert rebuilt[: len(toks)] == toks

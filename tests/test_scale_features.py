@@ -127,3 +127,36 @@ def test_ensure_parallelism_idempotent_no_double_shuffle(spark, sf_dir):
     twice = ensure_parallelism(once, min_parts=8)
     plan = twice._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Repartition") <= 1, plan
+
+
+def test_global_rank_two_phase_equals_window_form(spark, sf_dir):
+    """The range-partitioned rank must agree with the single-window rank for
+    every partition count (1, a non-divisor, the default) — offsets, partition
+    boundaries, and empty partitions included."""
+    from mapreducefw_spark.operators.rank import global_rank_running
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    li = li.withColumn("uid", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    w = W.orderBy(F.desc("l_extendedprice"), "uid")
+    expected = {
+        r.uid: (r.rk, round(r.rt, 2))
+        for r in li.select(
+            "uid",
+            F.row_number().over(w).alias("rk"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).cast("double").alias("rt"),
+        ).collect()
+    }
+    for n in (1, 7, None):
+        got = {
+            r.uid: (r.global_rank, round(float(r.running_total), 2))
+            for r in global_rank_running(
+                li,
+                [F.desc("l_extendedprice"), F.col("uid")],
+                sum_col=F.col("l_extendedprice").cast("decimal(18,2)"),
+                num_parts=n,
+            ).collect()
+        }
+        assert got == expected, f"num_parts={n}"
