@@ -135,6 +135,49 @@ def ngram_contamination(
     )
 
 
+def overlap_coefficient_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Containment dedup: pairs whose token-set overlap coefficient
+    |A∩B| / min(|A|,|B|) >= threshold — catches a document SUBSUMED by a
+    longer one (quote-inside-article, boilerplate-wrapped reposts), which
+    symmetric Jaccard misses: a 50-token doc fully contained in a 5000-token
+    doc has Jaccard ~0.01 but containment 1.0.
+
+    Same inverted-index shape as jaccard_token_pairs (posting-list self-join;
+    shuffle carries (token, doc) pairs, never text), same hot-token cap for
+    the 100 TB form. Returns (doc_a, doc_b, overlap) with doc_a < doc_b.
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), distinct_tokens(text_col).alias("w")
+    )
+    sizes = toks.select("doc", F.size("w").alias("n"))
+    posting = toks.select("doc", F.explode("w").alias("token"))
+    if max_doc_freq is not None:
+        dfreq = posting.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        posting = posting.join(dfreq.filter(F.col("df") <= max_doc_freq).select("token"), "token")
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    ov = F.col("inter") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(ov, 6).alias("overlap"))
+        .filter(F.col("overlap") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,

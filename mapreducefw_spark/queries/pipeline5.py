@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducefw_spark.operators import packing, similarity
+from mapreducefw_spark.operators import dedup, packing, similarity
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
 
@@ -80,6 +80,32 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = similarity.quantize_int8(emb)
     return similarity.quantized_topk(qn, qn.filter(F.col("vid") < 10), k=5).orderBy(
         "qid", "rk"
+    )
+
+
+@register(
+    "containment_dedup_pairs",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+             / least(len(a.w), len(b.w)), 6) AS overlap
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      / least(len(a.w), len(b.w)) >= 0.9
+ORDER BY doc_a, doc_b
+""",
+)
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) dedup: catches a short doc subsumed
+    by a long one, which symmetric Jaccard misses. Spark side is the
+    inverted-index join; the oracle is the quadratic definition."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.overlap_coefficient_pairs(docs, threshold=0.9).orderBy(
+        "doc_a", "doc_b"
     )
 
 

@@ -116,3 +116,24 @@ def test_cross_corpus_minhash_inter_pairs_only(docs):
     assert (0, 2) in pairs               # near dup across corpora
     assert all(da in (0, 3) and db in (1, 2, 4) for da, db in pairs)
     assert (3, 4) not in pairs           # dissimilar stays out
+
+
+def test_containment_catches_subsumed_doc_jaccard_misses(spark):
+    """A short doc fully contained in a much longer one: overlap coefficient
+    1.0 (found), while its Jaccard is far below any dedup threshold — the
+    case this operator exists for."""
+    from pyspark.sql import functions as F
+
+    long_text = " ".join(f"w{i}" for i in range(400))
+    short_text = " ".join(f"w{i}" for i in range(40, 60))  # strict subset
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.overlap
+        for r in dedup.overlap_coefficient_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    jac = dedup.jaccard_token_pairs(docs, threshold=0.4).collect()
+    assert jac == []  # symmetric Jaccard (20/400 = 0.05) misses it
