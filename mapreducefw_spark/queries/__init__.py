@@ -38,9 +38,23 @@ def register(name: str, oracle: str | None = None):
 # AQE-skew fact x fact join), the permanent canary core, and the 16 stalest
 # round-2-checked queries (every events/timestamp query is included — the
 # fixture ts type changed this round and the normalization deserves driver
-# rows). After this round every registered query has at least one driver
-# correctness row. Rotated-out queries are still checked locally each round
-# via `python tools/check_oracle.py` over the FULL registry.
+# rows). After this round every query registered BEFORE round 4 has at least
+# one driver correctness row. Rotated-out queries are still checked locally
+# each round via `python tools/check_oracle.py` over the FULL registry.
+# Round-5 rotation queue (stalest driver rows after this round): the
+# remaining r2-only re-verifies — windows batch (window_lag_lead_orders,
+# window_frames_running, window_range_frame, window_distribution_fns,
+# window_nth_last_value, topk_parts_per_brand, window_rank_customers),
+# scalar batch 2 (string_functions_2, null_combinators, map_higher_order,
+# to_json_roundtrip, conditional_aggregates, explode_posexplode_tokens,
+# catalog_input_file_name, tablesample_seeded, python_udtf_bigrams), and the
+# LLM tier (dedup_exact_keyed, doc_fingerprint, text_quality_scores,
+# embedding_label_norms, multimodal_bytes_meta, dedup_connected_groups,
+# dedup_groups_small, simhash_near_pairs, the embedding ivf/lsh/cosine
+# forms, lang_id_heuristic, rolling_fingerprint, multimodal_pipeline,
+# dedup_exact, median_exact_prices, window_global_rank) — plus
+# containment_dedup_pairs (registered in round 4, locally oracle-green at
+# sf0.001/0.01/0.1, no driver row yet).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: relational7 batch
     "q4_priority_exists",
