@@ -50,9 +50,10 @@ HEADLINE = [
     "q13_order_count_distribution",
     "sequence_pack_spans",
     "snapshot_diff",
-    # round 4: skewed fact x fact join + scale-safe global rank
+    # round 4: skewed fact x fact join + scale-safe global rank + chunking
     "skew_join_events_orders",
     "window_global_rank_scalable",
+    "doc_chunking",
 ]
 
 

@@ -101,3 +101,19 @@ def test_chunk_documents_covers_every_token_and_reconstructs(spark, sf_dir):
         assert covered == set(range(1, len(toks) + 1))
         # non-overlapping prefixes reconstruct the doc exactly
         assert rebuilt[: len(toks)] == toks
+
+
+def test_uniform_unit_is_uniform_and_engine_stable(spark, sf_dir):
+    """md5 U[0,1): values in [0,1), mean near 0.5, deterministic across
+    calls, and salt changes decorrelate — the properties weighted
+    resampling depends on."""
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    u = [r.u for r in docs.select(packing.uniform_unit("doc_id", "rs").alias("u")).collect()]
+    assert all(0.0 <= x < 1.0 for x in u)
+    assert abs(sum(u) / len(u) - 0.5) < 0.05  # 500 draws: mean within 5pp
+    v = [r.u for r in docs.select(packing.uniform_unit("doc_id", "rs").alias("u")).collect()]
+    assert u == v  # deterministic
+    w = [r.u for r in docs.select(packing.uniform_unit("doc_id", "other").alias("u")).collect()]
+    assert u != w  # a new salt reshuffles
