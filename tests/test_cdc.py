@@ -76,3 +76,50 @@ def test_base_side_plan_has_no_window_or_sort(spark):
     assert plan.count("Window [") == 2  # both over the changelog
     assert plan.count("WindowGroupLimit") == 2  # top-1 pruned before shuffle
     assert "LeftAnti" in plan and "strategy=broadcast" in plan
+
+
+def _simulate(base_rows, changes_rows):
+    """Pure-Python reference: last-writer-wins on seq per key, deletes drop,
+    I/U upsert; untouched base rows pass through."""
+    latest = {}
+    for k, name, v, op, seq in changes_rows:
+        if k not in latest or seq > latest[k][3]:
+            latest[k] = (name, v, op, seq)
+    out = {k: (name, v) for k, (name, v) in base_rows.items() if k not in latest}
+    for k, (name, v, op, _seq) in latest.items():
+        if op != "D":
+            out[k] = (name, v)
+    return out
+
+
+def test_apply_changelog_matches_simulator_on_random_logs(spark_global):
+    """Property check vs a pure-Python simulator across randomized
+    changelogs: every (key-overlap x op-mix x seq-order) combination the
+    generator produces must fold identically. Deterministic seeds — no
+    flaky sampling."""
+    import random
+
+    base_rows = {k: (f"n{k}", k * 10) for k in range(1, 21)}
+    base = spark_global.createDataFrame(
+        [(k, n, v) for k, (n, v) in base_rows.items()], "k int, name string, v int"
+    )
+    for seed in range(8):
+        rng = random.Random(seed)
+        rows, used = [], set()
+        for _ in range(rng.randint(1, 40)):
+            k = rng.randint(1, 30)  # half the keyspace misses the base
+            seq = rng.randint(1, 10)
+            if (k, seq) in used:  # contract: (key, seq) unique
+                continue
+            used.add((k, seq))
+            op = rng.choice(["I", "U", "D"])
+            rows.append((k, f"c{k}s{seq}", k * 100 + seq, op, seq))
+        changes = spark_global.createDataFrame(
+            rows, "k int, name string, v int, op string, seq int"
+        )
+        got = {
+            r["k"]: (r["name"], r["v"])
+            for r in cdc.apply_changelog(base, changes, key_cols=["k"]).collect()
+        }
+        expected = _simulate(base_rows, rows)
+        assert got == expected, f"seed={seed}"
