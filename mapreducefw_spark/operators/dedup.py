@@ -519,3 +519,56 @@ def simhash_near_pairs(
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def portable_minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Cross-engine-reproducible minhash: per-token md5 hash family instead
+    of xxhash64, so ANY engine (DuckDB, offline audit tools) recomputes the
+    identical signatures and band keys from the same text — the property
+    that lets a driver value-hash oracle check the minhash math exactly
+    (the xxhash64 production form in ``minhash_signatures`` is faster but
+    Spark-only, hence rows-only checkable).
+
+    Output: (id, h0..h{k-1} bigint, band0..band{k/r-1} 16-hex-char keys).
+    Hash i of a token is the first 32 bits of md5(token || ':i'); the
+    signature is the min over the doc's DISTINCT whitespace tokens (set
+    semantics, like the production shingle path). Band keys are md5 over the
+    ':'-joined band rows — two docs share a band key iff they agree on that
+    band, the standard LSH OR-construction. Map-only, no shuffle; same scale
+    shape as ``_minhash_from_hashes``.
+
+    NULL text propagates: every h_i and band key is NULL (concat/md5 NULL
+    semantics match DuckDB's || operator).
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+
+    def seeded(i: int):
+        # single-parameter lambda on purpose: a two-arg callable is
+        # transform()'s (element, index) form, which would silently replace
+        # the seed with the array position (same trap as _minhash_from_hashes)
+        return lambda tk: F.conv(
+            F.substring(F.md5(F.concat(tk, F.lit(f":{i}"))), 1, 8), 16, 10
+        ).cast("long")
+
+    def h(i: int) -> Column:
+        return F.array_min(F.transform(toks, seeded(i))).alias(f"h{i}")
+
+    sigs = df.select(F.col(id_col), *[h(i) for i in range(num_hashes)])
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        row_cols: list[Column] = []
+        for r in range(rows_per_band):
+            if row_cols:
+                row_cols.append(F.lit(":"))
+            row_cols.append(F.col(f"h{b * rows_per_band + r}").cast("string"))
+        # F.concat (NOT concat_ws): any NULL row must NULL the band key,
+        # matching DuckDB's || — concat_ws would skip NULLs and hash ""
+        bands.append(F.substring(F.md5(F.concat(*row_cols)), 1, 16).alias(f"band{b}"))
+    return sigs.select(id_col, *[f"h{i}" for i in range(num_hashes)], *bands)

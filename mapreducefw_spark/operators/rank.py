@@ -88,8 +88,12 @@ def global_rank_running(
         .agg(*off_aggs)
     )
 
+    # bigint on purpose: _rank_off is a sum of partition counts, so past
+    # 2^31 rows a non-ANSI int cast would silently wrap negative — exactly
+    # the scale this module exists for (matches the single-window form,
+    # whose rank() + bigint offset is also bigint).
     out = local.join(F.broadcast(offsets), "_pid").withColumn(
-        "global_rank", (F.col("_lrank") + F.col("_rank_off")).cast("int")
+        "global_rank", (F.col("_lrank") + F.col("_rank_off")).cast("long")
     )
     drop = ["_pid", "_lrank", "_rank_off"]
     if sum_col is not None:

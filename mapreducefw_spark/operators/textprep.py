@@ -21,7 +21,21 @@ _SPREAD_OUTPUTS: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDi
 # per unique plan per session suffices; bench's min-of-N reconstructions of
 # the same query hit this cache at ~1 ms (semanticHash) instead of paying the
 # ~40-1300 ms analysis + RDD-conversion round trip each time.
+# ASSUMPTION: inputs are immutable for the application lifetime — the count
+# for an unchanged logical plan changes when the underlying files change.
+# Code that rewrites a path in place (compact_parquet) must call
+# invalidate_probe_cache() after the rewrite.
 _PROBE_CACHE: dict[tuple[str, int], int] = {}
+
+
+def invalidate_probe_cache() -> None:
+    """Drop all memoized partition-count probes (and identity markers).
+
+    Call after any in-place rewrite of an input path — a stale high count
+    would skip a needed repartition, re-serializing the exact hot path
+    ``ensure_parallelism`` exists to prevent."""
+    _PROBE_CACHE.clear()
+    _SPREAD_OUTPUTS.clear()
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -41,50 +41,33 @@ def register(name: str, oracle: str | None = None):
 # rows). After this round every query registered BEFORE round 4 has at least
 # one driver correctness row. Rotated-out queries are still checked locally
 # each round via `python tools/check_oracle.py` over the FULL registry.
-# Round-5 rotation queue (stalest driver rows after this round): the
-# remaining r2-only re-verifies — windows batch (window_lag_lead_orders,
-# window_frames_running, window_range_frame, window_distribution_fns,
-# window_nth_last_value, topk_parts_per_brand, window_rank_customers),
-# scalar batch 2 (string_functions_2, null_combinators, map_higher_order,
-# to_json_roundtrip, conditional_aggregates, explode_posexplode_tokens,
-# catalog_input_file_name, tablesample_seeded, python_udtf_bigrams), and the
-# LLM tier (dedup_exact_keyed, doc_fingerprint, text_quality_scores,
-# embedding_label_norms, multimodal_bytes_meta, dedup_connected_groups,
-# dedup_groups_small, simhash_near_pairs, the embedding ivf/lsh/cosine
-# forms, lang_id_heuristic, rolling_fingerprint, multimodal_pipeline,
-# dedup_exact, median_exact_prices, window_global_rank) — plus
-# containment_dedup_pairs (registered in round 4, locally oracle-green at
-# sf0.001/0.01/0.1, no driver row yet).
+# Round-5 window (this round): every slot goes to an ORACLE-bearing query
+# (round 4 burned 2 slots re-recording rows-only results — no_oracle queries
+# stay out of the window; their rows-only records from r2 stand).
+# Composition: the 2 queries with no driver row (containment_dedup_pairs from
+# r4; minhash_signatures_portable — NEW, the md5-family driver-checkable twin
+# of the xxhash64 production minhash), the 3 r4 hash-reds re-checked after
+# their oracle HUGEINT casts landed (q12, pack_spans, shard_stats — Spark
+# answers were verified exact; the fix is oracle-side CAST AS BIGINT), the
+# permanent canary core, all 15 queries whose latest driver row is r1-vintage
+# (the stalest on file), and 20 of the 26 r2-stale oracle-bearing re-verifies.
+# The 6 r2-stale left to the local full-registry check each have a sibling
+# with a fresh r4 row or an in-window twin: window_global_rank (scalable form
+# r4-green), dedup_groups_small (dedup_canonical_selection r4-green),
+# dedup_exact (dedup_exact_keyed in-window), median_exact_prices (bench-
+# measured, r2-green), text_token_stats (text_normalize_stats r4-green),
+# embedding_label_norms (cosine/quantized top-k r4-green).
+# Round-6 rotation queue (stalest after this round): those 6, the r3-vintage
+# attribution/pipeline batch, and any new registrations.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: relational7 batch
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    "lateral_topn_orders",
-    "nullsafe_join_counts",
-    # -- never driver-checked: relational8 batch (completes all 22 TPC-H)
-    "q2_min_cost_supplier",
-    "q11_important_stock",
+    # -- no driver row yet
+    "containment_dedup_pairs",
+    "minhash_signatures_portable",
+    # -- r4 hash-reds, oracle HUGEINT casts fixed this round
     "q12_priority_by_returnflag",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q20_dominant_blue_suppliers",
-    "q21_sole_late_supplier",
-    # -- never driver-checked: pipeline4 batch
     "sequence_pack_spans",
-    "snapshot_diff",
     "training_shard_stats",
-    "dedup_canonical_selection",
-    "text_normalize_stats",
-    "cdc_apply_changelog",
-    # -- new this round
-    "window_global_rank_scalable",
-    "skew_join_events_orders",
-    # -- permanent canary core (r1-r3 proven; every round)
+    # -- permanent canary core (every round)
     "mr_search",
     "mr_wordcount",
     "q1_pricing_summary",
@@ -95,27 +78,43 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "join_anti_orderless_customers",
     "grouping_sets_explicit",
     "sort_multikey_nulls",
-    # -- stalest r2-checked: every events/timestamp query (ts normalization
-    #    changed this round) + bench-headline LLM/window queries
-    "events_tumbling_1h",
-    "events_sliding_1h_30m",
-    "sessionization_30m",
-    "session_window_batch",
-    "interval_join_events",
-    "time_rollup_multigrain",
-    "asof_join_latest_order",
-    "events_zscore_anomalies",
-    "embedding_cosine_topk",
-    "minhash_dedup_pairs",
-    "jaccard_token_pairs",
-    "tfidf_top_terms",
-    "percentile_approx_prices",
-    # -- new pipeline5 batch (no driver row yet — first rows this round;
-    #    displaced dedup_exact/median/window_global_rank re-verifies, which
-    #    keep their r2 rows and stay in the local full-registry check)
-    "doc_chunking",
-    "embedding_quantized_topk",
-    "source_resample_weighted",
+    # -- stalest: latest driver row is round 1
+    "distinct_segments",
+    "from_json_struct",
+    "higher_order_token_fns",
+    "intersect_all_quantities",
+    "intersect_nations",
+    "join_right_outer_parts",
+    "map_column_functions",
+    "math_conditional",
+    "pandas_scalar_udf_margin",
+    "projection_rekey",
+    "range_generator_source",
+    "salted_skew_aggregate",
+    "scd2_merge_emulation",
+    "topk_orders_global",
+    "union_all_segments",
+    # -- r2-stale re-verifies (oracle-bearing)
+    "catalog_input_file_name",
+    "conditional_aggregates",
+    "dedup_exact_keyed",
+    "doc_fingerprint",
+    "embedding_cosine_dedup",
+    "explode_posexplode_tokens",
+    "map_higher_order",
+    "multimodal_bytes_meta",
+    "null_combinators",
+    "python_udtf_bigrams",
+    "string_functions_2",
+    "text_quality_scores",
+    "to_json_roundtrip",
+    "topk_parts_per_brand",
+    "window_distribution_fns",
+    "window_frames_running",
+    "window_lag_lead_orders",
+    "window_nth_last_value",
+    "window_range_frame",
+    "window_rank_customers",
 )
 
 

@@ -29,8 +29,8 @@ WITH tk AS (
 ),
 c AS (
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
   FROM tk
 )
 SELECT doc_id, n_tokens, start_off,
@@ -123,7 +123,7 @@ WITH s AS (
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
 )
-SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM s
 GROUP BY shard
 ORDER BY shard

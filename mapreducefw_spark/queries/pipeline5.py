@@ -145,9 +145,15 @@ def source_resample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     property a 100 TB pipeline needs for auditable resampling. One shuffle
     (per-source agg); rates broadcast back; the doc-level pass is map-only."""
     docs = t(spark, sf_dir, "documents")
+    # NULL-guard the token count: with spark.sql.legacy.sizeOfNull=true,
+    # size(split(NULL)) is -1 and would be summed, while the oracle's
+    # SUM(len(...)) skips NULLs — a regenerated fixture with NULL text
+    # would silently skew every source's rate.
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tok"),
+        F.sum(
+            F.when(F.col("text").isNotNull(), F.size(F.split("text", " ")))
+        ).cast("bigint").alias("n_tok"),
     )
     tot = per.agg(
         F.sum("n_tok").cast("bigint").alias("tot_tok"),
@@ -177,3 +183,45 @@ def source_resample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _mh_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    hs = ",\n    ".join(
+        "list_aggregate(list_transform(w, t -> CAST(('0x' || substr(md5(t || ':"
+        f"{i}'), 1, 8)) AS BIGINT)), 'min') AS h{i}"
+        for i in range(num_hashes)
+    )
+    bands = ",\n       ".join(
+        "substr(md5("
+        + " || ':' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + f"), 1, 16) AS band{b}"
+        for b in range(num_hashes // rows_per_band)
+    )
+    h_names = ", ".join(f"h{i}" for i in range(num_hashes))
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    {hs}
+  FROM tk
+)
+SELECT doc_id, {h_names},
+       {bands}
+FROM sig
+ORDER BY doc_id
+"""
+
+
+@register("minhash_signatures_portable", oracle=_mh_oracle())
+def minhash_signatures_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine minhash signatures + LSH band keys (md5 hash family, k=8,
+    4 bands x 2 rows), value-hash checkable against DuckDB recomputing the
+    identical mins — the driver-checkable twin of the xxhash64 production
+    minhash (operators/dedup.py::minhash_signatures, rows-only by nature).
+    Map-only signature build: no shuffle anywhere in the plan."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.portable_minhash_signatures(docs).orderBy("doc_id")

@@ -42,18 +42,28 @@ def recover_compaction(path: str) -> str | None:
     """
     parent, base = os.path.split(path.rstrip("/"))
     action = None
+    olds: list[str] = []
     for entry in sorted(os.listdir(parent or ".")):
         full = os.path.join(parent, entry)
         if entry.startswith(f"{base}__compact_") and entry.endswith("_old"):
-            if os.path.exists(path):
-                shutil.rmtree(full)
-                action = f"removed orphan {entry}"
-            else:
-                os.rename(full, path)
-                action = f"restored {entry}"
+            olds.append(full)
         elif entry.startswith(f"{base}__compact_"):
             shutil.rmtree(full)
             action = action or f"removed stale staging {entry}"
+    if olds:
+        if not os.path.exists(path):
+            # normal operation guarantees a single _old candidate; if several
+            # survive, restore the NEWEST by mtime (uuid hex sorts in
+            # arbitrary vintage order) rather than an arbitrary one
+            keep = max(olds, key=os.path.getmtime)
+            os.rename(keep, path)
+            action = f"restored {os.path.basename(keep)}"
+            olds.remove(keep)
+        for full in olds:
+            shutil.rmtree(full)
+            action = action if action and action.startswith("restored") else (
+                f"removed orphan {os.path.basename(full)}"
+            )
     return action
 
 
@@ -101,6 +111,11 @@ def compact_parquet(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+    # the files under `path` just changed: memoized partition-count probes
+    # for plans reading this path are now stale
+    from mapreducefw_spark.operators.textprep import invalidate_probe_cache
+
+    invalidate_probe_cache()
     written = sum(
         1
         for root, _dirs, files in os.walk(path)

@@ -34,5 +34,10 @@ def stage_single_file_dir(src: str, prefix: str) -> str:
         # concurrent sessions racing to the same (equivalent) link are fine.
         if not os.path.exists(link) or os.path.realpath(link) != os.path.realpath(src):
             os.unlink(link)
-            os.symlink(src, link)
+            try:
+                os.symlink(src, link)
+            except FileExistsError:
+                # a concurrent session won the unlink->symlink race; its
+                # link is equivalent (same deterministic target)
+                pass
     return stage

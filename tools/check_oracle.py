@@ -13,6 +13,7 @@ import time
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -76,6 +77,22 @@ def main() -> int:
             n_fail += 1
             continue
         ok = True
+        # Arrow-schema lint: fetchall() yields Python ints so this harness is
+        # structurally blind to DuckDB HUGEINT (uncast SUM over integers) —
+        # but the driver hashes Arrow values, where HUGEINT decodes as
+        # decimal128(38,0) and Decimal(123) != int(123). Fail any oracle whose
+        # Arrow schema carries a decimal column so the class can't recur.
+        try:
+            aschema = con.execute(ORACLES[name]).fetch_arrow_table().schema
+            bad = [f"{f.name}:{f.type}" for f in aschema if pa.types.is_decimal(f.type)]
+        except Exception:
+            bad = []
+        if bad:
+            print(
+                f"FAIL  {name}: oracle Arrow schema has decimal columns {bad} "
+                "— cast to BIGINT/DOUBLE (driver hashes Decimal != int)"
+            )
+            ok = False
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns differ spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
