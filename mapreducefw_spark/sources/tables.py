@@ -39,10 +39,23 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
         # nanos read as long -> floor-div matches DuckDB nanos->micros
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if ts_type == "timestamp_ntz":
-        # Timezone-FREE conversion: wall-clock field arithmetic, never a
-        # cast through the session zone (a cast would shift the instant by
-        # the session offset and hit DST ambiguity; to_utc_timestamp
-        # composes with the implicit cast and double-shifts).
+        # In a UTC session the ntz->ltz cast interprets the wall clock at
+        # zero offset — exactly the semantics we want, with none of the
+        # field-arithmetic cost below (which showed up 2x per side in the
+        # r4 bench of the self-joining events queries). Both the tuned
+        # session and the driver's vanilla one (container TZ=UTC) take
+        # this branch; only a genuinely non-UTC session pays the fallback.
+        try:
+            tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = None
+        if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "Universal", "Zulu"):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # Non-UTC fallback — timezone-FREE conversion: wall-clock field
+        # arithmetic, never a cast through the session zone (a cast would
+        # shift the instant by the session offset and hit DST ambiguity;
+        # to_utc_timestamp composes with the implicit cast and
+        # double-shifts).
         us = (
             (
                 F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).cast("long") * 86400
