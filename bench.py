@@ -54,6 +54,10 @@ HEADLINE = [
     "skew_join_events_orders",
     "window_global_rank_scalable",
     "doc_chunking",
+    # round 5: curation tier — broadcast-bitmap decontamination + decile
+    # binning over the two-phase global rank
+    "bloom_decontaminate",
+    "quality_decile_mixture",
 ]
 
 

@@ -51,6 +51,10 @@ def register(name: str, oracle: str | None = None):
 # answers were verified exact; the fix is oracle-side CAST AS BIGINT), the
 # permanent canary core, all 15 queries whose latest driver row is r1-vintage
 # (the stalest on file), and 20 of the 26 r2-stale oracle-bearing re-verifies.
+# Four r2-green scalar-expression re-verifies (string_functions_2,
+# conditional_aggregates, map_higher_order, to_json_roundtrip — pure
+# expression evaluation, lowest plan-regression risk) were displaced by the
+# new pipeline6 curation batch and join the round-6 queue.
 # The 6 r2-stale left to the local full-registry check each have a sibling
 # with a fresh r4 row or an in-window twin: window_global_rank (scalable form
 # r4-green), dedup_groups_small (dedup_canonical_selection r4-green),
@@ -60,9 +64,13 @@ def register(name: str, oracle: str | None = None):
 # Round-6 rotation queue (stalest after this round): those 6, the r3-vintage
 # attribution/pipeline batch, and any new registrations.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- no driver row yet
+    # -- no driver row yet (pipeline6 curation batch is new this round)
     "containment_dedup_pairs",
     "minhash_signatures_portable",
+    "stratified_sample_sources",
+    "quality_decile_mixture",
+    "token_budget_waterfill",
+    "bloom_decontaminate",
     # -- r4 hash-reds, oracle HUGEINT casts fixed this round
     "q12_priority_by_returnflag",
     "sequence_pack_spans",
@@ -96,18 +104,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "union_all_segments",
     # -- r2-stale re-verifies (oracle-bearing)
     "catalog_input_file_name",
-    "conditional_aggregates",
     "dedup_exact_keyed",
     "doc_fingerprint",
     "embedding_cosine_dedup",
     "explode_posexplode_tokens",
-    "map_higher_order",
     "multimodal_bytes_meta",
     "null_combinators",
     "python_udtf_bigrams",
-    "string_functions_2",
     "text_quality_scores",
-    "to_json_roundtrip",
     "topk_parts_per_brand",
     "window_distribution_fns",
     "window_frames_running",
@@ -141,6 +145,7 @@ def load_all() -> None:
         pipeline3,
         pipeline4,
         pipeline5,
+        pipeline6,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -1,0 +1,230 @@
+"""Sixth training-data pipeline batch (round 5): corpus curation — the
+selection layer between cleaning/dedup and packing. Stratified per-source
+sampling, quality-decile mixture stats over the scalable global rank,
+closed-form water-filling token budgets, and a fully oracle-checkable
+bloom-filter decontamination pass (md5 hash family end to end, so DuckDB
+recomputes identical samples, levels, bitmaps and hits)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.operators import curation, rank
+from mapreducefw_spark.queries import register
+from mapreducefw_spark.queries._util import t
+
+_MD5_KEY = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "stratified_sample_sources",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY {_MD5_KEY}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM r WHERE rk <= 5
+ORDER BY source, doc_id
+""",
+)
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k stratified sample: 5 docs per source by md5
+    order — per-source caps / eval carve-outs that any engine reproduces
+    from the ids alone (sampleBy is RNG-seeded and approximate; this is
+    exact and auditable). One shuffle, hash by source."""
+    docs = t(spark, sf_dir, "documents")
+    return curation.stratified_sample(docs, "source", 5).select(
+        "doc_id", "source", "n_chars"
+    ).orderBy("source", "doc_id")
+
+
+@register(
+    "quality_decile_mixture",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC NULLS LAST, doc_id) AS rk,
+         COUNT(*) OVER () AS c
+  FROM scored
+)
+SELECT CAST(CEIL(rk * 10.0 / c) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM ranked
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def quality_decile_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/mixture binning: docs ranked corpus-wide by a quality
+    score (token count here), split into 10 equal-width bins, per-bin doc
+    and token totals. The global order comes from the two-phase scalable
+    rank (operators/rank.py) — ONE range shuffle, no unpartitioned
+    WindowExec — and the bin is derived map-side as ceil(rank*10/count),
+    so the whole thing survives a corpus-sized input (a bare ntile() would
+    funnel 100 TB through one task). Oracle recomputes the same rank/bin
+    closed form with a plain window."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(), F.size(F.split("text", " "))
+        ).cast("bigint").alias("n_tokens"),
+    )
+    total = scored.agg(F.count(F.lit(1)).alias("_c"))
+    ranked = rank.global_rank_running(
+        scored, [F.col("n_tokens").desc_nulls_last(), F.col("doc_id").asc()]
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.ceil(F.col("global_rank") * 10.0 / F.col("_c")).alias("bin"),
+            "n_tokens",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "token_budget_waterfill",
+    oracle="""
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+b AS (SELECT 0.95 * SUM(n_tokens) AS budget, COUNT(*) AS n FROM per),
+st AS (
+  SELECT source, n_tokens,
+         (b.budget - COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+         / (b.n - (ROW_NUMBER() OVER (ORDER BY n_tokens, source) - 1)) AS cand
+  FROM per, b
+),
+lv AS (
+  SELECT MAX(CASE WHEN CAST(n_tokens AS DOUBLE) > cand THEN cand END) AS level
+  FROM st
+)
+SELECT source, n_tokens,
+       CASE WHEN level IS NULL OR CAST(n_tokens AS DOUBLE) <= cand
+            THEN n_tokens
+            ELSE CAST(FLOOR(level) AS BIGINT) END AS alloc_tokens
+FROM st, lv
+ORDER BY source
+""",
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token budget: spend 95% of the corpus's tokens, capping
+    small sources at their size and splitting the rest evenly — the fair
+    mixture allocation, collapsed from the textbook iterative algorithm to
+    a one-window closed form over the per-source aggregate (O(sources)
+    rows; the corpus-sized work is the upstream groupBy). The budget rides
+    in as a broadcast column so the query is collect-free; the oracle
+    replays the identical closed form."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("text").isNotNull(), F.size(F.split("text", " ")))
+        ).cast("bigint").alias("n_tokens")
+    )
+    tot = per.agg((F.lit(0.95) * F.sum("n_tokens")).alias("_budget"))
+    staged = per.crossJoin(F.broadcast(tot))
+    return curation.token_budget_waterfill(staged, F.col("_budget")).orderBy("source")
+
+
+@register(
+    "bloom_decontaminate",
+    oracle="""
+WITH contam AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+),
+pos AS (
+  SELECT CAST(('0x' || substr(md5(text || ':b0'), 1, 8)) AS BIGINT) % 1048576 AS p FROM contam
+  UNION ALL
+  SELECT CAST(('0x' || substr(md5(text || ':b1'), 1, 8)) AS BIGINT) % 1048576 FROM contam
+  UNION ALL
+  SELECT CAST(('0x' || substr(md5(text || ':b2'), 1, 8)) AS BIGINT) % 1048576 FROM contam
+  UNION ALL
+  SELECT CAST(('0x' || substr(md5(text || ':b3'), 1, 8)) AS BIGINT) % 1048576 FROM contam
+),
+bitmap AS (
+  SELECT p // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+probes AS (
+  SELECT doc_id, source,
+         unnest([
+           CAST(('0x' || substr(md5(text || ':b0'), 1, 8)) AS BIGINT) % 1048576,
+           CAST(('0x' || substr(md5(text || ':b1'), 1, 8)) AS BIGINT) % 1048576,
+           CAST(('0x' || substr(md5(text || ':b2'), 1, 8)) AS BIGINT) % 1048576,
+           CAST(('0x' || substr(md5(text || ':b3'), 1, 8)) AS BIGINT) % 1048576
+         ]) AS p
+  FROM documents
+),
+perdoc AS (
+  SELECT pr.doc_id, pr.source,
+         COUNT(*) FILTER (WHERE (COALESCE(b.bits, 0)
+             & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT))) <> 0) = 4 AS bloom_hit
+  FROM probes pr LEFT JOIN bitmap b ON pr.p // 32 = b.word
+  GROUP BY pr.doc_id, pr.source
+),
+exact AS (
+  SELECT d.doc_id, d.text IN (SELECT text FROM contam) AS exact_hit
+  FROM documents d
+)
+SELECT p.source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE p.bloom_hit) AS n_bloom_hits,
+       COUNT(*) FILTER (WHERE e.exact_hit) AS n_exact_hits
+FROM perdoc p JOIN exact e ON p.doc_id = e.doc_id
+GROUP BY p.source
+ORDER BY p.source
+""",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a DataFrame-native bloom filter: the benchmark
+    ('contaminated') texts fold into a 2^20-bit bit-packed bitmap (~32K
+    bigint rows, broadcastable regardless of how large the contamination
+    set is — its raw strings never move), each corpus doc probes its 4 md5
+    positions against the broadcast bitmap, and per-source hit counts
+    compare the bloom answer to exact membership. False negatives are
+    impossible by construction; the md5 family makes even the false
+    positives engine-exact, so the DuckDB oracle value-hash-matches the
+    whole pass (pinned FP-rate bounds live in tests/test_curation.py)."""
+    docs = t(spark, sf_dir, "documents")
+    contam = (
+        docs.filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("text")
+        .distinct()
+    )
+    bitmap = curation.bloom_bitmap(contam)
+    probed = curation.bloom_probe(docs, bitmap)
+    exact = probed.join(
+        F.broadcast(contam.withColumn("_e", F.lit(True))), "text", "left"
+    )
+    return (
+        exact.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("bloom_hit"), 1)).alias("n_bloom_hits"),
+            F.count(F.when(F.col("_e"), 1)).alias("n_exact_hits"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,122 @@
+"""Property pins for the curation operators (operators/curation.py):
+water-filling vs a pure-Python iterative reference, bloom no-false-negative
+guarantee, stratified-sample exactness and partitioning-invariance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.operators import curation
+from mapreducefw_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _iterative_waterfill(avail: dict[str, int], budget: float) -> dict[str, float]:
+    """Textbook water-filling: raise the level until the budget is spent.
+    Returns UNfloored allocations (the operator floors unsaturated ones)."""
+    remaining = dict(avail)
+    alloc = {s: 0.0 for s in avail}
+    b = budget
+    active = set(avail)
+    while active and b > 1e-9:
+        level = b / len(active)
+        sat = {s for s in active if remaining[s] <= level}
+        if not sat:
+            for s in active:
+                alloc[s] = level
+            b = 0.0
+            break
+        for s in sat:
+            alloc[s] = remaining[s]
+            b -= remaining[s]
+            active.remove(s)
+    return alloc
+
+
+@pytest.mark.parametrize("frac", [0.2, 0.6, 0.95, 1.5])
+def test_waterfill_matches_iterative_reference(spark, frac):
+    avail = {"a": 100, "b": 250, "c": 250, "d": 900, "e": 3000}
+    budget = frac * sum(avail.values())
+    per = spark.createDataFrame(
+        [(s, n) for s, n in avail.items()], "source string, n_tokens long"
+    )
+    got = {
+        r["source"]: r["alloc_tokens"]
+        for r in curation.token_budget_waterfill(per, budget).collect()
+    }
+    want = _iterative_waterfill(avail, budget)
+    for s in avail:
+        # operator floors unsaturated allocations; saturated ones are exact
+        assert got[s] in (int(want[s]), math.floor(want[s])), (s, got[s], want[s])
+        assert got[s] <= avail[s]
+    assert sum(got.values()) <= min(budget, sum(avail.values())) + 1e-6
+    # flooring loses < 1 token per source
+    assert sum(got.values()) >= min(budget, sum(avail.values())) - len(avail)
+
+
+def test_waterfill_all_saturate_when_budget_exceeds_total(spark):
+    per = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "source string, n_tokens long"
+    )
+    got = {
+        r["source"]: r["alloc_tokens"]
+        for r in curation.token_budget_waterfill(per, 1000).collect()
+    }
+    assert got == {"a": 10, "b": 20}
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    contam = (
+        docs.filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("text")
+        .distinct()
+    )
+    bitmap = curation.bloom_bitmap(contam)
+    probed = curation.bloom_probe(docs, bitmap)
+    missed = (
+        probed.join(F.broadcast(contam), "text", "left_semi")
+        .filter(~F.col("bloom_hit"))
+        .count()
+    )
+    assert missed == 0
+    # FP rate at this load factor (n*k/m ~ 3e-4) is ~(1-e^{-kn/m})^4 < 1e-13:
+    # bloom hits must equal exact hits exactly here
+    n_bloom = probed.filter("bloom_hit").count()
+    n_exact = probed.join(F.broadcast(contam), "text", "left_semi").count()
+    assert n_bloom == n_exact
+
+
+def test_stratified_sample_exact_k_and_partitioning_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 5
+    base = curation.stratified_sample(docs, "source", k)
+    sizes = {r["source"]: r["n"] for r in base.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    group_sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in sizes.items():
+        assert n == min(k, group_sizes[s]), (s, n)
+    # identical selection regardless of input partitioning
+    ids_a = sorted(r["doc_id"] for r in base.select("doc_id").collect())
+    ids_b = sorted(
+        r["doc_id"]
+        for r in curation.stratified_sample(docs.repartition(13), "source", k)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids_a == ids_b
+
+
+def test_quality_deciles_are_ordered_and_balanced(spark, sf_dir):
+    rows = QUERIES["quality_decile_mixture"](spark, sf_dir).collect()
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        # equal-width bins: each holds floor or ceil of total/10
+        assert r["n_docs"] in (total // 10, total // 10 + 1)
+    # descending score order: bin b's min >= bin b+1's max
+    for hi, lo in zip(rows, rows[1:]):
+        assert hi["min_tokens"] >= lo["max_tokens"]

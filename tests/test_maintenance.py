@@ -156,6 +156,12 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
         assert "bloom_filter_agg" in plan, plan
         assert "might_contain" in plan, plan
     finally:
+        # conf.get(k, None) returns None for keys never explicitly set (the
+        # fallback wins over the built-in default), so "restore only if not
+        # None" silently leaked autoBroadcastJoinThreshold=-1 to every later
+        # test in the session — unset() returns the key to its real default
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

@@ -46,6 +46,7 @@ PUSHDOWN_REQUIRED = {
     "snapshot_diff",
     "skew_join_events_orders",
     "doc_chunking",
+    "bloom_decontaminate",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in
@@ -58,6 +59,8 @@ BNL_ALLOWED = {
     "embedding_cosine_topk": 1,
     "tfidf_top_terms": 1,
     "window_global_rank_scalable": 1,
+    # two-phase rank's triangular offsets + the broadcast bin-count
+    "quality_decile_mixture": 2,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'
@@ -76,6 +79,7 @@ MIN_BROADCAST = {
     "interval_join_events": 1,
     "sequence_pack_spans": 1,
     "window_global_rank_scalable": 1,
+    "bloom_decontaminate": 3,
 }
 
 
