@@ -193,31 +193,40 @@ def bloom_probe(
     (``bloom_hit`` boolean; false negatives impossible, false positives at
     the standard (1 - e^{-kn/m})^k rate — pinned in tests).
 
-    Probe shape: k positions per doc exploded, broadcast-hash-joined to the
-    bitmap on word (the bitmap is the small side by construction), bit-test,
-    then a groupBy(doc) counting set positions. Corpus shuffles once on the
-    group-back; at 100 TB the alternative exact anti-join would shuffle the
-    full text of both sides — the bloom pass turns that into a broadcast."""
-    pos = [
-        (_md5_long(F.col(key_col), f"b{i}") % num_bits).alias(f"p{i}")
-        for i in range(num_hashes)
-    ]
-    probes = corpus.select(
-        F.col(id_col), F.explode(F.array(*pos)).alias("pos")
-    ).select(
-        id_col,
-        (F.col("pos") / 32).cast("long").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
-    )
-    hits = (
-        probes.join(F.broadcast(bitmap), "word", "left")
-        .withColumn(
-            "_set",
-            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0),
+    Probe shape: k broadcast hash joins against the (aliased) bitmap, one
+    per hash function, AND-ing the bit tests — completely STATELESS and
+    SHUFFLE-FREE: the corpus never exchanges, each join's build side is the
+    ~256 KB bitmap. (An earlier explode+groupBy(doc) formulation shuffled
+    the corpus by id and, being an aggregate, could not run in a streaming
+    micro-batch; this form is the streaming-compatible one used by
+    streaming/ingest.py::streaming_bloom_decontaminate.) At 100 TB the
+    exact alternative — an anti-join on the raw texts — would shuffle both
+    sides in full; the bloom pass costs k map-side probes per row.
+
+    ``id_col`` is retained in the signature for call-site clarity but the
+    probe no longer needs a unique id (no group-back)."""
+    out = corpus
+    hit = F.lit(True)
+    for i in range(num_hashes):
+        p = _md5_long(F.col(key_col), f"b{i}") % num_bits
+        out = out.withColumn(f"_p{i}", p)
+        out = out.withColumn(
+            f"_w{i}", F.expr(f"CAST(_p{i} DIV 32 AS BIGINT)")
+        ).withColumn(
+            f"_m{i}", F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 32 AS INT))")
         )
-        .groupBy(id_col)
-        .agg((F.count(F.when(F.col("_set"), 1)) == num_hashes).alias("bloom_hit"))
-    )
-    return corpus.join(hits, id_col, "left").withColumn(
-        "bloom_hit", F.coalesce(F.col("bloom_hit"), F.lit(False))
-    )
+        bm = F.broadcast(
+            bitmap.select(
+                F.col("word").alias(f"_bw{i}"), F.col("bits").alias(f"_bb{i}")
+            )
+        )
+        out = out.join(bm, F.col(f"_w{i}") == F.col(f"_bw{i}"), "left")
+        # NULL key -> NULL position -> no join match and NULL mask: coalesce
+        # the whole bit test to False so NULL text is never flagged
+        hit = hit & F.coalesce(
+            F.coalesce(F.col(f"_bb{i}"), F.lit(0)).bitwiseAND(F.col(f"_m{i}")) != 0,
+            F.lit(False),
+        )
+    out = out.withColumn("bloom_hit", hit)
+    drop = [f"_{c}{i}" for i in range(num_hashes) for c in ("p", "w", "m", "bw", "bb")]
+    return out.drop(*drop)

@@ -51,8 +51,9 @@ def register(name: str, oracle: str | None = None):
 # answers were verified exact; the fix is oracle-side CAST AS BIGINT), the
 # permanent canary core, all 15 queries whose latest driver row is r1-vintage
 # (the stalest on file), and 20 of the 26 r2-stale oracle-bearing re-verifies.
-# Four r2-green scalar-expression re-verifies (string_functions_2,
-# conditional_aggregates, map_higher_order, to_json_roundtrip — pure
+# Five r2-green scalar-expression re-verifies (string_functions_2,
+# conditional_aggregates, map_higher_order, to_json_roundtrip,
+# null_combinators — pure
 # expression evaluation, lowest plan-regression risk) were displaced by the
 # new pipeline6 curation batch and join the round-6 queue.
 # The 6 r2-stale left to the local full-registry check each have a sibling
@@ -71,6 +72,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "quality_decile_mixture",
     "token_budget_waterfill",
     "bloom_decontaminate",
+    "vocab_coverage",
     # -- r4 hash-reds, oracle HUGEINT casts fixed this round
     "q12_priority_by_returnflag",
     "sequence_pack_spans",
@@ -109,7 +111,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_cosine_dedup",
     "explode_posexplode_tokens",
     "multimodal_bytes_meta",
-    "null_combinators",
     "python_udtf_bigrams",
     "text_quality_scores",
     "topk_parts_per_brand",

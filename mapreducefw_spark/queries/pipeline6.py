@@ -228,3 +228,71 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tk FROM documents WHERE text IS NOT NULL
+),
+cnt AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+rk AS (
+  SELECT tk, c, ROW_NUMBER() OVER (ORDER BY c DESC, tk) AS r,
+         CAST(SUM(c) OVER (ORDER BY c DESC, tk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cnt
+)
+SELECT s.v AS vocab_size,
+       CAST(MAX(rk.cum) AS BIGINT) AS covered_tokens,
+       MAX(tot.t) AS total_tokens,
+       ROUND(CAST(MAX(rk.cum) AS DOUBLE) / MAX(tot.t), 6) AS coverage
+FROM (VALUES (100), (500), (1000)) AS s(v)
+JOIN rk ON rk.r <= s.v
+CROSS JOIN tot
+GROUP BY s.v
+ORDER BY vocab_size
+""",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary planning: what fraction of all corpus tokens do
+    the top-{100,500,1000} types cover? One shuffle for the type counts
+    (map-side partial aggs), then the candidate vocab is cut with a BOUNDED
+    global top-k (limit max(cutoffs) -> TakeOrderedAndProject, never a full
+    sort) and the cumulative coverage window runs over that O(cutoff) frame
+    — the corpus never feeds an unpartitioned window. Oracle replays the
+    same ranking over the full type table."""
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    cutoffs = [100, 500, 1000]
+    counts = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("bigint").alias("t"))
+    top = counts.orderBy(F.desc("c"), F.asc("tk")).limit(max(cutoffs))
+    w = W.orderBy(F.desc("c"), F.asc("tk"))
+    ranked = top.select(
+        "tk",
+        "c",
+        F.row_number().over(w).alias("r"),
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    sizes = spark.createDataFrame([(v,) for v in cutoffs], "vocab_size int")
+    return (
+        ranked.join(F.broadcast(sizes), F.col("r") <= F.col("vocab_size"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("vocab_size")
+        .agg(
+            F.max("cum").alias("covered_tokens"),
+            F.max("t").alias("total_tokens"),
+            F.round(F.max("cum").cast("double") / F.max("t"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )

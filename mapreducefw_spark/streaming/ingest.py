@@ -57,3 +57,18 @@ def streaming_corpus_prep(docs: DataFrame) -> DataFrame:
     so equivalence checks compare the KEPT CONTENT SET, which both forms
     agree on regardless of order."""
     return quality_gate(docs).withColumn("h", F.sha2("text", 256)).dropDuplicates(["h"])
+
+
+def streaming_bloom_decontaminate(docs: DataFrame, bitmap: DataFrame) -> DataFrame:
+    """Flag (not drop) benchmark-contaminated documents as they land: each
+    micro-batch probes the static bloom bitmap exactly like the batch pass
+    (operators/curation.py::bloom_probe) — a stream-static broadcast join,
+    stateless, so stream == batch row for row.
+
+    The bitmap side is a finished batch artifact (the contamination set is a
+    fixed benchmark corpus); rebuilding it is a batch job, not stream state.
+    At crawl scale the probe adds one broadcast hash join per batch — the
+    raw contamination texts never reach the stream side."""
+    from mapreducefw_spark.operators.curation import bloom_probe
+
+    return bloom_probe(docs, bitmap)

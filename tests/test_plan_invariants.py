@@ -79,7 +79,8 @@ MIN_BROADCAST = {
     "interval_join_events": 1,
     "sequence_pack_spans": 1,
     "window_global_rank_scalable": 1,
-    "bloom_decontaminate": 3,
+    # 4 bitmap probes (one per hash) + the exact-membership marker join
+    "bloom_decontaminate": 5,
 }
 
 

@@ -82,3 +82,34 @@ def test_streaming_corpus_prep_equals_batch(spark, sf_dir):
     batch_hashes = {r.h for r in batch.distinct().collect()}
     assert stream_hashes == batch_hashes
     assert out.count() == len(batch_hashes)  # one survivor per content
+
+
+def test_streaming_bloom_decontaminate_equals_batch(spark, sf_dir):
+    """The bloom probe is stateless (k broadcast joins, no aggregation), so
+    the streaming flags must equal the batch flags row for row."""
+    from mapreducefw_spark.operators import curation
+    from mapreducefw_spark.queries._util import t as load
+    from mapreducefw_spark.streaming import ingest
+
+    docs = load(spark, sf_dir, "documents")
+    contam = (
+        docs.filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+        .select("text")
+        .distinct()
+    )
+    bitmap = curation.bloom_bitmap(contam)
+
+    stream = ingest.corpus_stream(spark, sf_dir)
+    out = windows.run_bounded(
+        ingest.streaming_bloom_decontaminate(stream, bitmap),
+        "t_bloom_stream",
+        output_mode="append",
+    )
+    stream_flags = {r["doc_id"]: r["bloom_hit"] for r in out.select("doc_id", "bloom_hit").collect()}
+
+    batch_flags = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in curation.bloom_probe(docs, bitmap).select("doc_id", "bloom_hit").collect()
+    }
+    assert stream_flags == batch_flags
+    assert any(stream_flags.values())  # the planted contamination is flagged

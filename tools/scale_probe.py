@@ -87,6 +87,37 @@ its r1 time) from the redundant-repartition fix.
   0.165s), the plan is unchanged, and the output (771 pairs) is tiny — the
   remainder is the regenerated fixture's data distribution + host variance,
   not a code regression.
+
+## Round 5 notes: r4's events regressions root-caused and fixed
+
+The r4 driver bench flagged `interval_join_events` 0.501→0.913s (1.82x)
+and `events_tumbling_1h` 0.417→0.553s (1.33x) vs r3. Round 4 attributed
+the remainder (beyond a ≤30ms normalization bound) to fixture distribution
+— round 5 disproves that and finds the real cause:
+
+- **Distribution unchanged**: every events-query output is IDENTICAL r2 vs
+  r4 at sf0.01 (interval pairs 82, tumbling buckets 3385, sessions 9549,
+  sliding 1441 — CORRECTNESS_r02 vs _r04 row counts), so the regenerated
+  fixture kept the same data shape; only the `ts` STORAGE type changed
+  (TIMESTAMP(NANOS) → NTZ-readable).
+- **Real cause**: the NTZ normalization path did timezone-free FIELD
+  ARITHMETIC (datediff + hour*3600 + minute*60 + extract(second), 5
+  expression trees per row). The r4 micro-bench bounded one projection of
+  it at ≤30ms — but the self-joining events queries evaluate it once per
+  JOIN SIDE (interval_join: side a + exploded side b = 3 evaluations per
+  input row before the shuffle), and it sits under every downstream
+  time_window/unix_micros expression, fattening the codegen hot loop.
+- **Fix**: in a UTC session (both the tuned session and the driver's
+  vanilla one — container TZ is UTC) the ntz→timestamp CAST interprets the
+  wall clock at zero offset, which is exactly the target semantics at zero
+  expression cost; the field arithmetic remains as the non-UTC fallback
+  (sources/tables.py::normalize_event_ts).
+- **Post-fix, min-of-5 at driver settings (sf0.1, local[32])**:
+  interval_join_events 0.554s (r4 driver 0.913, r3 0.501 — back within
+  1.11x), events_tumbling_1h 0.304s (r4 0.553, r3 0.417 — now FASTER than
+  r3), asof_join_latest_order 0.597s (r4 driver 0.914), session_window_batch
+  0.345s. Correctness re-verified through the vanilla-session driver sim
+  (all events queries hash-green) and the stream==batch pytest pins.
 """
 
 
@@ -224,6 +255,19 @@ def main() -> None:
                 F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
                 (F.col("o.h") != F.col("n.h")).alias("changed"),
             ),
+        )
+
+        # round 5: stateless bloom probe — corpus scales k-fold, the bitmap
+        # side stays a fixed broadcast; growth should track the scan, since
+        # the probe itself is map-side (k broadcast joins, zero shuffle)
+        from mapreducefw_spark.operators import curation as C
+
+        contam = docs0.filter(F.col("doc_id") % 7 == 0).select("text").distinct()
+        bloom_bm = C.bloom_bitmap(contam)
+        timed(
+            "bloom_probe",
+            k,
+            C.bloom_probe(docs, bloom_bm).filter(F.col("bloom_hit")).groupBy().count(),
         )
 
     rows_base = li0.count()
