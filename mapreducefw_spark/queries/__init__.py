@@ -53,7 +53,7 @@ def register(name: str, oracle: str | None = None):
 # (the stalest on file), and 20 of the 26 r2-stale oracle-bearing re-verifies.
 # Five r2-green scalar-expression re-verifies (string_functions_2,
 # conditional_aggregates, map_higher_order, to_json_roundtrip,
-# null_combinators — pure
+# null_combinators, explode_posexplode_tokens — pure
 # expression evaluation, lowest plan-regression risk) were displaced by the
 # new pipeline6 curation batch and join the round-6 queue.
 # The 6 r2-stale left to the local full-registry check each have a sibling
@@ -73,6 +73,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "token_budget_waterfill",
     "bloom_decontaminate",
     "vocab_coverage",
+    "trigram_typicality",
     # -- r4 hash-reds, oracle HUGEINT casts fixed this round
     "q12_priority_by_returnflag",
     "sequence_pack_spans",
@@ -109,7 +110,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_exact_keyed",
     "doc_fingerprint",
     "embedding_cosine_dedup",
-    "explode_posexplode_tokens",
     "multimodal_bytes_meta",
     "python_udtf_bigrams",
     "text_quality_scores",

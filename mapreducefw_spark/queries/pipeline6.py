@@ -296,3 +296,87 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+@register(
+    "trigram_typicality",
+    oracle="""
+WITH tri AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 3
+              THEN list_transform(generate_series(1, length(text) - 2),
+                                  i -> substr(text, i, 3))
+              ELSE [] END AS tg
+  FROM documents
+),
+inst AS (SELECT doc_id, unnest(tg) AS g FROM tri),
+model AS (SELECT g, COUNT(*) AS c FROM inst GROUP BY g),
+agg AS (
+  SELECT i.doc_id,
+         COUNT(*) AS n_tri,
+         CAST(SUM(m.c) AS BIGINT) AS tri_mass
+  FROM inst i JOIN model m ON i.g = m.g
+  GROUP BY i.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.n_tri, 0) AS n_tri,
+       COALESCE(a.tri_mass, 0) AS tri_mass,
+       ROUND(CAST(COALESCE(a.tri_mass, 0) AS DOUBLE)
+             / greatest(COALESCE(a.n_tri, 0), 1), 6) AS typicality
+FROM tri t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+""",
+)
+def trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram typicality: each doc scored by the average
+    corpus-wide frequency of its trigrams — the integer-exact cousin of
+    n-gram LM perplexity filtering (gibberish and wrong-charset docs score
+    low, boilerplate scores high). Logs are avoided ON PURPOSE: the score
+    is a ratio of two exact bigint aggregates, so Spark and DuckDB agree
+    bit for bit where a float log-sum would drift in the last ulp.
+
+    Scale shape: trigram instances explode map-side; the model (distinct
+    char trigrams — bounded by charset^3, ~100K rows for real corpora, NOT
+    corpus-sized) broadcasts back onto the instances; one shuffle per
+    groupBy. The length>=3 gate matters: Spark's sequence(1,0) counts
+    BACKWARDS (step -1) rather than returning empty, so short/NULL texts
+    must take the empty-array branch explicitly."""
+    docs = t(spark, sf_dir, "documents")
+    tg = F.when(
+        F.length("text") >= 3,
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+    # Aggregate (doc, trigram) -> count FIRST and pin one materialization:
+    # model, mass and n_tri all derive from this frame, and without the
+    # checkpoint each branch would re-run the transform+explode scan (3x the
+    # dominant cost; 20s -> 6s at sf0.01). Same pattern as operators/rank.py.
+    pairs = (
+        docs.select("doc_id", F.explode(tg).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    model = pairs.groupBy("g").agg(F.sum("n").alias("c"))
+    agg = (
+        pairs.join(F.broadcast(model), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tri"),
+            F.sum(F.col("n") * F.col("c")).cast("bigint").alias("tri_mass"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tri", F.lit(0).cast("bigint")).alias("n_tri"),
+            F.coalesce("tri_mass", F.lit(0).cast("bigint")).alias("tri_mass"),
+            F.round(
+                F.coalesce("tri_mass", F.lit(0).cast("bigint")).cast("double")
+                / F.greatest(F.coalesce("n_tri", F.lit(0).cast("bigint")), F.lit(1)),
+                6,
+            ).alias("typicality"),
+        )
+        .orderBy("doc_id")
+    )
