@@ -37,7 +37,7 @@ def _iterative_waterfill(avail: dict[str, int], budget: float) -> dict[str, floa
     return alloc
 
 
-@pytest.mark.parametrize("frac", [0.2, 0.6, 0.95, 1.5])
+@pytest.mark.parametrize("frac", [0.0, 0.2, 0.6, 0.95, 1.5])
 def test_waterfill_matches_iterative_reference(spark, frac):
     avail = {"a": 100, "b": 250, "c": 250, "d": 900, "e": 3000}
     budget = frac * sum(avail.values())

@@ -165,3 +165,41 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_compaction_recovery_restores_newest_of_multiple_old_dirs(spark, sf_dir, tmp_path):
+    """With several *_old candidates and the target missing (a doubly
+    interrupted history), the NEWEST by mtime must be restored — uuid hex
+    sorts in arbitrary vintage order, so lexicographic choice would revive
+    an arbitrary dataset."""
+    import os
+    import shutil
+    import time as _time
+
+    target = str(tmp_path / "ds2")
+    orders = t(spark, sf_dir, "orders")
+    # older vintage: 100 rows; newer vintage: full table
+    orders.limit(100).write.parquet(f"{target}__compact_ffffffff_old")
+    _time.sleep(0.05)
+    orders.write.parquet(f"{target}__compact_00000000_old")
+    os.utime(
+        f"{target}__compact_00000000_old", None
+    )  # newest mtime despite sorting first
+    action = maintenance.recover_compaction(target)
+    assert action.startswith("restored") and "00000000" in action, action
+    assert spark.read.parquet(target).count() == orders.count()
+    assert not os.path.exists(f"{target}__compact_ffffffff_old")
+
+
+def test_compact_parquet_invalidates_probe_cache(spark, sf_dir, tmp_path):
+    """compact_parquet rewrites files in place: any memoized partition-count
+    probe for a plan over that path is stale and must be dropped."""
+    from mapreducefw_spark.operators import textprep
+
+    target = str(tmp_path / "ds3")
+    t(spark, sf_dir, "orders").repartition(6).write.parquet(target)
+    df = spark.read.parquet(target)
+    textprep.ensure_parallelism(df, min_parts=4)  # populates the probe cache
+    assert textprep._PROBE_CACHE  # seeded
+    maintenance.compact_parquet(spark, target, target_file_bytes=1 << 30)
+    assert not textprep._PROBE_CACHE  # dropped by the rewrite
