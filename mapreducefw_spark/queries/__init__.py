@@ -62,7 +62,9 @@ def register(name: str, oracle: str | None = None):
 # dedup_exact (dedup_exact_keyed in-window), median_exact_prices (bench-
 # measured, r2-green), text_token_stats (text_normalize_stats r4-green),
 # embedding_label_norms (cosine/quantized top-k r4-green).
-# Round-6 rotation queue (stalest after this round): those 6, the r3-vintage
+# Round-6 rotation queue (stalest after this round): dup_ngram_stats
+# (registered after the r5 window filled — no driver row yet), the 6
+# sibling-covered r2-stale, the displaced scalar batch, the r3-vintage
 # attribution/pipeline batch, and any new registrations.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- no driver row yet (pipeline6 curation batch is new this round)

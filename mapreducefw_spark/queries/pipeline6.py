@@ -380,3 +380,67 @@ def trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dup_ngram_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL
+),
+tg AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS g3
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(g3) AS BIGINT) AS n_grams,
+       CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+             / greatest(len(g3), 1), 6) AS dup_frac
+FROM tg
+ORDER BY doc_id
+""",
+)
+def dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (the Gopher/C4 quality rule):
+    fraction of duplicate token 3-grams per doc — boilerplate and
+    degenerate generations score high and get filtered before training.
+    Entirely MAP-ONLY (higher-order array expressions; no explode, no
+    shuffle, no join): at 100 TB this costs exactly one scan. The counts
+    are exact integers so both engines agree bit for bit."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.split("text", " ")
+    g3 = F.when(
+        F.size(w) >= 3,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2), "
+            "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], "
+            "split(text, ' ')[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(w).cast("bigint").alias("n_tokens"),
+            g3.alias("_g3"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("_g3").cast("bigint").alias("n_grams"),
+            (F.size("_g3") - F.size(F.array_distinct("_g3")))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+            F.round(
+                (F.size("_g3") - F.size(F.array_distinct("_g3"))).cast("double")
+                / F.greatest(F.size("_g3"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -120,3 +120,16 @@ def test_quality_deciles_are_ordered_and_balanced(spark, sf_dir):
     # descending score order: bin b's min >= bin b+1's max
     for hi, lo in zip(rows, rows[1:]):
         assert hi["min_tokens"] >= lo["max_tokens"]
+
+
+def test_bloom_empty_contamination_set_flags_nothing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    empty = docs.filter(F.lit(False)).select("text")
+    probed = curation.bloom_probe(docs, curation.bloom_bitmap(empty))
+    assert probed.filter("bloom_hit").count() == 0
+    assert probed.count() == docs.count()  # nothing dropped, only flagged
+
+
+def test_waterfill_empty_input_returns_empty(spark):
+    per = spark.createDataFrame([], "source string, n_tokens long")
+    assert curation.token_budget_waterfill(per, 100).count() == 0

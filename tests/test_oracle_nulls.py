@@ -1,0 +1,99 @@
+"""Differential NULL/edge-text robustness for the documents-table queries.
+
+The driver regenerates fixtures between rounds and the current ones happen
+to contain no NULL, empty, or sub-n-gram texts — so the per-round oracle
+checks can't prove the queries survive them. This suite builds a tiny
+documents table that is ALL edge cases (NULLs, empty strings, one- and
+two-token docs, exact duplicates, whitespace runs) and diffs Spark against
+the registered DuckDB oracle on it, exactly like the driver would.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F  # noqa: F401 (parity with sibling suites)
+
+from mapreducefw_spark.queries import ORACLES, QUERIES, load_all
+
+load_all()
+
+# documents-only queries whose semantics must hold on edge texts
+EDGE_QUERIES = [
+    "doc_chunking",
+    "source_resample_weighted",
+    "sequence_pack_spans",
+    "minhash_signatures_portable",
+    "stratified_sample_sources",
+    "quality_decile_mixture",
+    "token_budget_waterfill",
+    "bloom_decontaminate",
+    "vocab_coverage",
+    "trigram_typicality",
+    "dup_ngram_stats",
+    "containment_dedup_pairs",
+]
+
+ROWS = [
+    # (doc_id, text, lang, source, n_chars)
+    (0, None, "en", "src0", 0),
+    (1, "", "en", "src0", 0),
+    (2, "one", "en", "src0", 3),
+    (3, "two words", "en", "src1", 9),
+    (4, "a b", "en", "src1", 3),
+    (5, "the same text again", "en", "src1", 19),
+    (6, "the same text again", "en", "src2", 19),  # exact duplicate
+    (7, "x  double  spaces", "en", "src2", 17),  # empty split tokens
+    (8, "repeat repeat repeat repeat repeat", "en", "src2", 34),
+    (9, None, "de", "src3", 0),  # second NULL, different source
+    (10, "normal looking document with several distinct words inside", "de", "src3", 59),
+    (14, "tail doc for the seventh-id contamination bucket", "de", "src3", 48),
+    (21, "another multiple of seven lands in the contamination set", "en", "src0", 56),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_docs")
+    spark.createDataFrame(
+        ROWS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_documents_match_oracle(spark, edge_dir, name):
+    sdf = QUERIES[name](spark, edge_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the file glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{edge_dir}/documents.parquet/*.parquet'"
+    )
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows), (len(srows), len(drows))
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sn = sorted((tuple(_norm(r[i]) for i in order_s) for r in srows), key=repr)
+    dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=repr)
+    diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not diffs, diffs[:3]
