@@ -444,3 +444,105 @@ def dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "count_min_heavy_hitters",
+    oracle="""
+WITH cnt AS (
+  SELECT tk, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS tk
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY tk
+),
+cells AS (
+  SELECT d.d,
+         CAST(('0x' || substr(md5(tk || ':cm' || d.d), 1, 8)) AS BIGINT) % 1024 AS p,
+         CAST(SUM(c) AS BIGINT) AS cell
+  FROM cnt, (VALUES (0), (1), (2), (3)) AS d(d)
+  GROUP BY d.d, p
+),
+top AS (
+  SELECT tk, c FROM cnt ORDER BY c DESC, tk LIMIT 20
+)
+SELECT t.tk AS token,
+       CAST(t.c AS BIGINT) AS exact_cnt,
+       MIN(cl.cell) AS cms_est,
+       CAST(MIN(cl.cell) - t.c AS BIGINT) AS overcount
+FROM top t
+JOIN cells cl
+  ON cl.p = CAST(('0x' || substr(md5(t.tk || ':cm' || cl.d), 1, 8)) AS BIGINT) % 1024
+GROUP BY t.tk, t.c
+ORDER BY exact_cnt DESC, token
+""",
+)
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 1024) estimating the frequencies of
+    the top-20 tokens — the streaming-friendly heavy-hitter summary (HLL
+    covers distinct counts; CMS covers frequencies). The sketch is built
+    FROM the per-token aggregate (sum token counts into cells), not from
+    raw instances, so the corpus is scanned once; the 4096-cell sketch
+    broadcasts to the probe. One-sided error (est >= exact, pinned in
+    tests) with the usual e/w overcount bound. md5 hash family: DuckDB
+    builds the bit-identical sketch, so even collision overcounts
+    value-hash-match."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    WIDTH, DEPTH = 1024, 4
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds cells, top-k AND the probe
+    )
+
+    def pos(tok_col, d: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(tok_col, F.lit(f":cm{d}"))), 1, 8), 16, 10
+            ).cast("long")
+            % WIDTH
+        )
+
+    cells = (
+        cnt.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(d).alias("d"), pos(F.col("tk"), d).alias("p"))
+                        for d in range(DEPTH)
+                    ]
+                )
+            ).alias("dp"),
+            "c",
+        )
+        .groupBy(F.col("dp.d").alias("d"), F.col("dp.p").alias("p"))
+        .agg(F.sum("c").cast("bigint").alias("cell"))
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("tk")).limit(20)
+    probes = top.select(
+        F.col("tk").alias("token"),
+        F.col("c").cast("bigint").alias("exact_cnt"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), pos(F.col("tk"), d).alias("p"))
+                    for d in range(DEPTH)
+                ]
+            )
+        ).alias("dp"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("dp.d") == F.col("d")) & (F.col("dp.p") == F.col("p")),
+        )
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )

@@ -133,3 +133,12 @@ def test_bloom_empty_contamination_set_flags_nothing(spark, sf_dir):
 def test_waterfill_empty_input_returns_empty(spark):
     per = spark.createDataFrame([], "source string, n_tokens long")
     assert curation.token_budget_waterfill(per, 100).count() == 0
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    rows = QUERIES["count_min_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # CMS error is one-sided: cells only ever ADD counts
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
