@@ -62,9 +62,12 @@ def register(name: str, oracle: str | None = None):
 # dedup_exact (dedup_exact_keyed in-window), median_exact_prices (bench-
 # measured, r2-green), text_token_stats (text_normalize_stats r4-green),
 # embedding_label_norms (cosine/quantized top-k r4-green).
-# Round-6 rotation queue (stalest after this round): dup_ngram_stats
-# (registered after the r5 window filled — no driver row yet), the 6
-# sibling-covered r2-stale, the displaced scalar batch, the r3-vintage
+# Also displaced for new-query rows: text_quality_scores (quality family
+# freshly covered by trigram_typicality + dup_ngram_stats),
+# topk_parts_per_brand (bench headline, plan-pinned in CI),
+# window_distribution_fns (window family keeps 5 other in-window rows).
+# Round-6 rotation queue (stalest after this round): the 6 sibling-covered
+# r2-stale, the displaced scalar/window/quality re-verifies, the r3-vintage
 # attribution/pipeline batch, and any new registrations.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- no driver row yet (pipeline6 curation batch is new this round)
@@ -76,6 +79,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "bloom_decontaminate",
     "vocab_coverage",
     "trigram_typicality",
+    "dup_ngram_stats",
+    "count_min_heavy_hitters",
+    "percentile_disc_prices",
     # -- r4 hash-reds, oracle HUGEINT casts fixed this round
     "q12_priority_by_returnflag",
     "sequence_pack_spans",
@@ -114,9 +120,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_cosine_dedup",
     "multimodal_bytes_meta",
     "python_udtf_bigrams",
-    "text_quality_scores",
-    "topk_parts_per_brand",
-    "window_distribution_fns",
     "window_frames_running",
     "window_lag_lead_orders",
     "window_nth_last_value",

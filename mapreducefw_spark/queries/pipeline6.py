@@ -546,3 +546,57 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "token")
     )
+
+
+@register(
+    "percentile_disc_prices",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rk = CAST(CEIL(0.50 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+       MAX(CASE WHEN rk = CAST(CEIL(0.90 * n) AS BIGINT) THEN l_extendedprice END) AS p90,
+       MAX(CASE WHEN rk = CAST(CEIL(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
+FROM r
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles (p50/p90/p99 of extended price per return
+    flag): the value at rank ceil(p*n) in the sorted group — no
+    interpolation, no float arithmetic, so both engines read the same
+    parquet double back out and the family's driver row is a full value
+    hash (percentile_approx_prices stays the documented sketch/scale path,
+    rows-only + epsilon-pinned; median_exact the interpolating exact form).
+    Per-group window over a 3-value key: exact-by-sorting is the oracle
+    twin's cost by design, same status as median_exact_prices."""
+    from pyspark.sql.window import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = W.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(p: float, name: str):
+        return F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias(name)
+
+    return (
+        r.groupBy("l_returnflag")
+        .agg(at(0.50, "p50"), at(0.90, "p90"), at(0.99, "p99"))
+        .orderBy("l_returnflag")
+    )

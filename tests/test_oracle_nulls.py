@@ -34,6 +34,7 @@ EDGE_QUERIES = [
     "trigram_typicality",
     "dup_ngram_stats",
     "containment_dedup_pairs",
+    "count_min_heavy_hitters",
 ]
 
 ROWS = [
