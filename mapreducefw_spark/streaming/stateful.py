@@ -87,3 +87,44 @@ def user_profile_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cdc_materialize(changes: DataFrame) -> DataFrame:
+    """Streaming CDC materialization: fold an (key, seq, op, val) changelog
+    stream into per-key current state — the live MERGE INTO whose final
+    answer must equal the batch fold (operators/cdc.py::apply_changelog;
+    equivalence pinned in tests/test_streaming.py, with the base snapshot
+    entering the stream as seq=-1 upserts since applyInPandasWithState has
+    no initial-state hook).
+
+    State per key is just (seq, op, val) of the LATEST applied change —
+    last-writer-wins on seq, exactly the batch operator's window rule, and
+    robust to late/out-of-order delivery ACROSS micro-batches (a stale seq
+    arriving after a newer one is ignored). Deletes stay in state as
+    tombstones so a late pre-delete update cannot resurrect the row. Emits
+    the current row per key per batch (update mode); the reader takes each
+    key's last emit and drops tombstones to get the table."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seq, op, val = state.get if state.exists else (-2, "", "")
+        for pdf in batches:
+            # fold this batch's rows; ties impossible (contract: unique seq)
+            for s, o, v in zip(
+                pdf["seq"].to_numpy(), pdf["op"].to_numpy(), pdf["val"].to_numpy()
+            ):
+                if int(s) > seq:
+                    seq, op, val = int(s), str(o), "" if v is None else str(v)
+        state.update((seq, op, val))
+        yield pd.DataFrame(
+            {"key": [key[0]], "seq": [seq], "op": [op], "val": [val]}
+        )
+
+    return changes.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key bigint, seq bigint, op string, val string",
+        stateStructType="seq bigint, op string, val string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

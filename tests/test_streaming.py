@@ -113,3 +113,58 @@ def test_streaming_bloom_decontaminate_equals_batch(spark, sf_dir):
     }
     assert stream_flags == batch_flags
     assert any(stream_flags.values())  # the planted contamination is flagged
+
+
+def test_streaming_cdc_materialize_equals_batch_apply(spark, tmp_path):
+    """Folding a multi-batch changelog stream through the stateful CDC
+    operator must land on exactly the batch apply_changelog answer —
+    including delete-wins and out-of-order seqs split ACROSS micro-batches
+    (the cross-batch state is what a per-batch batch job can't do)."""
+    import random
+
+    from mapreducefw_spark.operators import cdc
+    from mapreducefw_spark.streaming import stateful
+
+    rng = random.Random(42)
+    base_rows = [(k, f"base{k}") for k in range(40)]
+    base = spark.createDataFrame(base_rows, "key long, val string")
+
+    # changelog: upserts/deletes over half the keys + brand-new keys, seqs
+    # assigned then SHUFFLED so later micro-batches carry earlier seqs
+    ops = []
+    seq = 0
+    for k in list(range(0, 40, 2)) + list(range(40, 50)):
+        for _ in range(rng.randint(1, 4)):
+            ops.append((k, seq, rng.choice(["U", "U", "U", "D"]), f"v{seq}"))
+            seq += 1
+    rng.shuffle(ops)
+    changes = spark.createDataFrame(ops, "key long, seq long, op string, val string")
+
+    expected = {
+        (r["key"], r["val"])
+        for r in cdc.apply_changelog(
+            base, changes, key_cols=["key"], seq_col="seq", op_col="op"
+        ).collect()
+    }
+
+    # stream = base as seq=-1 upserts + the shuffled changelog, written as
+    # many small files so the fold genuinely crosses micro-batches
+    stream_dir = str(tmp_path / "cdc_stream")
+    base_as_changes = base.select(
+        "key", F.lit(-1).cast("long").alias("seq"), F.lit("U").alias("op"), "val"
+    )
+    base_as_changes.unionByName(changes).repartition(8).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema("key long, seq long, op string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    out = windows.run_bounded(
+        stateful.cdc_materialize(stream), "t_cdc_mat", output_mode="update"
+    )
+    # last emit per key = final state; tombstones drop
+    final = {}
+    for r in out.orderBy("seq").collect():
+        final[r["key"]] = (r["seq"], r["op"], r["val"])
+    got = {(k, v) for k, (s, o, v) in final.items() if o != "D"}
+    assert got == expected
