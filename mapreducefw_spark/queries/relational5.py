@@ -75,9 +75,11 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
-       ROUND((e.value - s.s1 / s.n) / SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS zscore
+       ROUND((e.value - s.s1 / s.n)
+             / SQRT(NULLIF(GREATEST(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 0), 0)), 4) AS zscore
 FROM events e JOIN stats s ON e.event_type = s.event_type
-WHERE ABS((e.value - s.s1 / s.n) / SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 3
+WHERE ABS((e.value - s.s1 / s.n)
+          / SQRT(NULLIF(GREATEST(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 0), 0))) > 3
 ORDER BY e.event_id
 """,
 )
@@ -91,7 +93,12 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value") * dec("value")).cast("double").alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
-    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    # zero/negative variance (single-event or constant-valued type) must
+    # yield NULL, not a divide-by-zero: ANSI Spark errors on x/0 and DuckDB
+    # errors on SQRT(<0), so BOTH sides NULL the std via the same guard —
+    # zero-variance groups have no outliers by definition
+    var = F.col("s2") / F.col("n") - mean * mean
+    std = F.sqrt(F.when(var > 0, var))
     z = (F.col("value") - mean) / std
     return (
         ev.join(F.broadcast(stats), "event_type")

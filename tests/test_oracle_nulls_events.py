@@ -1,0 +1,110 @@
+"""Differential NULL/edge robustness for the events-table queries.
+
+Companion to tests/test_oracle_nulls.py: the driver regenerates the events
+fixture between rounds (its ts STORAGE type already changed once, breaking
+nothing only because the loader normalizes vintages). This suite writes an
+all-edge events table via pyarrow as TIMESTAMP_NTZ — the current fixture
+vintage — with NULL user ids/values/props, malformed JSON, exact
+window-boundary timestamps, duplicate (user, ts) pairs and single-event
+users, then diffs each events query against its registered DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mapreducefw_spark.queries import ORACLES, QUERIES, load_all
+
+load_all()
+
+EDGE_QUERIES = [
+    "events_tumbling_1h",
+    "events_sliding_1h_30m",
+    "sessionization_30m",
+    "session_window_batch",
+    "interval_join_events",
+    "time_rollup_multigrain",
+    "events_zscore_anomalies",
+    "json_extract_events",
+]
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+ROWS = [
+    # event_id, ts, user_id, event_type, value, props
+    (1, _ts("2024-03-01 00:00:00"), 1, "click", 1.0, '{"page": "a", "ms": 10}'),
+    (2, _ts("2024-03-01 00:59:59.999999"), 1, "click", 2.0, '{"page": "b", "ms": 20}'),
+    (3, _ts("2024-03-01 01:00:00"), 1, "view", 3.0, None),  # window boundary + NULL props
+    (4, _ts("2024-03-01 01:00:00"), 2, "view", None, "not json at all"),  # NULL value + bad JSON
+    (5, _ts("2024-03-01 01:00:00"), 2, "view", 5.0, '{"page": null}'),  # dup (user, ts)
+    (6, _ts("2024-03-01 01:04:59"), 2, "click", -1.0, "{}"),
+    (7, _ts("2024-03-01 01:05:00"), 2, "click", 0.0, '{"ms": "7"}'),  # 5-min bin edge
+    (8, _ts("2024-03-01 02:30:00"), None, "click", 8.0, '{"page": "c"}'),  # NULL user
+    (9, _ts("2024-03-01 02:35:00"), None, "view", 9.0, None),  # second NULL user
+    (10, _ts("2024-03-01 05:00:00"), 3, "purchase", 100.0, '{"ms": 1}'),  # lone event
+    (11, _ts("2024-03-02 00:00:00"), 1, "click", 11.0, '{"page": "d"}'),  # next day
+    (12, _ts("2024-03-02 00:29:59"), 1, "click", 12.0, None),  # 30-min session edge
+    (13, _ts("2024-03-02 00:30:00"), 1, "click", 13.0, None),  # exactly gap-sized hole
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in ROWS], pa.int64()),
+            # timestamp[us] with no tz -> parquet TIMESTAMP_NTZ, the current
+            # fixture vintage (exercises the loader's UTC-cast branch)
+            "ts": pa.array([r[1] for r in ROWS], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in ROWS], pa.int64()),
+            "event_type": pa.array([r[3] for r in ROWS], pa.string()),
+            "value": pa.array([r[4] for r in ROWS], pa.float64()),
+            "props": pa.array([r[5] for r in ROWS], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_events_match_oracle(spark, edge_dir, name):
+    sdf = QUERIES[name](spark, edge_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{edge_dir}/events.parquet'"
+    )
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows), (len(srows), len(drows))
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sn = sorted((tuple(_norm(r[i]) for i in order_s) for r in srows), key=repr)
+    dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=repr)
+    diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not diffs, diffs[:3]
