@@ -142,3 +142,37 @@ def test_count_min_never_underestimates(spark, sf_dir):
         # CMS error is one-sided: cells only ever ADD counts
         assert r["cms_est"] >= r["exact_cnt"], r
         assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_avail = st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+    st.integers(min_value=1, max_value=100_000),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(avail=_avail, frac=st.floats(min_value=0.0, max_value=2.0, allow_nan=False))
+def test_waterfill_property_vs_iterative(spark_global, avail, frac):
+    """Random source sizes and budget fractions: the closed-form window
+    allocation must track the iterative reference within flooring."""
+    budget = frac * sum(avail.values())
+    per = spark_global.createDataFrame(
+        [(s, n) for s, n in avail.items()], "source string, n_tokens long"
+    )
+    got = {
+        r["source"]: r["alloc_tokens"]
+        for r in curation.token_budget_waterfill(per, budget).collect()
+    }
+    want = _iterative_waterfill(avail, budget)
+    for s, n in avail.items():
+        assert 0 <= got[s] <= n
+        # saturated sources are exact; unsaturated floored from the level
+        assert abs(got[s] - want[s]) < 1, (s, got[s], want[s], avail, frac)
+    total = sum(got.values())
+    assert total <= min(budget, sum(avail.values())) + 1e-6
+    assert total >= min(budget, sum(avail.values())) - len(avail)
