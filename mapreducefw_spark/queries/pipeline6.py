@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducefw_spark.operators import curation, rank
+from mapreducefw_spark.operators import curation, packing, rank
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
 
@@ -599,4 +599,28 @@ def percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.groupBy("l_returnflag")
         .agg(at(0.50, "p50"), at(0.90, "p90"), at(0.99, "p99"))
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "deterministic_sample_pct",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':smp'), 1, 8)) AS BIGINT)
+      / 4294967296.0 < 0.15
+ORDER BY o_orderkey
+""",
+)
+def deterministic_sample_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~15% Bernoulli sample selected by md5-uniform(key) — the
+    driver-checkable twin of TABLESAMPLE (tablesample_seeded stays rows-only:
+    its RNG is engine-specific, while this form picks the SAME rows in any
+    engine, which is what an auditable 100 TB pipeline actually wants from a
+    sample). Map-only: the predicate evaluates in the scan stage."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(packing.uniform_unit("o_orderkey", "smp") < 0.15)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     )

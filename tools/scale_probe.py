@@ -118,6 +118,11 @@ the remainder (beyond a ≤30ms normalization bound) to fixture distribution
   r3), asof_join_latest_order 0.597s (r4 driver 0.914), session_window_batch
   0.345s. Correctness re-verified through the vanilla-session driver sim
   (all events queries hash-green) and the stream==batch pytest pins.
+- **Round-5 local bench validation (non-binding)**: full headline total
+  22.06s / comparable 0.89x vs the driver's r4 22.81s; q1's transient 3.1s
+  reading in one run re-measured at 0.81-1.0s (host noise — six isolated
+  reps 0.99-1.17s). New headline entries: bloom_decontaminate 0.76s,
+  quality_decile_mixture 0.74s at sf0.1.
 """
 
 
