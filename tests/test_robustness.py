@@ -117,3 +117,61 @@ def test_observe_metrics_ride_the_action(spark, sf_dir):
     assert metrics["n_null_text"] == 0
     assert metrics["n_tokens"] > 0
     assert kept <= metrics["n_rows"]
+
+
+def test_stateful_cdc_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart the stateful CDC fold against the SAME checkpoint:
+    the per-key state (latest seq/op) must come back, so stale seqs and
+    late pre-delete updates arriving AFTER the restart cannot overwrite or
+    resurrect what the first run already applied. Asserted on the restarted
+    run's own emits — not just the final union — so a silently reset state
+    store cannot pass."""
+    from mapreducefw_spark.streaming import stateful
+
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    os.makedirs(src)
+    schema = "key long, seq long, op string, val string"
+
+    run1 = [(7, 100, "U", "newest7"), (9, 200, "D", ""), (1, 10, "U", "v1")]
+    run2 = [(7, 60, "U", "stale7"), (9, 150, "U", "zombie9"), (1, 11, "U", "v2")]
+
+    emitted: list = []
+
+    def drain() -> list:
+        batch_rows: list = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful.cdc_materialize(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _id: batch_rows.extend(df.collect()))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        emitted.extend(batch_rows)
+        return batch_rows
+
+    spark.createDataFrame(run1, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(run2, schema).coalesce(1).write.mode("append").parquet(src)
+    second = drain()
+
+    by_key_2 = {r["key"]: (r["seq"], r["op"], r["val"]) for r in second}
+    # state survived: the stale seq-60 update could not displace seq 100
+    assert by_key_2[7] == (100, "U", "newest7"), by_key_2
+    # tombstone survived: the late pre-delete update could not resurrect key 9
+    assert by_key_2[9] == (200, "D", ""), by_key_2
+    # genuinely newer seq still applies after restart
+    assert by_key_2[1] == (11, "U", "v2"), by_key_2
+
+    final = {}
+    for r in sorted(emitted, key=lambda r: r["seq"]):
+        final[r["key"]] = (r["seq"], r["op"], r["val"])
+    assert {(k, v) for k, (s, o, v) in final.items() if o != "D"} == {
+        (7, "newest7"),
+        (1, "v2"),
+    }
