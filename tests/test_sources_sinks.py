@@ -86,3 +86,26 @@ def test_xml_roundtrip(spark, tmp_path):
     formats.write_xml(df, path, row_tag="row")
     back = formats.read_xml(spark, path, "id bigint, name string", row_tag="row")
     assert sorted(map(tuple, back.collect())) == [(1, "alpha"), (2, "beta")]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A 100 TB dataset accretes columns over time: files written before a
+    column existed must read back as NULLs under mergeSchema, and the scan
+    must still prune to requested columns. Default reads take the footer of
+    one file — only mergeSchema reconciles mixed vintages."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string").write.parquet(p)
+    spark.createDataFrame(
+        [(3, "z", 30.0)], "a long, b string, c double"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"a", "b", "c"}
+    rows = {r["a"]: (r["b"], r["c"]) for r in merged.collect()}
+    assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 30.0)}
+
+    # column pruning still reaches the merged scan
+    plan = (
+        merged.select("a")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<a:bigint>" in plan, plan
