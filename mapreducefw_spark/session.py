@@ -23,7 +23,11 @@ def get_spark(
     app_name: str = "mapreducefw-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """``extra_conf`` entries are applied LAST (they win) — for tools that
+    need a static conf the defaults pin, e.g. the shuffle probe enabling
+    the UI/REST metrics endpoint."""
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_partitions = shuffle_partitions or int(cpus)
     builder = (
@@ -43,6 +47,8 @@ def get_spark(
             os.environ.get("SPARK_WAREHOUSE_DIR", os.path.join(tempfile.gettempdir(), "mrfw-warehouse")),
         )
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

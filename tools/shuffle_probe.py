@@ -1,0 +1,93 @@
+"""Shuffle-volume probe: measure bytes SHUFFLED per query (Spark REST
+status API) against the on-disk size of the tables it reads — the direct
+evidence behind the scale claims ("dedup shuffles 32-byte hashes, never
+text"; "the bloom probe never shuffles the corpus"). Stage inputBytes is
+NOT used as the denominator: the local-FS vectorized reader under-reports
+it; file sizes are deterministic. Writes SHUFFLE.md.
+
+Run: python tools/shuffle_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mapreducefw_spark.queries import QUERIES, load_all
+from mapreducefw_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+
+# query -> (tables read, why its shuffle volume is the interesting number)
+PROBED = {
+    "dedup_exact": (["documents"], "exact dedup shuffles content HASHES, never document text"),
+    "jaccard_token_pairs": (["documents"], "inverted-index join: shuffle ~ posting lists, not n^2 text"),
+    "minhash_dedup_pairs": (["documents"], "signatures+banding: shuffle ~ k longs/doc + candidate ids"),
+    "bloom_decontaminate": (["documents"], "probe side is broadcast joins — corpus shuffle ~ final agg only"),
+    "q1_pricing_summary": (["lineitem"], "scan-heavy agg: shuffle = tiny partial-agg rows"),
+    "mr_wordcount": (["documents"], "classic wordcount: shuffle = distinct tokens after map-side combine"),
+    "sequence_pack_spans": (["documents"], "two-phase prefix sum: one bucket-keyed doc exchange"),
+}
+
+
+def _api(base: str, path: str):
+    with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
+        return json.loads(r.read())
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="shuffle-probe",
+        cpus=32,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+    )
+    load_all()
+    base = "http://localhost:4049"
+    app_id = _api(base, "applications")[0]["id"]
+
+    def shuffle_written() -> int:
+        return sum(
+            st.get("shuffleWriteBytes", 0)
+            for st in _api(base, f"applications/{app_id}/stages?status=complete")
+        )
+
+    lines = [
+        "# SHUFFLE — bytes shuffled vs on-disk input per query "
+        "(tools/shuffle_probe.py, sf0.1, local[32])",
+        "",
+        "Shuffle write is the cluster-network cost a plan pays; the denominator",
+        "is the compressed on-disk size of the tables the query reads. A ratio",
+        "around or below 1 means the plan moves keys, hashes and partial",
+        "aggregates — not multiplied raw data — which is the difference between",
+        "a join that works at 100 TB and one that melts the network. (Shuffled",
+        "rows are uncompressed, so even a pass-through exchange would exceed",
+        "1.0; sub-1 ratios are genuinely reductive plans.)",
+        "",
+        "| query | input on disk | shuffle write | shuffle/input | why it matters |",
+        "|---|---|---|---|---|",
+    ]
+    for name, (tables, why) in PROBED.items():
+        on_disk = sum(
+            os.path.getsize(f"{SF_DIR}/{t}.parquet") for t in tables
+        )
+        QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()  # warm
+        w0 = shuffle_written()
+        QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        written = shuffle_written() - w0
+        ratio = written / on_disk
+        fmt = lambda b: f"{b / 1e6:.2f} MB"
+        lines.append(
+            f"| {name} | {fmt(on_disk)} | {fmt(written)} | {ratio:.3f} | {why} |"
+        )
+        print(lines[-1])
+    Path("SHUFFLE.md").write_text("\n".join(lines) + "\n")
+    print("wrote SHUFFLE.md")
+
+
+if __name__ == "__main__":
+    main()
