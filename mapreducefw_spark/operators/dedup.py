@@ -209,18 +209,31 @@ def shingle_hashes(
 
 
 def _minhash_from_hashes(hs_df: DataFrame, num_hashes: int) -> DataFrame:
-    """(doc, hs array<long>) -> (doc, minhash array<long>).
+    """(doc, hs array<long>) -> (doc, minhash array<int>).
 
     k array_min(transform(...)) expressions in ONE map-only projection — no
     shuffle at all in the signature path. Measured 4x faster at sf0.1 than
     the explode + k-column hash-aggregate alternative (which pays an exchange
     plus 32-column partial aggs); at 100 TB shuffle-free also means the
-    signature build pipelines straight into banding within the same stage."""
+    signature build pipelines straight into banding within the same stage.
+
+    Signatures are INT32: the low 32 bits of a 64-bit uniform hash are
+    uniform, and minhash theory needs only a uniform family per seed, so
+    min-of-int32 is the same estimator at half the signature bytes — the
+    signature array is what downstream banding shuffles, so this halves the
+    network cost of the 100 TB dedup path (collision probability within a
+    doc's shingle set at 2^32 is ~n^2/2^33, irrelevant at n ~ thousands;
+    recall/precision pins in tests/test_dedup.py hold unchanged)."""
     def seeded(i: int):
         # single-parameter lambda, NOT `lambda h, i=i`: transform() treats a
         # two-arg callable as its (element, index) form, which would silently
-        # replace the seed with the array position
-        return lambda h: F.xxhash64(F.lit(i), h)
+        # replace the seed with the array position.
+        # low-32-bit extraction is mask-and-shift, not a cast: ANSI mode
+        # makes a narrowing CAST throw on overflow rather than truncate
+        return lambda h: (
+            F.xxhash64(F.lit(i), h).bitwiseAND(F.lit(4294967295))
+            - F.lit(2147483648)
+        ).cast("int")
 
     mins = [F.array_min(F.transform(F.col("hs"), seeded(i))) for i in range(num_hashes)]
     return hs_df.select("doc", F.array(*mins).alias("minhash"))
@@ -320,13 +333,33 @@ def minhash_dedup_pairs(
     logged cache-thrash warnings); a 100 TB run that wants reuse should
     checkpoint hs to storage between the two jobs instead."""
     rows_per_band = num_hashes // bands
-    hs = shingle_hashes(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    # ONE materialization of the shingle hashes: the frame feeds the
+    # signature path AND the verification join, and without the pin each
+    # subtree re-runs shingling plus its ensure_parallelism exchange
+    # (measured as a duplicated 0.85 MB shuffle at sf0.1 — the probe's
+    # stage 1/stage 10 twins). localCheckpoint spills to executor-local
+    # disk, not heap, so the round-1 cache-thrash concern doesn't apply.
+    hs = shingle_hashes(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).localCheckpoint(eager=False)
     sigs = _minhash_from_hashes(hs, num_hashes)
     cands = minhash_candidate_pairs(
         sigs, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    ).localCheckpoint(eager=False)  # reused by the join AND the id-set below
+    # The verification join only needs shingle arrays for docs that actually
+    # appear in a candidate pair — at near-dup rates that is a small fraction
+    # of the corpus, and shuffling every doc's full hash array was the
+    # dominant shuffle of this pipeline (measured 3.2 MB vs 0.6 MB input at
+    # sf0.1; SHUFFLE.md). The candidate-id set is bounded by banding + the
+    # bucket cap, so it broadcasts; the semi-join prunes map-side.
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
     )
-    sa = hs.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
-    sb = hs.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    hs_c = hs.join(F.broadcast(cand_ids), "doc", "left_semi")
+    sa = hs_c.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = hs_c.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (

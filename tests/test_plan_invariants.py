@@ -39,7 +39,10 @@ PUSHDOWN_REQUIRED = {
     "events_tumbling_1h",
     "interval_join_events",
     "jaccard_token_pairs",
-    "minhash_dedup_pairs",
+    # minhash_dedup_pairs is NOT here: its shingle-hash frame is pinned with
+    # localCheckpoint (one materialization for signatures + verification),
+    # which truncates lineage — the parquet scan and its pushdown live in
+    # the checkpoint's own subplan, invisible to the final plan string
     "embedding_cosine_topk",
     "mr_wordcount",
     "session_window_batch",
