@@ -123,6 +123,12 @@ the remainder (beyond a ≤30ms normalization bound) to fixture distribution
   reading in one run re-measured at 0.81-1.0s (host noise — six isolated
   reps 0.99-1.17s). New headline entries: bloom_decontaminate 0.76s,
   quality_decile_mixture 0.74s at sf0.1.
+- **Round-5 closing bench (local, non-binding)**: 33-query headline total
+  19.38s; comparable total 18.23s vs the driver's r4 22.81s = 0.80x with
+  ZERO >1.3x regressions flagged. SHUFFLE.md (new tools/shuffle_probe.py)
+  adds network-cost evidence per plan shape; probe-driven fixes cut the
+  minhash pipeline's shuffle 3.24 -> 2.41 MB at sf0.1 (int32 signatures,
+  pinned shingle frame, candidate-pruned verification).
 """
 
 
