@@ -152,6 +152,7 @@ def load_all() -> None:
         pipeline4,
         pipeline5,
         pipeline6,
+        pipeline7,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]
