@@ -232,6 +232,36 @@ def view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "view_click_attribution_outer",
+    oracle="""
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id AS user_id
+FROM events v LEFT JOIN events c
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts > v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTES
+WHERE v.event_type = 'view'
+ORDER BY view_id, click_id
+""",
+)
+def view_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream join
+    (streaming/joins.py::view_click_join_outer): every view appears, with a
+    NULL click_id when no same-user click follows within 30 minutes — the
+    funnel question 'which views never converted'. Stream == batch is
+    pinned in tests/test_streaming_advanced.py with a watermark-flush
+    sentinel, since outer NULLs only emit on event-time progress."""
+    from mapreducefw_spark.streaming.joins import view_click_join_outer
+
+    ev = t(spark, sf_dir, "events")
+    return view_click_join_outer(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        within="30 minutes",
+    ).orderBy("view_id", "click_id")
+
+
+@register(
     "time_rollup_multigrain",
     oracle="""
 SELECT grain, STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,

@@ -14,21 +14,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def view_click_join(
-    views: DataFrame,
-    clicks: DataFrame,
-    *,
-    within: str = "30 minutes",
-    watermark: str = "2 hours",
+def _attribution_join(
+    views: DataFrame, clicks: DataFrame, *, within: str, watermark: str, how: str
 ) -> DataFrame:
-    """Attribute each click to the views by the same user in the preceding
-    ``within`` interval (click strictly after the view).
-
-    Both inputs need watermarks — without them Spark would keep every view
-    forever waiting for a possible future click. The range condition on the
-    two event times lets the state store evict a view once the watermark
-    passes view_ts + within.
-    """
     v = views.withWatermark("ts", watermark).select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
@@ -44,5 +32,46 @@ def view_click_join(
         (F.col("v_user") == F.col("c_user"))
         & (F.col("click_ts") > F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
-        "inner",
+        how,
     ).select("view_id", "click_id", F.col("v_user").alias("user_id"))
+
+
+def view_click_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Attribute each click to the views by the same user in the preceding
+    ``within`` interval (click strictly after the view).
+
+    Both inputs need watermarks — without them Spark would keep every view
+    forever waiting for a possible future click. The range condition on the
+    two event times lets the state store evict a view once the watermark
+    passes view_ts + within.
+    """
+    return _attribution_join(
+        views, clicks, within=within, watermark=watermark, how="inner"
+    )
+
+
+def view_click_join_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view emits — matched pairs as
+    they meet, UNMATCHED views with a NULL click_id once the watermark
+    proves no qualifying click can still arrive (watermark past
+    view_ts + within). That deferred NULL emission is the semantic heart of
+    streaming outer joins: correctness depends on event-time progress, not
+    on micro-batch boundaries, so a bounded replay only flushes its tail
+    after a later-timestamped row advances the watermark (the pytest pin
+    stages exactly such a flush row). Funnel analyses (views that never
+    converted) run on this shape unchanged against Kafka."""
+    return _attribution_join(
+        views, clicks, within=within, watermark=watermark, how="leftOuter"
+    )

@@ -89,6 +89,58 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join == batch left-outer on the bounded
+    replay. Outer NULLs for unmatched views only emit once the watermark
+    passes view_ts + within, so the replay stages a far-future sentinel row
+    on BOTH sides (the query watermark is the min across inputs) with a
+    newer mtime, forcing a final batch whose watermark flushes every
+    remaining unmatched view from state."""
+    import datetime
+    import os
+    import time
+
+    from mapreducefw_spark.streaming import joins
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    views_b = ev.filter(F.col("event_type") == "view").drop("event_type")
+    clicks_b = ev.filter(F.col("event_type") == "click").drop("event_type")
+    vdir, cdir = str(tmp_path / "v_src"), str(tmp_path / "c_src")
+    views_b.coalesce(1).write.parquet(vdir)
+    clicks_b.coalesce(1).write.parquet(cdir)
+
+    far = ev.agg(F.max("ts")).collect()[0][0] + datetime.timedelta(days=30)
+    flush = spark.createDataFrame([(-1, -999, far)], views_b.schema)
+    now = time.time()
+    for d in (vdir, cdir):
+        before = set(os.listdir(d))
+        flush.coalesce(1).write.mode("append").parquet(d)
+        for f in os.listdir(d):
+            path = os.path.join(d, f)
+            # real data strictly older than the sentinel so the file source
+            # (which orders batches by mtime) replays the sentinel last
+            ts_f = now if f not in before or f == "_SUCCESS" else now - 100
+            os.utime(path, (ts_f, ts_f))
+
+    vs = (
+        spark.readStream.schema(views_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vdir)
+    )
+    cs = (
+        spark.readStream.schema(clicks_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    joined = joins.view_click_join_outer(vs, cs)
+    out = windows.run_bounded(joined, "t_ssj_outer", output_mode="append")
+    got = out.filter(F.col("user_id") != -999)
+    expect = joins.view_click_join_outer(views_b, clicks_b)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    # the outer legs actually exercised: some unmatched views must exist
+    assert got.filter(F.col("click_id").isNull()).count() > 0
+
+
 def _protobuf_available() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
