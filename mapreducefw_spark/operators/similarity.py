@@ -253,6 +253,65 @@ def random_hyperplane_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 16,
+    threshold: float = 0.4,
+    kmeans_iters: int = 1,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, then compare
+    vectors ONLY within their cluster — near-duplicate meaning is local, so
+    the O(n²) global compare collapses to Σ|cell|² ≈ n²/k, and each cell's
+    compare is an independent task. This is the published recipe for
+    embedding-level dedup at web scale (the LSH-bucketed form in
+    random_hyperplane_topk is the other standard route; k-means cells give
+    better recall when the corpus is genuinely clustered).
+
+    corpus: (vid, vec) from as_double_vecs. Returns (vid, cell, dup_of):
+    dup_of = lowest same-cell vid with cosine >= threshold among lower ids,
+    NULL for kept docs — the same keep-first rule as the exact-hash dedup
+    tier, so downstream filters are uniform across dedup operators.
+
+    max_cell_size guards the 100 TB failure mode (one mega-cell turning
+    quadratic): cells are truncated to their max_cell_size lowest-vid
+    members for PAIR GENERATION (extra members are never dropped from the
+    output, they just aren't compared — recall degrades gracefully, cost
+    stays bounded). Production would instead split hot cells by recursing
+    k-means; the cap keeps this operator one pass.
+    """
+    centroids = corpus.orderBy("vid").limit(n_cells)
+    if kmeans_iters > 0:
+        centroids = kmeans_refine(corpus, centroids, iters=kmeans_iters)
+    # One materialization: both join sides and the output read the same
+    # assignment (kmeans lineage would otherwise re-run per branch).
+    cells = assign_ivf_cells(corpus, centroids).localCheckpoint(eager=False)
+    compare = cells
+    if max_cell_size is not None:
+        w = W.partitionBy("cell").orderBy("vid")
+        compare = (
+            cells.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_cell_size)
+            .drop("_rn")
+        )
+    a = compare.select("cell", F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"))
+    b = compare.select("cell", F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"))
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("a_vec"), F.col("b_vec")) >= threshold)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        cells.select("vid", "cell")
+        .join(dup, cells["vid"] == dup["b_id"], "left")
+        .select("vid", "cell", "dup_of")
+    )
+
+
 def quantize_int8(df: DataFrame) -> DataFrame:
     """(vid, vec array<double>) -> (vid, qvec array<int>): symmetric
     per-vector int8 scalar quantization, q_i = floor(x_i * 127/max|x| + 0.5).

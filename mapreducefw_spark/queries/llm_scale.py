@@ -193,6 +193,30 @@ def embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("semantic_dedup_cells")  # rows-only (float k-means; pins in pytest)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup): k-means
+    cells, near-dup compare only within a cell (n²/k instead of n²), keep
+    the lowest id per duplicate pair. Reported per cell: members and docs
+    marked duplicate. Rows-only by design — cell assignment is float
+    k-means, not SQL-oracle-expressible; the no-false-pairs subset property
+    and full recall on a genuinely clustered corpus are pinned in
+    tests/test_similarity.py, and the exact quadratic twin
+    (embedding_cosine_dedup) carries the family's oracle row."""
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    sd = similarity.semantic_dedup(
+        emb, n_cells=16, threshold=0.4, kmeans_iters=1, max_cell_size=100_000
+    )
+    return (
+        sd.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("dup_of").isNotNull(), 1)).alias("n_dups"),
+        )
+        .orderBy("cell")
+    )
+
+
 @register("lang_id_heuristic")  # heuristic: rows-only (semantics pinned in pytest)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")

@@ -65,3 +65,75 @@ def test_lsh_returns_valid_neighbors(vecs):
     for ranked in seen.values():
         sims = [s for _, s in sorted(ranked)]
         assert sims == sorted(sims, reverse=True)
+
+
+def _removed(sd_df):
+    return set(r.vid for r in sd_df.filter(F.col("dup_of").isNotNull()).collect())
+
+
+def _quadratic_removed(emb, threshold):
+    a = emb.select(F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"))
+    b = emb.select(F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"))
+    quad = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(similarity.cosine(F.col("a_vec"), F.col("b_vec")) >= threshold)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("d"))
+    )
+    return set(r.b_id for r in quad.collect())
+
+
+def test_semantic_dedup_never_invents_pairs(vecs):
+    """Cluster-scoped dedup can only MISS pairs, never fabricate them: its
+    removed set is a subset of the quadratic keep-first truth, and every
+    dup_of points at a lower id (keep-first rule)."""
+    sd = similarity.semantic_dedup(vecs, n_cells=16, threshold=0.4, kmeans_iters=1)
+    rows = sd.filter(F.col("dup_of").isNotNull()).collect()
+    assert all(r.dup_of < r.vid for r in rows)
+    assert _removed(sd) <= _quadratic_removed(vecs, 0.4)
+
+
+def test_semantic_dedup_recall_on_clustered_corpus(spark):
+    """On a corpus that actually clusters (SemDeDup's operating assumption —
+    the parquet fixture's embeddings are isotropic, so this builds a tightly
+    clustered one), cluster-scoped compare finds the full quadratic removed
+    set and keeps exactly one representative per cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(12, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = [
+        (i, [float(x) for x in centers[i % 12] + 0.04 * rng.normal(size=32)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vid long, vec array<double>")
+    sd = similarity.semantic_dedup(emb, n_cells=12, threshold=0.9, kmeans_iters=1)
+    removed = _removed(sd)
+    truth = _quadratic_removed(emb, 0.9)
+    assert removed <= truth
+    assert len(removed & truth) / max(len(truth), 1) >= 0.95  # measured 1.0
+    assert emb.count() - len(removed) <= 12 + 3  # ~one representative per cluster
+
+
+def test_semantic_dedup_cell_cap_bounds_compare_not_output(spark):
+    """max_cell_size truncates pair GENERATION, never the output: every vid
+    still appears exactly once, and capped recall only loses pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + 0.04 * rng.normal(size=16)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vid long, vec array<double>")
+    capped = similarity.semantic_dedup(
+        emb, n_cells=4, threshold=0.9, kmeans_iters=1, max_cell_size=10
+    )
+    assert capped.count() == 120
+    assert capped.select("vid").distinct().count() == 120
+    uncapped = similarity.semantic_dedup(emb, n_cells=4, threshold=0.9, kmeans_iters=1)
+    assert _removed(capped) <= _removed(uncapped)
