@@ -58,6 +58,7 @@ HEADLINE = [
     # binning over the two-phase global rank
     "bloom_decontaminate",
     "quality_decile_mixture",
+    "incremental_agg_maintenance",
 ]
 
 

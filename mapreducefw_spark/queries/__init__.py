@@ -113,6 +113,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "scd2_merge_emulation",
     "topk_orders_global",
     "union_all_segments",
+    # -- new this round (session 2): IVM merge == recompute, outer interval
+    #    join batch twin — each displaces one r2-stale window re-verify
+    #    (window_nth_last_value, window_range_frame -> round-6 queue; the
+    #    window family keeps 3 other in-window rows)
+    "incremental_agg_maintenance",
+    "view_click_attribution_outer",
     # -- r2-stale re-verifies (oracle-bearing)
     "catalog_input_file_name",
     "dedup_exact_keyed",
@@ -122,8 +128,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "python_udtf_bigrams",
     "window_frames_running",
     "window_lag_lead_orders",
-    "window_nth_last_value",
-    "window_range_frame",
     "window_rank_customers",
 )
 
