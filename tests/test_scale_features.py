@@ -160,3 +160,61 @@ def test_global_rank_two_phase_equals_window_form(spark, sf_dir):
             ).collect()
         }
         assert got == expected, f"num_parts={n}"
+
+
+def test_zorder_layout_skips_files_on_2d_box(spark, tmp_path):
+    """Z-order clustering (operators/zorder.py) vs single-column sorts,
+    judged by the thing readers actually prune on: parquet min/max
+    statistics. For a box predicate on BOTH columns, the stats-eligible
+    file set of the Morton layout must be well under either single-column
+    layout's (measured: 11 vs 32-34 of 256 files at sf0.01), and the
+    written data must round-trip exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreducefw_spark.operators import zorder
+
+    od = t(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = str(tmp_path)
+    n_files = 256
+    od.repartitionByRange(n_files, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    ).write.parquet(f"{base}/by_price")
+    od.repartitionByRange(n_files, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.parquet(f"{base}/by_cust")
+    zorder.write_zordered(
+        od, f"{base}/zord", ["o_custkey", "o_totalprice"], n_files=n_files
+    )
+
+    m = od.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    cmin, cmax, pmin, pmax = m
+    clo, chi = cmin + (cmax - cmin) * 7 // 16, cmin + (cmax - cmin) * 9 // 16
+    plo, phi = pmin + (pmax - pmin) * 7 / 16, pmin + (pmax - pmin) * 9 / 16
+
+    def eligible_files(d: str) -> int:
+        n = 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.names
+            ic, ip = names.index("o_custkey"), names.index("o_totalprice")
+            for rg in range(md.num_row_groups):
+                sc = md.row_group(rg).column(ic).statistics
+                sp = md.row_group(rg).column(ip).statistics
+                if sc.min <= chi and sc.max >= clo and sp.min <= phi and sp.max >= plo:
+                    n += 1
+                    break
+        return n
+
+    z = eligible_files(f"{base}/zord")
+    single = min(eligible_files(f"{base}/by_price"), eligible_files(f"{base}/by_cust"))
+    assert 2 * z <= single, f"zorder {z} files vs best single-column {single}"
+    got = sorted(map(tuple, spark.read.parquet(f"{base}/zord").collect()))
+    want = sorted(map(tuple, od.collect()))
+    assert got == want
