@@ -25,6 +25,7 @@ input arrives as a delta rather than a full scan.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -109,3 +110,64 @@ def merge_agg_delta(
         )
     )
     return merged.filter(F.col(count_alias) != 0)
+
+
+class ParquetViewMerger:
+    """foreachBatch sink: streaming incremental view maintenance.
+
+    Feed it a weighted changelog STREAM (same contract as merge_agg_delta:
+    fact columns + weight ±1) and it keeps a parquet materialized view
+    current, folding each micro-batch's delta into the previous epoch's view
+    and writing a NEW ``epoch=<id>`` directory — the prior epoch stays
+    intact, so a crash mid-write loses nothing, and foreachBatch's replay of
+    an epoch after restart rewrites the same directory (idempotent).
+    Production systems commit the epoch pointer through a transactional
+    table format; here the newest complete epoch is the view — the same
+    newest-wins recovery rule as sources/maintenance.compact_parquet.
+
+    Because merge order is irrelevant for summed measures, a retraction
+    arriving in an EARLIER micro-batch than its insert (out-of-order CDC)
+    nets out correctly once both have been applied — intermediate epochs may
+    transiently hold negative counts, final state is exact. This is the
+    property that lets the view trail an at-least-once changelog without
+    coordination.
+    """
+
+    def __init__(
+        self,
+        view_dir: str,
+        *,
+        keys: list[str],
+        sum_cols: Mapping[str, Column | str],
+        count_alias: str = "n_rows",
+        weight_col: str = "_w",
+    ) -> None:
+        self.view_dir = view_dir
+        self.keys = keys
+        self.sum_cols = dict(sum_cols)
+        self.count_alias = count_alias
+        self.weight_col = weight_col
+        self.current: str | None = None
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.current is None:
+            view = delta_aggregate(
+                batch_df,
+                keys=self.keys,
+                sum_cols=self.sum_cols,
+                count_alias=self.count_alias,
+                weight_col=self.weight_col,
+            ).filter(F.col(self.count_alias) != 0)
+        else:
+            base = batch_df.sparkSession.read.parquet(self.current)
+            view = merge_agg_delta(
+                base,
+                batch_df,
+                keys=self.keys,
+                sum_cols=self.sum_cols,
+                count_alias=self.count_alias,
+                weight_col=self.weight_col,
+            )
+        path = os.path.join(self.view_dir, f"epoch={epoch_id}")
+        view.write.mode("overwrite").parquet(path)
+        self.current = path

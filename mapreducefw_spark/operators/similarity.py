@@ -10,10 +10,17 @@
 - random_hyperplane_topk: LSH bucket variant — sign-bit signature from h
   deterministic hyperplanes, candidates share a bucket, exact rerank inside.
 
-All distance math is JVM-side (zip_with/aggregate fold) — no Python UDFs.
+Distance math is JVM-side (zip_with/aggregate fold) everywhere the centroid
+set is small; nearest-centroid assignment against a GROWING centroid set
+(semantic_dedup's cells ∝ corpus) uses an Arrow-batched pandas UDF doing one
+numpy matmul per batch — the measured crossover is brutal (~18us per
+interpreted fold element vs ~0.6ns per matmul FLOP), and vectorized batch
+math is precisely what pandas UDFs are for. No row-at-a-time Python UDFs.
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf type-hint strings resolve
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -89,6 +96,41 @@ def assign_ivf_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
         ).alias("best"),
     )
     return scored.select("vid", "vec", F.col("best.cid").alias("cell"))
+
+
+def assign_cells_vectorized(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-only nearest-centroid assignment via an Arrow-batched pandas UDF:
+    one (batch x dim) @ (dim x n_cells) numpy matmul per Arrow batch.
+
+    The expression-tree form (assign_ivf_cells) evaluates an interpreted
+    higher-order cosine fold per (row, centroid) — ~18us/element measured,
+    which turns quadratic-feeling the moment n_cells grows with the corpus
+    (256 centroids x 32k rows = 212s on local[32]). This is exactly the case
+    the PySpark guidance reserves pandas UDFs for: dense-vector math the
+    built-in expressions can't vectorize. Same work as a numpy matmul: 0.3s.
+
+    The centroid matrix is collected driver-side and closure-broadcast — it
+    is MODEL-sized, O(n_cells x dim) (the standard broadcast-variable
+    pattern for ML scoring), never corpus-sized; the corpus itself streams
+    through Arrow batches. Ties broadcast to the lowest centroid id
+    (np.argmax takes the first max); the expression form breaks ties high —
+    float ties are measure-zero and each form is deterministic.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids.orderBy("vid").collect()  # O(n_cells * dim): model, not data
+    cmat = np.asarray([r.vec for r in cents], dtype=np.float64)
+    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+    cids = np.asarray([r.vid for r in cents], dtype=np.int64)
+
+    @pandas_udf("long")
+    def best_cell(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        return pd.Series(cids[np.argmax(m @ cmat.T, axis=1)])
+
+    return corpus.select("vid", "vec", best_cell("vec").alias("cell"))
 
 
 def kmeans_refine(corpus: DataFrame, centroids: DataFrame, iters: int = 2) -> DataFrame:
@@ -260,6 +302,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     kmeans_iters: int = 1,
     max_cell_size: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-partition the embedding space, then compare
@@ -285,9 +328,13 @@ def semantic_dedup(
     centroids = corpus.orderBy("vid").limit(n_cells)
     if kmeans_iters > 0:
         centroids = kmeans_refine(corpus, centroids, iters=kmeans_iters)
+    # Vectorized (Arrow/numpy) assignment is the scale path — the
+    # expression-tree fold costs ~18us per (row, centroid) interpreted and
+    # n_cells grows with the corpus under the SemDeDup deployment rule.
+    assign = assign_cells_vectorized if vectorized else assign_ivf_cells
     # One materialization: both join sides and the output read the same
     # assignment (kmeans lineage would otherwise re-run per branch).
-    cells = assign_ivf_cells(corpus, centroids).localCheckpoint(eager=False)
+    cells = assign(corpus, centroids).localCheckpoint(eager=False)
     compare = cells
     if max_cell_size is not None:
         w = W.partitionBy("cell").orderBy("vid")

@@ -114,11 +114,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "topk_orders_global",
     "union_all_segments",
     # -- new this round (session 2): IVM merge == recompute, outer interval
-    #    join batch twin — each displaces one r2-stale window re-verify
-    #    (window_nth_last_value, window_range_frame -> round-6 queue; the
-    #    window family keeps 3 other in-window rows)
+    #    join batch twin, cross-doc duplicated-passage coverage — each
+    #    displaces one r2-stale window re-verify (window_nth_last_value,
+    #    window_range_frame, window_frames_running -> round-6 queue; the
+    #    window family keeps lag_lead + rank_customers in-window)
     "incremental_agg_maintenance",
     "view_click_attribution_outer",
+    "dup_passage_coverage",
     # -- r2-stale re-verifies (oracle-bearing)
     "catalog_input_file_name",
     "dedup_exact_keyed",
@@ -126,7 +128,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_cosine_dedup",
     "multimodal_bytes_meta",
     "python_udtf_bigrams",
-    "window_frames_running",
     "window_lag_lead_orders",
     "window_rank_customers",
 )

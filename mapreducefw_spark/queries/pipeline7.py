@@ -45,9 +45,20 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(c).alias(a) for a, c in sum_cols.items()],
         F.count(F.lit(1)).alias("n_rows"),
     )
-    inserts = li.filter(F.col("l_orderkey") % 5 == 0).withColumn("_w", F.lit(1))
-    retracts = base.filter(F.col("l_orderkey") % 7 == 3).withColumn("_w", F.lit(-1))
-    changes = inserts.unionByName(retracts)
+    # Synthesize the changelog in ONE scan (a union of two filters would scan
+    # lineitem twice): each row contributes its applicable weights — +1 when
+    # it's an insert (k%5==0), -1 when it's a base row being retracted
+    # (k%5!=0 and k%7==3), nothing otherwise. In production the changelog is
+    # its own small input and this derivation disappears entirely.
+    is_insert = F.col("l_orderkey") % 5 == 0
+    is_retract = (F.col("l_orderkey") % 5 != 0) & (F.col("l_orderkey") % 7 == 3)
+    changes = li.filter(is_insert | is_retract).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        F.when(is_insert, F.lit(1)).otherwise(F.lit(-1)).alias("_w"),
+    )
     merged = ivm.merge_agg_delta(
         base_agg,
         changes,
@@ -61,3 +72,88 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").cast("double").alias("sum_price"),
         "n_rows",
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "dup_passage_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 8
+              THEN list_transform(generate_series(1, len(w) - 7),
+                   i -> CAST(('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 12)) AS BIGINT))
+              ELSE [] END AS gh
+  FROM toks
+),
+inst AS (SELECT doc_id, unnest(gh) AS h FROM g),
+dup AS (SELECT h FROM inst GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT i.doc_id, COUNT(*) AS n_dup_grams
+  FROM inst i JOIN dup d ON i.h = d.h
+  GROUP BY i.doc_id
+)
+SELECT g.doc_id AS doc_id,
+       CAST(len(g.gh) AS BIGINT) AS n_grams,
+       CAST(COALESCE(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(COALESCE(c.n_dup_grams, 0) AS DOUBLE)
+             / greatest(len(g.gh), 1), 6) AS dup_frac
+FROM g LEFT JOIN cov c ON g.doc_id = c.doc_id
+ORDER BY doc_id
+""",
+)
+def dup_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage detection (the Lee et al. 2022
+    'Deduplicating Training Data' signal, bounded to 8-token grams instead
+    of full suffix arrays): a gram position is 'duplicated' when its 8-token
+    window also appears in ANOTHER document; per-doc coverage is the
+    fraction of positions so flagged — high-coverage docs are boilerplate /
+    syndicated copies worth dropping even when no whole-doc dup fires.
+
+    Scale shape: map-side gram hashing (48-bit md5 prefix — both engines
+    compute the identical family, so even collisions agree), ONE pinned
+    (doc, pos-hash) frame feeding both the cross-doc dup set (groupBy) and
+    the coverage count (semi-join back), never the raw gram strings in a
+    shuffle. Distinguished from dup_ngram_stats (WITHIN-doc repetition,
+    map-only) and decontamination (corpus x benchmark): this is corpus x
+    itself at passage granularity."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    gh = F.when(
+        F.size(F.split("text", " ")) >= 8,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 7), "
+            "i -> cast(conv(substr(md5(array_join(slice(split(text, ' '), i, 8), ' ')), 1, 12), 16, 10) as bigint))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = docs.select("doc_id", gh.alias("gh"))
+    inst = (
+        base.select("doc_id", F.explode("gh").alias("h"))
+        .localCheckpoint(eager=False)  # feeds the dup set AND the coverage join
+    )
+    dup = (
+        inst.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        inst.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("gh").cast("bigint").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)).cast("double")
+                / F.greatest(F.size("gh"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -115,3 +115,48 @@ def test_registered_query_matches_full_recompute(spark, sf_dir):
         .orderBy("l_returnflag", "l_linestatus")
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+
+
+def test_streaming_changelog_maintains_parquet_view(spark, sf_dir, tmp_path):
+    """Streaming IVM: a weighted changelog stream (all events as inserts,
+    every event_id % 3 == 0 also retracted) drives ParquetViewMerger over
+    multiple micro-batches; the final epoch's parquet view equals a batch
+    recompute over the net row set. Retractions may land in a different
+    micro-batch than their inserts — the merge is order-insensitive."""
+    from mapreducefw_spark.operators import ivm
+    from mapreducefw_spark.queries._util import dec, t
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = str(tmp_path / "changelog_src")
+    ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    changes = stream.withColumn("_w", F.lit(1)).unionByName(
+        stream.filter(F.col("event_id") % 3 == 0).withColumn("_w", F.lit(-1))
+    )
+    merger = ivm.ParquetViewMerger(
+        str(tmp_path / "view"),
+        keys=["event_type"],
+        sum_cols={"total_value": dec("value")},
+    )
+    q = changes.writeStream.foreachBatch(merger).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert merger.current is not None
+    got = spark.read.parquet(merger.current).select(
+        "event_type", F.col("total_value").cast("double").alias("tv"), "n_rows"
+    )
+    expect = (
+        ev.filter(F.col("event_id") % 3 != 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum(dec("value")).cast("double").alias("tv"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))

@@ -129,6 +129,31 @@ the remainder (beyond a ≤30ms normalization bound) to fixture distribution
   adds network-cost evidence per plan shape; probe-driven fixes cut the
   minhash pipeline's shuffle 3.24 -> 2.41 MB at sf0.1 (int32 signatures,
   pinned shingle frame, candidate-pruned verification).
+
+## Round 5 (continued session): probe methodology fix + a real find
+
+- **Probe bug fixed**: warm-up used to share one DataFrame with the first
+  timed rep per shape. For shapes that pin an internal localCheckpoint
+  (semantic dedup, minhash), the warm-up materialized the checkpoint and
+  the 1x "timed" rep measured only the post-checkpoint tail, while 4x/16x
+  paid cold full pipelines — the first semantic_dedup probe read 0.04s at
+  1x vs 152s at 16x largely from this skew. Warm-up samples are now
+  DISCARDED and every timed sample is a cold, freshly-built pipeline.
+- **The real find behind the remaining 16x blowup**: nearest-centroid
+  assignment as an expression tree (transform + aggregate cosine fold over
+  the broadcast centroid array) runs INTERPRETED at ~18us per
+  (row, centroid) element. With SemDeDup's n_cells ∝ corpus rule that is
+  O(k^2): 32k rows x 256 centroids measured 212s on local[32]. Replaced
+  with an Arrow-batched pandas UDF doing one numpy matmul per batch
+  (similarity.assign_cells_vectorized): 202.9s -> 3.8s cold at 16x, and the
+  probe row is now 0.23/0.24/0.55s (1x/4x/16x) — linear. Lesson recorded:
+  higher-order expression folds are fine against SMALL fixed arrays (the
+  per-pair rerank), but per-row scans of a GROWING broadcast array are the
+  pandas-UDF case.
+- semantic_dedup probe copies are sign-salted (component j of copy i flips
+  by hash(i, j)) so copies are mutually near-orthogonal: identical copies
+  would share a cell and add k^2 near-dup pairs — the mass-duplication case
+  exact dedup removes upstream, not corpus growth.
 """
 
 
@@ -142,9 +167,18 @@ def main() -> None:
     warmed = set()
 
     def timed(name, k, df):
-        if name not in warmed:  # first execution pays JVM/codegen warm-up
+        if name not in warmed:
+            # First execution pays JVM/codegen warm-up — run it and DISCARD
+            # the sample entirely. Timing the same df object right after its
+            # warm-up is wrong for shapes with internal localCheckpoint
+            # pins (semantic dedup, minhash): the warm-up materializes the
+            # checkpoint, so the "timed" rep would measure only the
+            # post-checkpoint tail at this k while other k factors pay the
+            # full cold pipeline — exactly the skew that made the first
+            # semantic_dedup probe read 0.04s at 1x vs 152s at 16x.
             df.write.mode("overwrite").format("noop").save()
             warmed.add(name)
+            return
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
         el = round(time.time() - t0, 2)
@@ -154,7 +188,10 @@ def main() -> None:
         # same-cell reps don't help — distant ones do
         cells[k] = min(cells.get(k, 9e9), el)
 
-    for k in FACTORS * 2:  # two full passes; cells keep their min (see timed)
+    # three full passes, each building FRESH DataFrames (so every timed
+    # sample is a cold full pipeline); cells keep their min (see timed).
+    # Pass 1's first factor per shape is the discarded warm-up.
+    for k in FACTORS * 3:
         li = multiplied(li0, ["l_orderkey"], k)
         orders = multiplied(ord0, ["o_orderkey"], k)
 
@@ -279,6 +316,85 @@ def main() -> None:
             "bloom_probe",
             k,
             C.bloom_probe(docs, bloom_bm).filter(F.col("bloom_hit")).groupBy().count(),
+        )
+
+        # round 5 (cont.): incremental view maintenance — base_agg is
+        # O(groups) regardless of k; the k-fold-scaled part is the changelog
+        # aggregation + merge, which should track the changes scan
+        from mapreducefw_spark.operators import ivm
+
+        is_ins = F.col("l_orderkey") % 5 == 0
+        is_ret = (F.col("l_orderkey") % 5 != 0) & (F.col("l_orderkey") % 7 == 3)
+        base_agg = (
+            li.filter(~is_ins)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).alias("s"), F.count(F.lit(1)).alias("n_rows"))
+        )
+        ch = li.filter(is_ins | is_ret).select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            F.when(is_ins, F.lit(1)).otherwise(F.lit(-1)).alias("_w"),
+        )
+        timed(
+            "ivm_changelog_merge",
+            k,
+            ivm.merge_agg_delta(
+                base_agg, ch,
+                keys=["l_returnflag", "l_linestatus"],
+                sum_cols={"s": dec("l_quantity")},
+            ),
+        )
+
+        # round 5 (cont.): semantic dedup with cells scaled alongside the
+        # corpus (n_cells ∝ k keeps per-cell membership constant, so the
+        # within-cell compare grows linearly — the SemDeDup deployment rule).
+        # Copies are SIGN-SALTED per copy index (component j flipped by
+        # hash(i, j) — random ± masks decorrelate copies to near-orthogonal),
+        # for the same reason the minhash probe salts its hash space: k
+        # identical copies of every vector would share a cell and add k^2
+        # near-dup pairs — the mass-duplication case exact dedup removes
+        # upstream, not corpus growth. (First probe version skipped the salt
+        # and measured exactly that blowup: 0.06s -> 159s at 16x.)
+        from mapreducefw_spark.operators import similarity as S
+
+        emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+        if k == 1:
+            emb = emb0
+        else:
+            emb = (
+                emb0.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+                .select(
+                    (F.col("vid") * k + F.col("_i")).alias("vid"),
+                    F.expr(
+                        "transform(vec, (x, j) -> x * (CASE WHEN pmod(hash(_i, j), 2) = 0"
+                        " THEN 1.0D ELSE -1.0D END))"
+                    ).alias("vec"),
+                )
+            )
+        timed(
+            "semantic_dedup_cells",
+            k,
+            S.semantic_dedup(
+                emb, n_cells=16 * k, threshold=0.4, kmeans_iters=0,
+                max_cell_size=20_000,
+            ).groupBy().count(),
+        )
+
+        # round 5 (cont.): z-order key + range-partitioned clustering (the
+        # write-path cost of the skipping layout; noop sink isolates compute
+        # + shuffle from disk variance)
+        from mapreducefw_spark.operators import zorder as Z
+
+        zd = Z.zvalue(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            ["o_custkey", "o_totalprice"],
+        )
+        timed(
+            "zorder_cluster",
+            k,
+            zd.repartitionByRange(64 * k, "_z").sortWithinPartitions("_z").drop("_z"),
         )
 
     rows_base = li0.count()
