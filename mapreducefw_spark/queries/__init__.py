@@ -115,16 +115,17 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "union_all_segments",
     # -- new this round (session 2): IVM merge == recompute, outer interval
     #    join batch twin, cross-doc duplicated-passage coverage — each
-    #    displaces one r2-stale window re-verify (window_nth_last_value,
-    #    window_range_frame, window_frames_running -> round-6 queue; the
-    #    window family keeps lag_lead + rank_customers in-window)
+    #    displaces one r2-stale re-verify (window_nth_last_value,
+    #    window_range_frame, window_frames_running, doc_fingerprint ->
+    #    round-6 queue; the window family keeps lag_lead + rank_customers
+    #    in-window, the dedup family keeps dedup_exact_keyed)
     "incremental_agg_maintenance",
     "view_click_attribution_outer",
     "dup_passage_coverage",
+    "funnel_view_click_purchase",
     # -- r2-stale re-verifies (oracle-bearing)
     "catalog_input_file_name",
     "dedup_exact_keyed",
-    "doc_fingerprint",
     "embedding_cosine_dedup",
     "multimodal_bytes_meta",
     "python_udtf_bigrams",

@@ -381,3 +381,88 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS users_view,
+       (SELECT COUNT(*) FROM s2) AS users_click,
+       (SELECT COUNT(*) FROM s3) AS users_purchase,
+       ROUND((SELECT COUNT(*) FROM s2) * 1.0 / greatest((SELECT COUNT(*) FROM s1), 1), 6)
+           AS view_to_click,
+       ROUND((SELECT COUNT(*) FROM s3) * 1.0 / greatest((SELECT COUNT(*) FROM s2), 1), 6)
+           AS click_to_purchase
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (the MATCH_RECOGNIZE workload): how many
+    users did view -> click -> purchase in STRICT event-time order (each
+    stage strictly after the accepted previous stage's timestamp)?
+
+    Spark side is ONE scan + one shuffle: events collapse to a per-user
+    time-sorted struct array, and an F.aggregate fold walks it with a
+    (stage, last_ts) accumulator — the fold touches each user's handful of
+    events, the 'small fixed array' case where higher-order expressions are
+    the right tool (contrast similarity.assign_cells_vectorized). The
+    staged-CTE oracle (min-t1 -> min qualifying t2 -> min qualifying t3) is
+    provably the same semantics: a sorted-order fold accepts the minimal
+    qualifying timestamp per stage. Strict inequality makes same-timestamp
+    stage pairs NOT count, identically in both engines."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+    per_user = ev.groupBy("user_id").agg(seq.alias("seq"))
+    acc0 = F.struct(
+        F.lit(0).alias("stage"), F.lit("1900-01-01").cast("timestamp").alias("lt")
+    )
+    def step(acc, e):
+        return (
+            F.when(
+                (acc["stage"] == 0) & (e["event_type"] == "view"),
+                F.struct(F.lit(1).alias("stage"), e["ts"].alias("lt")),
+            )
+            .when(
+                (acc["stage"] == 1) & (e["event_type"] == "click") & (e["ts"] > acc["lt"]),
+                F.struct(F.lit(2).alias("stage"), e["ts"].alias("lt")),
+            )
+            .when(
+                (acc["stage"] == 2) & (e["event_type"] == "purchase") & (e["ts"] > acc["lt"]),
+                F.struct(F.lit(3).alias("stage"), e["ts"].alias("lt")),
+            )
+            .otherwise(acc)
+        )
+    staged = per_user.select(
+        F.aggregate("seq", acc0, step)["stage"].alias("stage")
+    )
+    return staged.agg(
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("users_view"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("users_click"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).alias("users_purchase"),
+    ).select(
+        "users_view",
+        "users_click",
+        "users_purchase",
+        F.round(
+            F.col("users_click") * 1.0 / F.greatest(F.col("users_view"), F.lit(1)), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.col("users_purchase") * 1.0 / F.greatest(F.col("users_click"), F.lit(1)), 6
+        ).alias("click_to_purchase"),
+    )
