@@ -31,3 +31,52 @@ def salted_sum_count(
     return partial.groupBy(*group_cols).agg(
         F.sum("_s").alias(sum_alias), F.sum("_c").cast("bigint").alias(count_alias)
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    top_k: int = 10,
+    target_partitions: int = 32,
+) -> DataFrame:
+    """Pre-shuffle skew diagnostics: what a pipeline author checks BEFORE
+    keying a 100 TB join or groupBy on a column. One aggregation over the
+    keys (map-side partial combine makes it cheap regardless of skew), then
+    a bounded global top-k (TakeOrderedAndProject — never a full sort) and a
+    broadcast of the two summary scalars.
+
+    Returns the ``top_k`` heaviest keys with, per row: the key's count, its
+    share of all rows, the ratio of its count to the mean key count
+    (``hot_factor`` — how many average keys it weighs), and
+    ``recommended_salt`` = ceil(count * target_partitions / total): the salt
+    fan-out that would spread THIS key across reducers so no reducer gets
+    more than ~1/target_partitions of the data (1 = no salting needed, the
+    input to salted_sum_count's ``salt`` parameter otherwise). All integer /
+    exact arithmetic, so the report is engine-reproducible and
+    oracle-checkable.
+    """
+    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = cnt.agg(
+        F.sum("cnt").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_distinct"),
+    )
+    top = cnt.orderBy(F.desc("cnt"), *key_cols).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("_distinct") / F.col("_total"), 2).alias(
+                "hot_factor"
+            ),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.col("cnt") * F.lit(target_partitions) / F.col("_total")).cast(
+                    "bigint"
+                ),
+            ).alias("recommended_salt"),
+        )
+        .orderBy(F.desc("cnt"), *key_cols)
+    )

@@ -116,19 +116,21 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- new this round (session 2): IVM merge == recompute, outer interval
     #    join batch twin, cross-doc duplicated-passage coverage — each
     #    displaces one r2-stale re-verify (window_nth_last_value,
-    #    window_range_frame, window_frames_running, doc_fingerprint ->
-    #    round-6 queue; the window family keeps lag_lead + rank_customers
-    #    in-window, the dedup family keeps dedup_exact_keyed)
+    #    window_range_frame, window_frames_running, doc_fingerprint,
+    #    embedding_cosine_dedup, python_udtf_bigrams -> round-6 queue; the
+    #    window family keeps lag_lead + rank_customers in-window, dedup
+    #    keeps dedup_exact_keyed, embeddings gets a fresh row via
+    #    embedding_truncated_topk)
     "incremental_agg_maintenance",
     "view_click_attribution_outer",
     "dup_passage_coverage",
     "funnel_view_click_purchase",
+    "key_skew_report",
+    "embedding_truncated_topk",
     # -- r2-stale re-verifies (oracle-bearing)
     "catalog_input_file_name",
     "dedup_exact_keyed",
-    "embedding_cosine_dedup",
     "multimodal_bytes_meta",
-    "python_udtf_bigrams",
     "window_lag_lead_orders",
     "window_rank_customers",
 )

@@ -252,3 +252,39 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("feat_dim"),
         F.round(F.element_at("features", 1), 6).alias("f0"),
     ).orderBy("media_id")
+
+
+@register(
+    "embedding_truncated_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS qid, (embedding::DOUBLE[])[1:16] AS qe FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS nid, (embedding::DOUBLE[])[1:16] AS ne FROM embeddings),
+     sims AS (
+       SELECT qid, nid, ROUND(list_cosine_similarity(qe, ne), 6) AS sim
+       FROM q CROSS JOIN c
+       WHERE qid <> nid
+     ),
+     ranked AS (
+       SELECT qid, nid, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+       FROM sims
+     )
+SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 5
+ORDER BY qid, rk
+""",
+)
+def embedding_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation: exact cosine top-k over the
+    FIRST 16 of 64 dimensions — the standard cheap first pass when the
+    embedding model was trained with nested (MRL) objectives. 4x fewer
+    bytes in scan/shuffle and 4x fewer multiply-adds per pair than the
+    full-dim baseline, same plan shape (broadcast queries, corpus scanned
+    once); recall vs the full-dim truth is pinned in
+    tests/test_similarity.py. Complements int8 quantization
+    (embedding_quantized_topk): truncation cuts DIMENSIONS, quantization
+    cuts BYTES PER DIMENSION — production stacks compose both."""
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings")).select(
+        "vid", F.slice("vec", 1, 16).alias("vec")
+    )
+    q = emb.filter(F.col("vid") < 10)
+    return similarity.brute_force_topk(emb, q, k=5).orderBy("qid", "rk")

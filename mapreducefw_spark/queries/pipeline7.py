@@ -157,3 +157,39 @@ def dup_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+WITH keyed AS (
+  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 7 ELSE l_orderkey END AS k FROM lineitem
+),
+cnt AS (SELECT k, COUNT(*) AS cnt FROM keyed GROUP BY k),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS dk FROM cnt)
+SELECT k, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cnt * 1.0 / total, 6) AS share,
+       ROUND(cnt * dk * 1.0 / total, 2) AS hot_factor,
+       greatest(1, CAST(CEIL(cnt * 32.0 / total) AS BIGINT)) AS recommended_salt
+FROM cnt, tot
+ORDER BY cnt DESC, k
+LIMIT 5
+""",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics over the same synthesized 90%-hot-key fact the
+    skew-join demo uses: the report must surface key 7 with ~0.9 share and
+    recommend a ~29-way salt at 32 target partitions, while honest keys get
+    salt 1. This is the 'measure before you shuffle' tool that pairs with
+    salted_sum_count (aggregation) and the AQE skew join (joins): one
+    map-combined count aggregation + a bounded global top-k, never a full
+    sort. Exact integer/ratio arithmetic keeps it oracle-green."""
+    from mapreducefw_spark.operators.skew import key_skew_report as report
+
+    li = t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(7))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k")
+    )
+    return report(keyed, ["k"], top_k=5, target_partitions=32)
