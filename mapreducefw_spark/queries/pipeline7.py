@@ -114,11 +114,18 @@ def dup_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: map-side gram hashing (48-bit md5 prefix — both engines
     compute the identical family, so even collisions agree), ONE pinned
-    (doc, pos-hash) frame feeding both the cross-doc dup set (groupBy) and
-    the coverage count (semi-join back), never the raw gram strings in a
-    shuffle. Distinguished from dup_ngram_stats (WITHIN-doc repetition,
-    map-only) and decontamination (corpus x benchmark): this is corpus x
-    itself at passage granularity."""
+    (doc, pos-hash) frame feeding the cross-doc dup set (min(doc) !=
+    max(doc) under groupBy(h) — cheaper than countDistinct, whose
+    expand-for-distinct rewrite doubles exchanged rows) and the coverage
+    count (semi-join back). Raw gram strings (~50 bytes each) never
+    shuffle. Shuffle-probe A/B (SHUFFLE.md, sf0.1): this form exchanges
+    3.55 MB; with countDistinct in the dup-set leg it was 4.97 MB, and a
+    'single-exchange' groupBy(h) + collect_list(doc) variant measured
+    WORSE still (6.47 MB; 8.15 MB with countDistinct alongside) — per-row
+    list-serialization overhead exceeds the second exchange of bare
+    16-byte (h, doc) rows. Distinguished from
+    dup_ngram_stats (WITHIN-doc repetition, map-only) and decontamination
+    (corpus x benchmark): this is corpus x itself at passage granularity."""
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     gh = F.when(
         F.size(F.split("text", " ")) >= 8,
@@ -134,8 +141,8 @@ def dup_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = (
         inst.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("h")
     )
     cov = (

@@ -32,6 +32,10 @@ PROBED = {
     "q1_pricing_summary": (["lineitem"], "scan-heavy agg: shuffle = tiny partial-agg rows"),
     "mr_wordcount": (["documents"], "classic wordcount: shuffle = distinct tokens after map-side combine"),
     "sequence_pack_spans": (["documents"], "two-phase prefix sum: one bucket-keyed doc exchange"),
+    "incremental_agg_maintenance": (["lineitem"], "IVM: shuffle = two group-sized partial-agg frames, never facts"),
+    "dup_passage_coverage": (["documents"], "passage dedup: shuffle = 8-byte gram hashes + doc ids, never gram text"),
+    "funnel_view_click_purchase": (["events"], "funnel fold: one user-keyed exchange of (ts, type) structs"),
+    "key_skew_report": (["lineitem"], "skew report: map-side combine leaves per-key partials + a bounded top-k"),
 }
 
 
