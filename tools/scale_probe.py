@@ -154,6 +154,15 @@ the remainder (beyond a ≤30ms normalization bound) to fixture distribution
   by hash(i, j)) so copies are mutually near-orthogonal: identical copies
   would share a cell and add k^2 near-dup pairs — the mass-duplication case
   exact dedup removes upstream, not corpus growth.
+- **Continued-session closing bench (local, non-binding)**: 34-query
+  headline total 26.65s; comparable total 23.68s vs the driver's r4
+  22.81s = 1.04x with ZERO per-query >1.3x regression flags. The earlier
+  same-round closing run measured 19.38s total on identical headline code —
+  the ~25% gap is uniform across queries (host-VM slow window), not a plan
+  change; the driver's own BENCH_r05 run remains the binding record. New
+  headline entry: incremental_agg_maintenance 1.20s at sf0.1 (two scans by
+  construction — the synthesized changelog derivation; production IVM reads
+  a stored view + a small delta).
 """
 
 
