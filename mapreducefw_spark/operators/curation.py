@@ -230,3 +230,43 @@ def bloom_probe(
     out = out.withColumn("bloom_hit", hit)
     drop = [f"_{c}{i}" for i in range(num_hashes) for c in ("p", "w", "m", "bw", "bb")]
     return out.drop(*drop)
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    id_col: str,
+    salt: str = "esw",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, via the
+    Efraimidis-Spirakis key: rank rows by ln(u_i)/w_i descending (u_i a
+    per-id uniform, w_i the weight) and keep the top k — provably equivalent
+    to sequential draw-without-replacement with probability proportional to
+    weight (for k=1, P(i wins) = w_i / sum w, pinned in tests). Where
+    stratified_sample draws uniformly, this oversamples heavy rows — the
+    token-weighted carve-out a training mix actually wants.
+
+    One window per group (hash shuffle on group_col), map-side key
+    computation. u_i comes from the md5 family with a +0.5/2^32 offset so
+    u is strictly inside (0,1) — ln(0) never happens and any engine
+    recomputes the identical sample from the ids alone (the audit
+    property every deterministic-sampling operator here shares). ln/divide
+    are IEEE doubles in every engine; the 32-bit u grid keeps competing
+    keys far beyond ulp distance, so cross-engine ordering is stable.
+    """
+    c = F.col(id_col)
+    bits = F.conv(
+        F.substring(F.md5(F.concat_ws(":", c.cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("long")
+    u = (bits + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col)
+    w = W.partitionBy(group_col).orderBy(F.desc("_es_key"), id_col)
+    return (
+        df.withColumn("_es_key", key)
+        .withColumn("_es_rk", F.row_number().over(w))
+        .filter(F.col("_es_rk") <= k)
+        .drop("_es_key", "_es_rk")
+    )

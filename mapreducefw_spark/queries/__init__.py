@@ -118,8 +118,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    displaces one r2-stale re-verify (window_nth_last_value,
     #    window_range_frame, window_frames_running, doc_fingerprint,
     #    embedding_cosine_dedup, python_udtf_bigrams -> round-6 queue; the
-    #    window family keeps lag_lead + rank_customers in-window, dedup
-    #    keeps dedup_exact_keyed, embeddings gets a fresh row via
+    #    window_lag_lead_orders, catalog_input_file_name -> round-6 queue;
+    #    the window family keeps rank_customers in-window, dedup keeps
+    #    dedup_exact_keyed, embeddings gets a fresh row via
     #    embedding_truncated_topk)
     "incremental_agg_maintenance",
     "view_click_attribution_outer",
@@ -127,11 +128,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "key_skew_report",
     "embedding_truncated_topk",
+    "weighted_sample_tokens",
+    "analyze_column_stats",
     # -- r2-stale re-verifies (oracle-bearing)
-    "catalog_input_file_name",
     "dedup_exact_keyed",
     "multimodal_bytes_meta",
-    "window_lag_lead_orders",
     "window_rank_customers",
 )
 

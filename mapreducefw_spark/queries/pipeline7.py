@@ -200,3 +200,92 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     )
     return report(keyed, ["k"], top_k=5, target_partitions=32)
+
+
+@register(
+    "weighted_sample_tokens",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1
+),
+k AS (
+  SELECT doc_id, source, n_tokens,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':esw'), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0) / n_tokens AS es_key
+  FROM d
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rk
+  FROM k
+)
+SELECT source, doc_id, n_tokens FROM r WHERE rk <= 3
+ORDER BY source, doc_id
+""",
+)
+def weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sample, 3 docs per source, Efraimidis-Spirakis keys
+    (curation.weighted_sample_es): long documents win proportionally more
+    often than short ones — the carve-out a token-budgeted training mix
+    wants, where stratified_sample's uniform draw would under-represent
+    heavy docs. Deterministic from the ids (md5 family), so DuckDB
+    recomputes the identical sample; the proportional-to-weight law is
+    pinned in tests/test_curation.py."""
+    from mapreducefw_spark.operators.curation import weighted_sample_es
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    return weighted_sample_es(
+        d, "source", "n_tokens", 3, id_col="doc_id", salt="esw"
+    ).select("source", "doc_id", "n_tokens").orderBy("source", "doc_id")
+
+
+@register(
+    "analyze_column_stats",
+    oracle="""
+WITH pairs AS (
+  SELECT 'l_linenumber' AS col, CAST(l_linenumber AS BIGINT) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+),
+pv AS (SELECT col, v, COUNT(*) AS cnt FROM pairs GROUP BY col, v),
+rk AS (
+  SELECT col, v, cnt,
+         ROW_NUMBER() OVER (PARTITION BY col
+             ORDER BY CASE WHEN v IS NOT NULL THEN cnt END DESC NULLS LAST,
+                      v ASC NULLS LAST) AS r
+  FROM pv
+)
+SELECT col AS "column",
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
+       MIN(v) AS min_v,
+       MAX(v) AS max_v,
+       MAX(CASE WHEN r = 1 THEN v END) AS mcv,
+       CAST(MAX(CASE WHEN r = 1 AND v IS NOT NULL THEN cnt END) AS BIGINT) AS mcv_n
+FROM rk
+GROUP BY col
+ORDER BY col
+""",
+)
+def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style exact column statistics over three lineitem key
+    columns (operators/stats.py): row/null/distinct counts, min/max, and
+    the most-common value with frequency — what a cost-based optimizer's
+    estimates and a profiling dashboard consume. One scan, columns
+    unpivoted map-side; only (column, value, count) rows ever shuffle.
+    MCV ties break toward the smallest value, so the report is
+    deterministic and the oracle recomputes it exactly."""
+    from mapreducefw_spark.operators.stats import table_column_stats
+
+    li = t(spark, sf_dir, "lineitem")
+    return table_column_stats(li, ["l_linenumber", "l_suppkey", "l_partkey"])

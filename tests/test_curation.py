@@ -176,3 +176,42 @@ def test_waterfill_property_vs_iterative(spark_global, avail, frac):
     total = sum(got.values())
     assert total <= min(budget, sum(avail.values())) + 1e-6
     assert total >= min(budget, sum(avail.values())) - len(avail)
+
+
+def test_weighted_sample_es_proportional_to_weight(spark):
+    """Efraimidis-Spirakis law: with k=1, item i wins with probability
+    w_i / sum(w). Run the deterministic sampler across many salts (each an
+    independent draw) on a 4-item group with weights 1/2/3/4 and check the
+    empirical win rates against the law."""
+    from mapreducefw_spark.operators.curation import weighted_sample_es
+
+    # 400 independent draw-groups in ONE job: each group holds 4 items with
+    # weights 1..4 (sum 10) under distinct ids, so every group is an
+    # independent draw of the same distribution.
+    n_draws = 400
+    rows = [
+        (d * 10 + i, f"d{d}", float(i + 1)) for d in range(n_draws) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "id int, grp string, w double")
+    got = weighted_sample_es(df, "grp", "w", 1, id_col="id").collect()
+    assert len(got) == n_draws
+    wins = {i: 0 for i in range(4)}
+    for r in got:
+        wins[r.id % 10] += 1
+    for i in range(4):
+        expected = (i + 1) / 10.0
+        assert abs(wins[i] / n_draws - expected) < 0.07, (i, wins)
+
+
+def test_weighted_sample_es_exact_k_without_replacement(spark):
+    from mapreducefw_spark.operators.curation import weighted_sample_es
+
+    rows = [(i, f"g{i % 3}", float(1 + i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, grp string, w double")
+    got = weighted_sample_es(df, "grp", "w", 7, id_col="id").collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.grp, []).append(r.id)
+    assert set(per) == {"g0", "g1", "g2"}
+    for ids in per.values():
+        assert len(ids) == 7 and len(set(ids)) == 7  # exact k, no repeats

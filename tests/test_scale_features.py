@@ -218,3 +218,27 @@ def test_zorder_layout_skips_files_on_2d_box(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(f"{base}/zord").collect()))
     want = sorted(map(tuple, od.collect()))
     assert got == want
+
+
+def test_table_column_stats_nulls_and_mcv_ties(spark):
+    """ANALYZE stats (operators/stats.py): nulls counted but excluded from
+    ndv/min/max/MCV; MCV ties break toward the smallest value; an all-null
+    column reports ndv 0 with NULL mcv."""
+    from mapreducefw_spark.operators.stats import table_column_stats
+
+    rows = [
+        (1, 5, None),
+        (1, 5, None),
+        (2, 7, None),
+        (None, 7, None),
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    got = {r.column: r for r in table_column_stats(df, ["a", "b", "c"]).collect()}
+    a = got["a"]
+    assert (a.n_rows, a.n_null, a.ndv, a.min_v, a.max_v, a.mcv, a.mcv_n) == (
+        4, 1, 2, 1, 2, 1, 2
+    )
+    b = got["b"]  # 5 and 7 both appear twice -> tie breaks to smaller value
+    assert (b.n_null, b.ndv, b.mcv, b.mcv_n) == (0, 2, 5, 2)
+    c = got["c"]
+    assert (c.n_rows, c.n_null, c.ndv, c.mcv, c.mcv_n) == (4, 4, 0, None, None)
