@@ -289,3 +289,29 @@ def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem")
     return table_column_stats(li, ["l_linenumber", "l_suppkey", "l_partkey"])
+
+
+@register("hll_mergeable_distinct")  # sketch binary is engine-specific: rows-only
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch workflow approx_count_distinct hides: build a
+    datasketches HLL per order-priority partition (storable/shippable
+    state), then hll_union_agg the stored sketches into the global
+    distinct-customer estimate — the re-aggregation pattern that lets a
+    100 TB pipeline maintain per-partition sketches incrementally and
+    answer any coarser rollup WITHOUT rescanning (union of registers is
+    lossless: merged estimate == single-pass estimate, pinned in
+    tests/test_accuracy_pins.py along with the error bound). Output: one
+    row per priority plus the merged ALL row."""
+    orders = t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    per_rows = per.select(
+        F.col("o_orderpriority").alias("scope"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_customers"),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("ALL").alias("scope"),
+        F.hll_sketch_estimate("u").cast("bigint").alias("approx_customers"),
+    )
+    return per_rows.unionByName(merged).orderBy("scope")

@@ -210,3 +210,23 @@ def test_lsh_ann_recall_pinned(vecs_01):
         truth.setdefault(r.qid, set()).add(r.nid)
     hits = sum(r.nid in truth[r.qid] for r in ann)
     assert hits / len(exact) >= 0.6, f"recall@5 {hits / len(exact)}"
+
+
+def test_hll_sketch_merge_is_lossless_and_bounded(spark, sf_dir):
+    """Mergeable-sketch law: hll_union_agg over per-partition sketches gives
+    EXACTLY the single-pass sketch's estimate (register union is lossless),
+    and the estimate sits within the standard HLL error of the exact
+    distinct count."""
+    orders = t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
+    single = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).collect()[0].est
+    assert merged == single
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(merged - exact) / exact <= 0.05

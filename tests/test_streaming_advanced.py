@@ -190,3 +190,77 @@ def test_dedup_within_watermark_bounds_state(spark, sf_dir):
 
     expected = load(spark, sf_dir, "events").count()
     assert out.count() == expected
+
+
+def test_stream_static_dim_refresh_requires_batch_side_read(spark, tmp_path):
+    """Stream-static join semantics users trip over: the static side's FILE
+    LISTING is bound when the streaming query starts, so overwriting the
+    dim parquet mid-stream breaks the plan-bound join (FileNotFound on the
+    vanished old part files — refreshByPath on the session catalog does not
+    reach the running query's analyzed plan). The supported pattern for a
+    dim that changes while the stream runs is re-reading it INSIDE
+    foreachBatch: each micro-batch then joins the dim as of that batch.
+    Both behaviors pinned here."""
+    import os
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    src, dim = str(tmp_path / "src"), str(tmp_path / "dim")
+    spark.createDataFrame([(1, "a")], "id int, k string").coalesce(1).write.parquet(src)
+    before = set(os.listdir(src))
+    spark.createDataFrame([(2, "a")], "id int, k string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = time.time()
+    for f in os.listdir(src):  # id=1's file strictly older -> its batch first
+        ts = now - 100 if f in before and f != "_SUCCESS" else now
+        os.utime(os.path.join(src, f), (ts, ts))
+    spark.createDataFrame([("a", "v1")], "k string, label string").write.parquet(dim)
+
+    def rewrite_dim():
+        spark.createDataFrame(
+            [("a", "v2")], "k string, label string"
+        ).write.mode("overwrite").parquet(dim)
+        spark.catalog.refreshByPath(dim)
+
+    def source():
+        return (
+            spark.readStream.schema("id int, k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # 1) plan-bound static join: dim overwrite mid-stream kills the query
+    plan_bound = source().join(spark.read.parquet(dim), "k").select("id", "label")
+
+    def breaking_sink(bdf, eid):
+        ids = [r.id for r in bdf.collect()]
+        if 1 in ids:
+            rewrite_dim()
+
+    q = plan_bound.writeStream.foreachBatch(breaking_sink).start()
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+    q.stop()
+
+    # 2) correct pattern: re-read the dim inside foreachBatch
+    spark.createDataFrame(
+        [("a", "v1")], "k string, label string"
+    ).write.mode("overwrite").parquet(dim)
+    seen = []
+
+    def perbatch_sink(bdf, eid):
+        d = bdf.sparkSession.read.parquet(dim)
+        rows = [(r.id, r.label) for r in bdf.join(d, "k").select("id", "label").collect()]
+        seen.extend(rows)
+        if any(i == 1 for i, _ in rows):
+            rewrite_dim()
+
+    q2 = source().writeStream.foreachBatch(perbatch_sink).start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    labels = dict(seen)
+    assert labels == {1: "v1", 2: "v2"}, seen
