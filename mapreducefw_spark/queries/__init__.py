@@ -113,15 +113,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "scd2_merge_emulation",
     "topk_orders_global",
     "union_all_segments",
-    # -- new this round (session 2): IVM merge == recompute, outer interval
-    #    join batch twin, cross-doc duplicated-passage coverage — each
-    #    displaces one r2-stale re-verify (window_nth_last_value,
+    # -- new this round (session 2), all oracle-bearing with no prior driver
+    #    row: IVM merge == recompute, outer interval-join batch twin,
+    #    cross-doc duplicated-passage coverage, sequence funnel, key-skew
+    #    report, matryoshka truncation, E-S weighted sampling, ANALYZE
+    #    column stats, data-quality gate. Each displaced one r2-green
+    #    re-verify into the round-6 queue (window_nth_last_value,
     #    window_range_frame, window_frames_running, doc_fingerprint,
-    #    embedding_cosine_dedup, python_udtf_bigrams -> round-6 queue; the
-    #    window_lag_lead_orders, catalog_input_file_name -> round-6 queue;
-    #    the window family keeps rank_customers in-window, dedup keeps
-    #    dedup_exact_keyed, embeddings gets a fresh row via
-    #    embedding_truncated_topk)
+    #    embedding_cosine_dedup, python_udtf_bigrams, window_lag_lead_orders,
+    #    catalog_input_file_name, dedup_exact_keyed); the window family
+    #    keeps rank_customers in-window, dedup keeps dup_passage_coverage +
+    #    the dedup_exact canary twin, embeddings gets a fresh row via
+    #    embedding_truncated_topk.
     "incremental_agg_maintenance",
     "view_click_attribution_outer",
     "dup_passage_coverage",
@@ -130,8 +133,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "embedding_truncated_topk",
     "weighted_sample_tokens",
     "analyze_column_stats",
+    "data_quality_report",
     # -- r2-stale re-verifies (oracle-bearing)
-    "dedup_exact_keyed",
     "multimodal_bytes_meta",
     "window_rank_customers",
 )

@@ -315,3 +315,56 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").cast("bigint").alias("approx_customers"),
     )
     return per_rows.unionByName(merged).orderBy("scope")
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+SELECT 'accepted_values(o_orderstatus)' AS rule,
+       CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT)
+           AS n_violations
+FROM orders
+UNION ALL
+SELECT 'foreign_key(o_custkey)',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'in_range(o_totalprice,0,200000)',
+       CAST(COUNT(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice NOT BETWEEN 0 AND 200000 THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'not_null(o_custkey)',
+       CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+ORDER BY rule
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint gate over orders (operators/quality.py):
+    not-null, uniqueness, accepted values, numeric range, and referential
+    integrity against customer — the dbt-test / Delta-CHECK surface. All
+    row-predicate rules fuse into one scan's conditional counts; uniqueness
+    is one counts-only groupBy; the FK check is one anti-join against the
+    dimension keys. The range rule is set tight enough to actually fire on
+    the fixture, proving violations are counted, not just asserted zero."""
+    from mapreducefw_spark.operators.quality import Rules
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    rules = (
+        Rules()
+        .not_null("o_custkey")
+        .unique(["o_orderkey"])
+        .accepted_values("o_orderstatus", ["O", "F", "P"])
+        .in_range("o_totalprice", 0, 200_000)
+        .foreign_key("o_custkey", customer, "c_custkey")
+    )
+    return rules.report(orders)

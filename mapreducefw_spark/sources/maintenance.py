@@ -73,6 +73,7 @@ def compact_parquet(
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet dataset into ~target-sized files; returns the file
     count written.
@@ -88,12 +89,30 @@ def compact_parquet(
     shape — one shuffle sized by the data, not the file count — is the same.
     128 MB targets match common parquet row-group sizing so downstream scans
     split cleanly.
+
+    ``cluster_by`` additionally Z-orders the rewrite (operators/zorder.py):
+    the compaction shuffle the job pays anyway becomes a range partition on
+    the Morton key of the given columns, so the rewritten files double as a
+    multi-dimensional data-skipping layout — the OPTIMIZE ... ZORDER BY
+    maintenance verb. Mutually exclusive with ``partition_by`` (hive
+    partitioning already fixes the file-to-directory mapping).
     """
+    if cluster_by and partition_by:
+        raise ValueError("cluster_by and partition_by are mutually exclusive")
     recover_compaction(path)
     n_files = max(1, math.ceil(dataset_size_bytes(path) / target_file_bytes))
     df = spark.read.parquet(path)
     staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    if partition_by:
+    if cluster_by:
+        from mapreducefw_spark.operators.zorder import zvalue
+
+        shuffled = (
+            zvalue(df, cluster_by)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif partition_by:
         # Cluster rows by their output partition so each hive partition is
         # written by as few tasks as possible. A round-robin repartition(n)
         # here would spread every partition's rows across all n tasks and

@@ -203,3 +203,50 @@ def test_compact_parquet_invalidates_probe_cache(spark, sf_dir, tmp_path):
     assert textprep._PROBE_CACHE  # seeded
     maintenance.compact_parquet(spark, target, target_file_bytes=1 << 30)
     assert not textprep._PROBE_CACHE  # dropped by the rewrite
+
+
+def test_compaction_with_zorder_clustering(spark, tmp_path):
+    """compact_parquet(cluster_by=...) makes the compaction shuffle double
+    as an OPTIMIZE ZORDER: data survives exactly, and the rewritten files'
+    parquet min/max stats prune a 2-d box far better than the pre-compaction
+    layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreducefw_spark.sources.maintenance import compact_parquet
+
+    path = str(tmp_path / "orders_ds")
+    od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    od.repartition(64).write.parquet(path)  # unclustered many-file layout
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    n = compact_parquet(
+        spark, path, target_file_bytes=4 * 1024, cluster_by=["o_custkey", "o_totalprice"]
+    )
+    assert n > 8  # small target -> several files, so stats have resolution
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+
+    m = od.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    cmin, cmax, pmin, pmax = m
+    clo, chi = cmin + (cmax - cmin) * 7 // 16, cmin + (cmax - cmin) * 9 // 16
+    plo, phi = pmin + (pmax - pmin) * 7 / 16, pmin + (pmax - pmin) * 9 / 16
+    eligible = total = 0
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        ic, ip = names.index("o_custkey"), names.index("o_totalprice")
+        total += 1
+        for rg in range(md.num_row_groups):
+            sc, sp = md.row_group(rg).column(ic).statistics, md.row_group(rg).column(ip).statistics
+            if sc.min <= chi and sc.max >= clo and sp.min <= phi and sp.max >= plo:
+                eligible += 1
+                break
+    # random 64-file layout: every file intersects the box; clustered: few do
+    assert eligible <= total // 2, (eligible, total)

@@ -242,3 +242,42 @@ def test_table_column_stats_nulls_and_mcv_ties(spark):
     assert (b.n_null, b.ndv, b.mcv, b.mcv_n) == (0, 2, 5, 2)
     c = got["c"]
     assert (c.n_rows, c.n_null, c.ndv, c.mcv, c.mcv_n) == (4, 4, 0, None, None)
+
+
+def test_quality_rules_count_actual_violations(spark):
+    """Every rule type fires and counts exactly (operators/quality.py):
+    nulls, duplicate keys (excess-row counting), rejected values,
+    out-of-range, FK misses — and NULL keys are not FK/range violations."""
+    from mapreducefw_spark.operators.quality import Rules
+
+    fact = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0),
+            (1, 10, "O", 5.0),      # duplicate orderkey (1 excess row)
+            (2, None, "F", -1.0),   # null custkey; out-of-range price
+            (3, 99, "X", 3.0),      # FK miss (99); rejected status X
+            (4, 11, "P", 7.0),
+        ],
+        "k int, cust int, status string, price double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "c int")
+    got = dict(
+        (r.rule, r.n_violations)
+        for r in (
+            Rules()
+            .not_null("cust")
+            .unique(["k"])
+            .accepted_values("status", ["O", "F", "P"])
+            .in_range("price", 0, 10)
+            .foreign_key("cust", dim, "c")
+            .report(fact)
+            .collect()
+        )
+    )
+    assert got == {
+        "not_null(cust)": 1,
+        "unique(k)": 1,
+        "accepted_values(status)": 1,
+        "in_range(price,0,10)": 1,
+        "foreign_key(cust)": 1,
+    }, got
