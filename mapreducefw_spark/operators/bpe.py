@@ -1,0 +1,129 @@
+"""BPE vocabulary induction (Sennrich et al. 2016) as an iterative
+DataFrame algorithm — the tokenizer-training workload of a data pipeline,
+not just tokenization with a fixed vocab (operators/text.py::bpe_pretokens
+covers that side).
+
+Scale shape: the classic formulation already is the scalable one — BPE
+trains on the WORD FREQUENCY TABLE, not the corpus. One corpus scan builds
+(word, count); every merge iteration then runs over O(vocab) rows
+regardless of corpus size. Each iteration is: explode adjacent symbol
+pairs weighted by word count -> one hash aggregation -> a 1-row global
+argmax (TakeOrderedAndProject) that is CROSS-JOIN BROADCAST back, so the
+winning pair is applied in-plan — no collect() anywhere; the driver only
+orchestrates the loop (same shape as kmeans_refine), with a localCheckpoint
+per iteration to keep lineage flat.
+
+The merge application is a left-to-right greedy fold (F.aggregate) with a
+carry, matching the reference algorithm on overlaps ("aaa" under a+a ->
+["aa","a"]); ties in pair frequency break lexicographically so the learned
+merge sequence is deterministic — pinned against a pure-Python reference
+implementation in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus scan -> (word, n) frequency table, the only corpus-sized
+    step of BPE training. Words become character-symbol arrays with the
+    </w> end marker the classic algorithm uses."""
+    words = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(text_col, " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = F.concat(F.split("w", ""), F.array(F.lit("</w>")))
+    return words.select(syms.alias("syms"), "n")
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.expr(
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(syms[i-1] AS left, syms[i] AS right))"
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+
+
+def _apply_merge(syms: Column, left: Column, right: Column) -> Column:
+    """Left-to-right greedy single-rule merge via a carry fold."""
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc, s):
+        hit = acc["carry"].eqNullSafe(left) & (s == right)
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(F.concat(left, right))).alias("out"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["carry"].isNotNull(), F.concat(acc["out"], F.array(acc["carry"]))
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                s.alias("carry"),
+            )
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["carry"].isNotNull(), F.concat(acc["out"], F.array(acc["carry"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(syms, acc0, step, finish)
+
+
+def learn_bpe_merges(
+    docs: DataFrame, n_merges: int = 10, *, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from a corpus.
+
+    Returns (rank, left, right, pair_count) in learned order. Deterministic:
+    frequency ties break by (left, right) lexicographically.
+    """
+    spark = docs.sparkSession
+    freq = word_freq_table(docs, text_col).localCheckpoint(eager=False)
+    learned = []
+    for rank in range(1, n_merges + 1):
+        pair_counts = (
+            freq.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "n")
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("n").cast("bigint").alias("pair_count"))
+        )
+        # 1-row lazy checkpoint: `best` feeds BOTH the next freq (cross join)
+        # and the output row — without it the O(vocab) pair count recomputes
+        # twice per iteration (measured ~2x the loop cost)
+        best = (
+            pair_counts.orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        # apply the winner in-plan (broadcast 1-row cross join, no collect)
+        freq = (
+            freq.crossJoin(F.broadcast(best))
+            .select(
+                _apply_merge(F.col("syms"), F.col("left"), F.col("right")).alias("syms"),
+                "n",
+            )
+            .localCheckpoint(eager=False)
+        )
+        learned.append(
+            best.select(F.lit(rank).alias("rank"), "left", "right", "pair_count")
+        )
+    out = learned[0]
+    for fr in learned[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("rank")

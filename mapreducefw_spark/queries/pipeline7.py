@@ -368,3 +368,19 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .foreign_key("o_custkey", customer, "c_custkey")
     )
     return rules.report(orders)
+
+
+@register("bpe_learned_merges")  # iterative argmax loop: rows-only (pytest-pinned)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merge rules learned from the documents corpus
+    (operators/bpe.py): tokenizer TRAINING as an iterative DataFrame
+    algorithm — one corpus scan builds the word-frequency table, then every
+    iteration runs over O(vocab) rows with the winning pair applied via a
+    broadcast 1-row cross join (collect-free). Not SQL-oracle-expressible
+    (10 chained argmax+rewrite rounds); the exact merge sequence, overlap
+    greed, and tie-breaks are pinned against a pure-Python reference in
+    tests/test_bpe.py."""
+    from mapreducefw_spark.operators.bpe import learn_bpe_merges
+
+    docs = t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, 10)
