@@ -117,14 +117,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    row: IVM merge == recompute, outer interval-join batch twin,
     #    cross-doc duplicated-passage coverage, sequence funnel, key-skew
     #    report, matryoshka truncation, E-S weighted sampling, ANALYZE
-    #    column stats, data-quality gate. Each displaced one r2-green
-    #    re-verify into the round-6 queue (window_nth_last_value,
+    #    column stats, data-quality gate, cohort retention. Each displaced
+    #    one r2-green re-verify into the round-6 queue (window_nth_last_value,
     #    window_range_frame, window_frames_running, doc_fingerprint,
     #    embedding_cosine_dedup, python_udtf_bigrams, window_lag_lead_orders,
-    #    catalog_input_file_name, dedup_exact_keyed); the window family
-    #    keeps rank_customers in-window, dedup keeps dup_passage_coverage +
-    #    the dedup_exact canary twin, embeddings gets a fresh row via
-    #    embedding_truncated_topk.
+    #    catalog_input_file_name, dedup_exact_keyed, window_rank_customers);
+    #    the window family's fresh rows are window_global_rank_scalable
+    #    (r4-green) + quality_decile_mixture in-window, dedup keeps
+    #    dup_passage_coverage + the dedup_exact canary twin, embeddings gets
+    #    a fresh row via embedding_truncated_topk.
     "incremental_agg_maintenance",
     "view_click_attribution_outer",
     "dup_passage_coverage",
@@ -134,9 +135,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "weighted_sample_tokens",
     "analyze_column_stats",
     "data_quality_report",
-    # -- r2-stale re-verifies (oracle-bearing)
+    "cohort_retention",
+    # -- r2-stale re-verify (oracle-bearing; the window family's fresh row
+    #    is window_global_rank_scalable, r4-green + canary-adjacent)
     "multimodal_bytes_meta",
-    "window_rank_customers",
 )
 
 

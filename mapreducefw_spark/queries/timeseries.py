@@ -466,3 +466,41 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("users_purchase") * 1.0 / F.greatest(F.col("users_click"), F.lit(1)), 6
         ).alias("click_to_purchase"),
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+first AS (
+  SELECT user_id, MIN(d) AS f FROM days GROUP BY user_id
+)
+SELECT STRFTIME(first.f, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', first.f, days.d) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT days.user_id) AS BIGINT) AS n_users
+FROM days JOIN first USING (user_id)
+GROUP BY first.f, day_offset
+ORDER BY cohort_day, day_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each subsequent day they return — THE product-analytics table.
+    Shape: one (user, day) dedup aggregation, a per-user min, one join back
+    (both sides user-keyed — co-partitioned, no extra exchange), and the
+    final (cohort, offset) count-distinct. Day boundaries are UTC calendar
+    days in both engines, exact integers throughout."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("f"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            F.date_format("f", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "f").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
