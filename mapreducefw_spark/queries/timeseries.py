@@ -424,33 +424,10 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably the same semantics: a sorted-order fold accepts the minimal
     qualifying timestamp per stage. Strict inequality makes same-timestamp
     stage pairs NOT count, identically in both engines."""
-    ev = t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "click", "purchase")
-    )
-    seq = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
-    per_user = ev.groupBy("user_id").agg(seq.alias("seq"))
-    acc0 = F.struct(
-        F.lit(0).alias("stage"), F.lit("1900-01-01").cast("timestamp").alias("lt")
-    )
-    def step(acc, e):
-        return (
-            F.when(
-                (acc["stage"] == 0) & (e["event_type"] == "view"),
-                F.struct(F.lit(1).alias("stage"), e["ts"].alias("lt")),
-            )
-            .when(
-                (acc["stage"] == 1) & (e["event_type"] == "click") & (e["ts"] > acc["lt"]),
-                F.struct(F.lit(2).alias("stage"), e["ts"].alias("lt")),
-            )
-            .when(
-                (acc["stage"] == 2) & (e["event_type"] == "purchase") & (e["ts"] > acc["lt"]),
-                F.struct(F.lit(3).alias("stage"), e["ts"].alias("lt")),
-            )
-            .otherwise(acc)
-        )
-    staged = per_user.select(
-        F.aggregate("seq", acc0, step)["stage"].alias("stage")
-    )
+    from mapreducefw_spark.operators.funnel import funnel_stage_per_user
+
+    ev = t(spark, sf_dir, "events")
+    staged = funnel_stage_per_user(ev, ["view", "click", "purchase"])
     return staged.agg(
         F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("users_view"),
         F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("users_click"),

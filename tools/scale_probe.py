@@ -406,6 +406,46 @@ def main() -> None:
             zd.repartitionByRange(64 * k, "_z").sortWithinPartitions("_z").drop("_z"),
         )
 
+        # round 5 (cont.): cross-doc passage dedup — identical copies are
+        # genuine cross-doc duplicates here, and the shape STILL scales
+        # linearly because no pair set is ever materialized (dup test is
+        # min!=max per gram hash; coverage is a semi-join over instances)
+        ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        gh = F.expr(
+            "CASE WHEN text IS NOT NULL AND size(split(text, ' ')) >= 8 THEN "
+            "transform(sequence(1, size(split(text, ' ')) - 7), "
+            "i -> cast(conv(substr(md5(array_join(slice(split(text, ' '), i, 8), ' ')), 1, 12), 16, 10) as bigint)) "
+            "ELSE array() END"
+        )
+        inst = docs.select("doc_id", F.explode(gh).alias("h"))
+        dupset = (
+            inst.groupBy("h")
+            .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("h")
+        )
+        timed(
+            "dup_passage_coverage",
+            k,
+            inst.join(dupset, "h", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n")),
+        )
+
+        # round 5 (cont.): per-user sorted-array funnel fold (users re-keyed
+        # so user cardinality scales; per-user event counts stay constant)
+        from mapreducefw_spark.operators.funnel import funnel_stage_per_user
+        from mapreducefw_spark.sources.tables import normalize_event_ts
+
+        evk = multiplied(normalize_event_ts(ev0), ["user_id"], k)
+        timed(
+            "funnel_sequence_fold",
+            k,
+            funnel_stage_per_user(evk, ["view", "click", "purchase"])
+            .groupBy("stage")
+            .count(),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
