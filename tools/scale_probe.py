@@ -163,6 +163,16 @@ the remainder (beyond a ≤30ms normalization bound) to fixture distribution
   headline entry: incremental_agg_maintenance 1.20s at sf0.1 (two scans by
   construction — the synthesized changelog derivation; production IVM reads
   a stored view + a small delta).
+- **Host-slowdown evidence trail (same headline code, same day)**: three
+  full bench totals 19.38s -> 26.65s -> 28.87s with the flagged set varying
+  randomly between runs and composed of queries UNTOUCHED all session
+  (median_exact_prices, q5, salted_skew_aggregate, filter_predicates).
+  Isolated min-of-5 confirms the machine itself: q5_region_revenue 1.63s
+  and salted_skew_aggregate 0.74s against their r4 driver records of 0.88s
+  and 0.45s — scan-only plans with no code or fixture change. If BENCH_r05
+  lands in such a window, per-query flags should be read against this
+  baseline drift, not as plan regressions; the plan-invariant pytest suite
+  (tests/test_plan_invariants.py) is the non-timing regression gate.
 """
 
 
