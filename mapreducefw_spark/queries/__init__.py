@@ -97,7 +97,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "join_anti_orderless_customers",
     "grouping_sets_explicit",
     "sort_multikey_nulls",
-    # -- stalest: latest driver row is round 1
+    # -- stalest: latest driver row is round 1 (math_conditional and
+    #    union_all_segments displaced to round-6 for the basket/attribution
+    #    rows: pure expression / set-op shapes with in-window siblings —
+    #    intersect_nations + intersect_all_quantities cover set ops)
     "distinct_segments",
     "from_json_struct",
     "higher_order_token_fns",
@@ -105,14 +108,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "intersect_nations",
     "join_right_outer_parts",
     "map_column_functions",
-    "math_conditional",
     "pandas_scalar_udf_margin",
     "projection_rekey",
     "range_generator_source",
     "salted_skew_aggregate",
     "scd2_merge_emulation",
     "topk_orders_global",
-    "union_all_segments",
     # -- new this round (session 2), all oracle-bearing with no prior driver
     #    row: IVM merge == recompute, outer interval-join batch twin,
     #    cross-doc duplicated-passage coverage, sequence funnel, key-skew
@@ -136,6 +137,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "analyze_column_stats",
     "data_quality_report",
     "cohort_retention",
+    "basket_part_pairs",
+    "purchase_touch_attribution",
     # -- r2-stale re-verify (oracle-bearing; the window family's fresh row
     #    is window_global_rank_scalable, r4-green + canary-adjacent)
     "multimodal_bytes_meta",

@@ -384,3 +384,93 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return learn_bpe_merges(docs, 10)
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING COUNT(*) >= 2
+)
+SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+FROM p
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the a-priori first pass): part pairs
+    ordered together in >= 2 orders, top-20 by support. The self-join is
+    keyed on the ORDER, so each hash bucket holds one order's items —
+    per-order pair fan-out is bounded by basket size (<= 7 here), making
+    the join linear in orders at any corpus scale; the unbounded formulation
+    (join on part alone) would be quadratic in part popularity. Bounded
+    global top-k = TakeOrderedAndProject, never a full sort."""
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "purchase_touch_attribution",
+    oracle="""
+WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT p.event_id AS purchase_id, v.event_id AS view_id, v.ts AS vts
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+)
+SELECT purchase_id,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       FIRST(view_id ORDER BY vts ASC, view_id ASC) AS first_touch,
+       FIRST(view_id ORDER BY vts DESC, view_id ASC) AS last_touch
+FROM touch
+GROUP BY purchase_id
+ORDER BY purchase_id
+""",
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: each purchase credited to the same-user
+    views in the preceding hour — touch count plus first-touch and
+    last-touch view ids (the two position-based attribution models),
+    integer-exact so the driver hash is stable (fractional credit 1/n is a
+    one-line extension but sums floats in engine-specific order). Same
+    time-bounded user-keyed join shape as view_click_attribution; ties on
+    identical timestamps break toward the lower view id in both engines."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    touch = p.join(v, "u").filter(
+        (F.col("vts") < F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        touch.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.min_by("view_id", F.struct("vts", "view_id")).alias("first_touch"),
+            # latest time, ties to the LOWER id: max over (vts, -id)
+            F.max_by("view_id", F.struct(F.col("vts"), (-F.col("view_id")).alias("nid"))).alias("last_touch"),
+        )
+        .orderBy("purchase_id")
+    )
