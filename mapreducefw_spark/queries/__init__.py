@@ -100,7 +100,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- stalest: latest driver row is round 1 (math_conditional and
     #    union_all_segments displaced to round-6 for the basket/attribution
     #    rows: pure expression / set-op shapes with in-window siblings —
-    #    intersect_nations + intersect_all_quantities cover set ops)
+    #    intersect_nations + intersect_all_quantities cover set ops;
+    #    range_generator_source displaced for rfm_segmentation — a pure
+    #    spark.range generator, no plan-regression surface)
     "distinct_segments",
     "from_json_struct",
     "higher_order_token_fns",
@@ -110,7 +112,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "map_column_functions",
     "pandas_scalar_udf_margin",
     "projection_rekey",
-    "range_generator_source",
     "salted_skew_aggregate",
     "scd2_merge_emulation",
     "topk_orders_global",
@@ -139,6 +140,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "basket_part_pairs",
     "purchase_touch_attribution",
+    "rfm_segmentation",
     # -- r2-stale re-verify (oracle-bearing; the window family's fresh row
     #    is window_global_rank_scalable, r4-green + canary-adjacent)
     "multimodal_bytes_meta",

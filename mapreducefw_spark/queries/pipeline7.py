@@ -474,3 +474,80 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+WITH mx AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate), mx.corpus_max) AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders, mx
+  GROUP BY o_custkey, mx.corpus_max
+),
+binned AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_bin,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_bin,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_bin
+  FROM rfm
+)
+SELECT r_bin, f_bin, m_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(14,2))) AS DOUBLE) AS segment_revenue
+FROM binned
+GROUP BY r_bin, f_bin, m_bin
+ORDER BY r_bin, f_bin, m_bin
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer recency (days since last
+    order, relative to the corpus max date so the query is reproducible),
+    frequency (order count) and monetary (exact-decimal revenue), each cut
+    into quartiles — the classic CRM segmentation matrix. One customer-keyed
+    aggregation; the quartile windows run over the O(customers) aggregate,
+    not the fact table, with full-order tie-breaks (custkey) so both
+    engines assign identical bins. Small-frame form by design: a
+    corpus-scale percentile cut composes operators/rank.py's two-phase
+    global rank exactly as quality_decile_mixture demonstrates."""
+    orders = t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    mx = orders.agg(F.max("o_orderdate").alias("corpus_max"))
+    rfm = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "corpus_max")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff("corpus_max", "_last").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    binned = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy(F.asc("recency_days"), "o_custkey")).alias("r_bin"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_bin"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_bin"),
+    )
+    return (
+        binned.groupBy("r_bin", "f_bin", "m_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+        .orderBy("r_bin", "f_bin", "m_bin")
+    )
