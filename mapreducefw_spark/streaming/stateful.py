@@ -128,3 +128,51 @@ def cdc_materialize(changes: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stage_stream(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Streaming funnel: per-user (stage, last_ts) state advanced by each
+    micro-batch — the applyInPandasWithState twin of
+    operators/funnel.py::funnel_stage_per_user, emitting the user's current
+    stage per batch (outputMode=update; the latest emit is the answer).
+
+    Ordering contract: stage state only advances, so events must arrive in
+    event-time order ACROSS micro-batches for exact batch-parity (within a
+    batch they are sorted here). That is the standard funnel-streaming
+    assumption — a roughly time-ordered source (Kafka by ingestion time)
+    with the watermark bounding the disorder; the batch-equivalence test
+    replays time-partitioned files. State is O(1) per user forever, where
+    the batch form materializes each user's full event array.
+    """
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stage, last_us = state.get
+        else:
+            stage, last_us = 0, -(2**62)
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows[rows["event_type"].isin(steps)]
+        rows = rows.sort_values(["ts", "event_type"], kind="mergesort")
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if stage < len(steps) and et == steps[stage] and (
+                stage == 0 or ts_us > last_us
+            ):
+                stage += 1
+                last_us = ts_us
+        state.update((stage, last_us))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    # pre-filter to funnel steps so users with no step events never enter
+    # state (matches the batch form, which filters before grouping — an
+    # error-only user must be absent, not stage 0)
+    stepped = events.filter(events["event_type"].isin(steps))
+    return stepped.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, stage int",
+        stateStructType="stage int, last_us bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

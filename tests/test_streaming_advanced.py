@@ -264,3 +264,51 @@ def test_stream_static_dim_refresh_requires_batch_side_read(spark, tmp_path):
         q2.stop()
     labels = dict(seen)
     assert labels == {1: "v1", 2: "v2"}, seen
+
+
+def test_streaming_funnel_equals_batch_on_time_ordered_replay(spark, sf_dir, tmp_path):
+    """funnel_stage_stream == the batch funnel fold when the replay respects
+    event-time order across micro-batches (funnel state only advances — the
+    documented ordering contract). Events are split into three time-range
+    files replayed oldest-first; the final per-user emit must equal
+    operators/funnel.py::funnel_stage_per_user on the same data."""
+    import os
+    import time
+
+    from mapreducefw_spark.operators.funnel import funnel_stage_per_user
+    from mapreducefw_spark.streaming import stateful
+
+    steps = ["view", "click", "purchase"]
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    src = str(tmp_path / "ev_src")
+    cuts = [lo + span, lo + 2 * span]
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    now = time.time()
+    for i, p in enumerate(parts):
+        before = set(os.listdir(src)) if i else set()
+        p.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f not in before and f != "_SUCCESS":
+                ts_f = now - 100 + i  # strictly increasing mtimes
+                os.utime(os.path.join(src, f), (ts_f, ts_f))
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = windows.run_bounded(
+        stateful.funnel_stage_stream(stream, steps), "t_funnel", output_mode="update"
+    )
+    final = {
+        r.user_id: r.stage
+        for r in out.groupBy("user_id").agg(F.max("stage").alias("stage")).collect()
+    }
+    batch = {
+        r.user_id: r.stage for r in funnel_stage_per_user(ev, steps).collect()
+    }
+    assert final == batch
