@@ -35,6 +35,9 @@ EDGE_QUERIES = [
     "dup_ngram_stats",
     "containment_dedup_pairs",
     "count_min_heavy_hitters",
+    # round-5 continued-session additions
+    "dup_passage_coverage",
+    "weighted_sample_tokens",
 ]
 
 ROWS = [
