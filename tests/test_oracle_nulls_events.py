@@ -32,6 +32,12 @@ EDGE_QUERIES = [
     "time_rollup_multigrain",
     "events_zscore_anomalies",
     "json_extract_events",
+    # round-5 continued-session additions (NULL user_id rows matter: funnel
+    # and cohort group NULL users; attribution joins drop them)
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "purchase_touch_attribution",
+    "view_click_attribution_outer",
 ]
 
 
