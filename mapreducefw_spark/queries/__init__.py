@@ -68,7 +68,11 @@ def register(name: str, oracle: str | None = None):
 # window_distribution_fns (window family keeps 5 other in-window rows).
 # Round-6 rotation queue (stalest after this round): the 6 sibling-covered
 # r2-stale, the displaced scalar/window/quality re-verifies, the r3-vintage
-# attribution/pipeline batch, and any new registrations.
+# attribution/pipeline batch, and any new registrations — including the
+# pipeline8 linkage/resample/stats batch (edit_distance_part_pairs,
+# edit_distance_pairs_symspell, events_gap_fill_hourly,
+# reservoir_sample_sources, token_divergence_by_source,
+# equi_depth_histogram; all oracle-green locally at sf0.001/0.01/0.1).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- no driver row yet (pipeline6 curation batch is new this round)
     "containment_dedup_pairs",
@@ -172,6 +176,7 @@ def load_all() -> None:
         pipeline5,
         pipeline6,
         pipeline7,
+        pipeline8,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]
