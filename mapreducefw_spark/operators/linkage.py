@@ -1,25 +1,35 @@
 """Record-linkage: blocked edit-distance similarity join.
 
 The naive form is an all-pairs Levenshtein — O(n^2) comparisons, a
-cartesian shuffle, dead at scale. The standard scalable shape (Febrl /
-Dedoop style blocking) is used here:
+cartesian shuffle, dead at scale. Two standard scalable shapes live here,
+both built on the same canonicalize-first skeleton:
 
-1. derive a deterministic BLOCKING KEY per record (caller-chosen — e.g. a
-   high-selectivity token, a phonetic code, a q-gram prefix);
-2. equi-join on the block key, so the shuffle moves each record to exactly
-   the reducers that hold its block — candidate count is
-   sum(|block|^2), not n^2;
-3. cheap pre-filters inside the block (``|len(a) - len(b)| <= k`` — a
-   lower bound on edit distance, so it never drops a true pair);
-4. the exact ``levenshtein`` check last, on the surviving candidates only.
+0. CANONICALIZE: collapse exact-duplicate texts before any pairing — the
+   expensive DP phase runs over DISTINCT texts (d rows), never raw rows
+   (n). Real corpora are duplicate-heavy (that's why exact dedup is a
+   first-class operator), and id-level pairing of duplicated texts
+   multiplies every true pair by |copies_a| x |copies_b| BEFORE the
+   distance is even computed. Comparing distinct texts and re-expanding
+   to id pairs afterwards produces the identical result set with the
+   blow-up moved to a single post-verify equi-join.
+1. BLOCK (``blocked_levenshtein_pairs``): a caller-chosen deterministic
+   blocking key (a high-selectivity token, phonetic code, q-gram prefix)
+   bounds candidates to sum(|block|^2) — Febrl/Dedoop-style domain
+   blocking; may miss cross-block pairs by design.
+2. DELETION NEIGHBORHOOD (``deletion_neighborhood_pairs``): SymSpell-style
+   delete-<=k variant index — COMPLETE for k <= 2 (if ``lev(a,b) <= k``
+   the delete-neighborhoods intersect: each side deletes its chars on the
+   non-matching side of an optimal alignment, <= k apiece), so this is the
+   global answer with no blocking assumption.
+3. cheap pre-filters before the DP (``|len(a) - len(b)| <= k`` lower-bounds
+   edit distance, so it never drops a true pair).
 
 All comparisons are JVM-side built-ins (``F.levenshtein`` is a codegen'd
-expression) — no Python in the hot path. At 100 TB the extra levers are
-Spark's threshold form ``levenshtein(l, r, k)`` (early-exits the DP once
-the band exceeds k — same results, less CPU) and capping pathological
-blocks the way the Jaccard join caps hot tokens; the plain form is kept
-here because the DuckDB oracle has no threshold variant and the driver
-compares values bit-for-bit.
+expression) — no Python in the hot path. At 100 TB the further levers are
+Spark's threshold form ``levenshtein(l, r, k)`` (early-exits the DP band —
+same results, less CPU; not used because the DuckDB oracle has no
+threshold variant and the driver compares bit-for-bit) and SymSpell's
+prefix truncation to bound the O(len^2) variant count for long strings.
 
 Semantic contract: the reference's pairwise-compare-within-group shape
 (shuffle = group by key, reduce = per-group pairing), cf.
@@ -28,54 +38,81 @@ Semantic contract: the reference's pairwise-compare-within-group shape
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _expand_to_id_pairs(name_pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """Map verified distinct-text pairs (_ta < _tb, dist) back to id pairs.
+
+    ``ids`` is (``_id``, ``_txt``). Each unordered id pair appears exactly
+    once: the text pair is canonical (_ta < _tb lexicographically, texts
+    distinct) and every id carries one text, so the two joins enumerate
+    each (copy_a, copy_b) combination once; least/greatest restores the
+    id-ordered output contract. Identical-text id pairs are dist 0 and
+    excluded upstream by construction (_ta < _tb is strict)."""
+    a = ids.select(F.col("_id").alias("_ia"), F.col("_txt").alias("_ta"))
+    b = ids.select(F.col("_id").alias("_ib"), F.col("_txt").alias("_tb"))
+    return (
+        name_pairs.join(a, "_ta")
+        .join(b, "_tb")
+        .select(
+            F.least("_ia", "_ib").alias("a_id"),
+            F.greatest("_ia", "_ib").alias("b_id"),
+            "dist",
+        )
+    )
 
 
 def blocked_levenshtein_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    block_expr: Column,
+    block_fn: Callable[[Column], Column],
     max_dist: int,
 ) -> DataFrame:
     """Pairs (a < b by id) within a block whose edit distance is in
     [1, max_dist]. Output: ``a_id, b_id, dist``.
 
-    ``block_expr`` must be deterministic in the row (it is evaluated once
-    and joined on). Distance-0 pairs are excluded on purpose — exact
-    duplicates are the exact-dedup operator's job, and excluding them keeps
-    this output a *near*-miss report.
+    ``block_fn`` maps the text column to its blocking key and must be a
+    pure function of the text (it is applied on the distinct-text frame).
+    Distance-0 pairs are excluded on purpose — exact duplicates are the
+    exact-dedup operator's job, and excluding them keeps this output a
+    *near*-miss report.
     """
-    side = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_txt"),
-        block_expr.alias("_blk"),
-        F.length(text_col).alias("_len"),
+    ids = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
     ).filter(F.col("_txt").isNotNull())
-    a = side.select(
-        F.col("_id").alias("a_id"),
-        F.col("_txt").alias("_ta"),
-        F.col("_blk").alias("_blk"),
-        F.col("_len").alias("_la"),
+    names = (
+        ids.select("_txt")
+        .distinct()
+        .select(
+            "_txt",
+            block_fn(F.col("_txt")).alias("_blk"),
+            F.length("_txt").alias("_len"),
+        )
     )
-    b = side.select(
-        F.col("_id").alias("b_id"),
-        F.col("_txt").alias("_tb"),
-        F.col("_blk").alias("_blk"),
-        F.col("_len").alias("_lb"),
+    a = names.select(
+        F.col("_txt").alias("_ta"), "_blk", F.col("_len").alias("_la")
+    )
+    b = names.select(
+        F.col("_txt").alias("_tb"), "_blk", F.col("_len").alias("_lb")
     )
     # Equi-join on the block key; the length band rides along as a cheap
     # non-equi filter (|len diff| <= k lower-bounds edit distance).
-    cand = a.join(b, "_blk").filter(
-        (F.col("a_id") < F.col("b_id"))
-        & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
-    )
-    return (
-        cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
+    name_pairs = (
+        a.join(b, "_blk")
+        .filter(
+            (F.col("_ta") < F.col("_tb"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        )
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
         .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
-        .select("a_id", "b_id", "dist")
+        .select("_ta", "_tb", "dist")
     )
+    return _expand_to_id_pairs(name_pairs, ids)
 
 
 def deletion_neighborhood_pairs(
@@ -86,16 +123,13 @@ def deletion_neighborhood_pairs(
 ) -> DataFrame:
     """ALL pairs (a < b) with edit distance in [1, max_dist] (max_dist <= 2),
     via SymSpell-style deletion-neighborhood blocking — complete by the
-    deletion-distance property: if ``lev(a, b) <= k`` then ``deletes<=k(a)``
-    and ``deletes<=k(b)`` intersect (each side deletes its chars on the
-    non-matching side of an optimal alignment, <= k apiece). So unlike
-    domain blocking, NO true pair can be missed, and unlike the quadratic
-    form nothing ever crosses n^2: the cost is the variant index
-    (1 + L + L(L-1)/2 keys per row at k=2 — SymSpell's published space
-    tradeoff; its prefix-truncation bounds this for long strings) plus
-    bucket-sized joins. Candidate pairs are distinct-ed BEFORE the DP so
-    each pair pays one Levenshtein regardless of how many variants it
-    shares. Output: ``a_id, b_id, dist``.
+    deletion-distance property (module docstring), so unlike domain
+    blocking NO true pair can be missed, and unlike the quadratic form
+    nothing scales with n^2: the variant index (1 + L + L(L-1)/2 keys per
+    DISTINCT text at k=2 — SymSpell's published space tradeoff) feeds
+    bucket-sized joins, candidate text pairs are distinct-ed BEFORE the DP
+    so each pays one Levenshtein, and raw-row cardinality only ever enters
+    through the final id-expansion join. Output: ``a_id, b_id, dist``.
     """
     if max_dist not in (1, 2):
         raise ValueError("deletion_neighborhood_pairs supports max_dist in {1, 2}")
@@ -112,34 +146,30 @@ def deletion_neighborhood_pairs(
     )
     parts = [f"array({s})", d1] + ([d2] if max_dist >= 2 else [])
     variants = f"array_distinct(concat({', '.join(parts)}))"
-    side = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(text_col).alias("_txt"),
-            F.length(text_col).alias("_len"),
-        )
-        .filter(F.col("_txt").isNotNull())
-        .select("_id", "_txt", "_len", F.explode(F.expr(variants)).alias("_v"))
+    ids = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    ).filter(F.col("_txt").isNotNull())
+    names = ids.select("_txt").distinct().select(
+        "_txt", F.length("_txt").alias("_len")
     )
-    a = side.select(
-        F.col("_id").alias("a_id"), F.col("_txt").alias("_ta"),
-        F.col("_len").alias("_la"), "_v",
+    exploded = names.select(
+        "_txt", "_len", F.explode(F.expr(variants)).alias("_v")
     )
-    b = side.select(
-        F.col("_id").alias("b_id"), F.col("_txt").alias("_tb"),
-        F.col("_len").alias("_lb"), "_v",
+    a = exploded.select(
+        F.col("_txt").alias("_ta"), F.col("_len").alias("_la"), "_v"
     )
-    cand = (
+    b = exploded.select(
+        F.col("_txt").alias("_tb"), F.col("_len").alias("_lb"), "_v"
+    )
+    name_pairs = (
         a.join(b, "_v")
         .filter(
-            (F.col("a_id") < F.col("b_id"))
+            (F.col("_ta") < F.col("_tb"))
             & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
         )
-        .select("a_id", "b_id", "_ta", "_tb")
+        .select("_ta", "_tb")
         .distinct()
-    )
-    return (
-        cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
         .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
-        .select("a_id", "b_id", "dist")
     )
+    return _expand_to_id_pairs(name_pairs, ids)

@@ -72,7 +72,10 @@ def register(name: str, oracle: str | None = None):
 # pipeline8 linkage/resample/stats batch (edit_distance_part_pairs,
 # edit_distance_pairs_symspell, events_gap_fill_hourly,
 # reservoir_sample_sources, token_divergence_by_source,
-# equi_depth_histogram; all oracle-green locally at sf0.001/0.01/0.1).
+# equi_depth_histogram; all oracle-green locally at sf0.001/0.01/0.1) and
+# the pipeline9 graph/sequence batch (pagerank_copurchase,
+# event_transition_matrix, session_paths_top, winsorized_price_stats;
+# oracle-green locally at sf0.001/0.01).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- no driver row yet (pipeline6 curation batch is new this round)
     "containment_dedup_pairs",
@@ -177,6 +180,8 @@ def load_all() -> None:
         pipeline6,
         pipeline7,
         pipeline8,
+        pipeline9,
+        pipeline10,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

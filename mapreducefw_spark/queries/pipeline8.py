@@ -77,7 +77,7 @@ def edit_distance_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         part,
         id_col="p_partkey",
         text_col="p_name",
-        block_expr=F.split(F.col("p_name"), " ").getItem(1),
+        block_fn=lambda txt: F.split(txt, " ").getItem(1),
         max_dist=EDIT_MAX_DIST,
     )
     return pairs.orderBy("a_id", "b_id")

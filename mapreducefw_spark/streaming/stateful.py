@@ -176,3 +176,80 @@ def funnel_stage_stream(events: DataFrame, steps: list[str]) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def gap_fill_stream(keyed: DataFrame, step_seconds: int = 3600) -> DataFrame:
+    """Streaming gap-fill + forward-fill: the applyInPandasWithState twin of
+    operators/resample.py::gap_fill_ffill, emitting each key's dense bucket
+    rows incrementally as the stream advances.
+
+    Input columns: ``key string, ts timestamp, value double``. Per key the
+    state is (last emitted bucket, last filled value) — O(1) forever. Each
+    micro-batch aggregates its rows per bucket, then emits every bucket
+    from state.last+1 (first observed bucket on first sight of the key)
+    through the batch's max observed bucket: observed buckets carry their
+    sum, missing buckets carry NULL + the forward-filled value + is_gap=1.
+    Rows are emitted exactly once per (key, bucket), so the union of emits
+    is the dense grid — heartbeat/missed-interval detection for free.
+
+    Ordering contract (same as funnel_stage_stream): buckets only advance,
+    so events must arrive bucket-ordered ACROSS micro-batches for exact
+    batch parity; within a batch order is irrelevant (the batch is
+    aggregated before emission). A late event for an already-emitted
+    bucket is dropped with the bucket already reported — the watermarked
+    windowed-aggregate operators are the late-tolerant alternative when
+    completeness beats latency. Per-batch emission is bounded by the
+    key's bucket span in that batch, not by event count.
+    """
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        has, last_b, last_v = state.get if state.exists else (0, 0, 0.0)
+        rows = pd.concat(list(batches), ignore_index=True)
+        us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        buckets = us // (step_seconds * 1_000_000)
+        agg = (
+            pd.DataFrame({"_b": buckets, "value": rows["value"].to_numpy()})
+            .groupby("_b")["value"]
+            .sum()
+        )
+        hi = int(agg.index.max())
+        start = int(last_b) + 1 if has else int(agg.index.min())
+        out_b, out_v, out_f, out_g = [], [], [], []
+        fv = float(last_v)
+        for b in range(start, hi + 1):
+            if b in agg.index:
+                v = float(agg.loc[b])
+                fv = v
+                out_v.append(v)
+                out_g.append(0)
+            else:
+                out_v.append(None)
+                out_g.append(1)
+            out_b.append(b)
+            out_f.append(fv)
+        state.update((1, hi, fv))
+        yield pd.DataFrame(
+            {
+                "key": str(key[0]),
+                "bucket": pd.to_datetime(
+                    pd.Series(out_b, dtype="int64") * (step_seconds * 1_000_000),
+                    unit="us",
+                ),
+                "value": pd.Series(out_v, dtype="float64"),
+                "filled_value": pd.Series(out_f, dtype="float64"),
+                "is_gap": pd.Series(out_g, dtype="int32"),
+            }
+        )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "key string, bucket timestamp, value double, "
+            "filled_value double, is_gap int"
+        ),
+        stateStructType="has int, last_b bigint, last_v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

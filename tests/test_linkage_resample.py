@@ -82,7 +82,7 @@ def test_blocked_form_is_block_restricted(spark):
         ["id", "txt"],
     )
     pairs = blocked_levenshtein_pairs(
-        df, "id", "txt", F.split(F.col("txt"), " ").getItem(1), 2
+        df, "id", "txt", lambda t: F.split(t, " ").getItem(1), 2
     ).collect()
     assert {(r.a_id, r.b_id, r.dist) for r in pairs} == {(1, 2, 1)}
 

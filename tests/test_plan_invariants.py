@@ -64,6 +64,9 @@ BNL_ALLOWED = {
     "window_global_rank_scalable": 1,
     # two-phase rank's triangular offsets + the broadcast bin-count
     "quality_decile_mixture": 2,
+    # two-phase rank's triangular offset frame + the 1-row total-count
+    # broadcast for the bucket formula — both O(partitions)/O(1) frames
+    "equi_depth_histogram": 2,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'

@@ -312,3 +312,66 @@ def test_streaming_funnel_equals_batch_on_time_ordered_replay(spark, sf_dir, tmp
         r.user_id: r.stage for r in funnel_stage_per_user(ev, steps).collect()
     }
     assert final == batch
+
+
+def test_streaming_gap_fill_equals_batch_on_time_ordered_replay(spark, sf_dir, tmp_path):
+    """gap_fill_stream == the batch gap_fill_ffill grid when the replay
+    respects bucket order across micro-batches (buckets only advance — the
+    documented ordering contract). Events are split into three time-range
+    files replayed oldest-first; the union of streaming emits must cover
+    the same dense per-key grid with the same gap flags and forward-filled
+    values (float sums compared to 1e-9 — the streaming side sums in
+    pandas, the batch side in decimal)."""
+    import os
+    import time
+
+    from mapreducefw_spark.operators.resample import gap_fill_ffill
+    from mapreducefw_spark.streaming import stateful
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    src = str(tmp_path / "gf_src")
+    cuts = [lo + span, lo + 2 * span]
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    now = time.time()
+    for i, p in enumerate(parts):
+        before = set(os.listdir(src)) if i else set()
+        p.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f not in before and f != "_SUCCESS":
+                ts_f = now - 100 + i
+                os.utime(os.path.join(src, f), (ts_f, ts_f))
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = windows.run_bounded(
+        stateful.gap_fill_stream(stream, 3600), "t_gapfill", output_mode="update"
+    )
+    streamed = {
+        (r.key, r.bucket): (r.value, r.filled_value, r.is_gap)
+        for r in out.collect()
+    }
+    # exactly-once per (key, bucket)
+    assert len(streamed) == out.count()
+    batch = {
+        (r.key, r.bucket): (r.value, r.filled_value, r.is_gap)
+        for r in gap_fill_ffill(
+            ev, "key", "ts", F.sum("value").cast("double")
+        ).collect()
+    }
+    assert set(streamed) == set(batch)
+    for k, (sv, sf_, sg) in streamed.items():
+        bv, bf, bg = batch[k]
+        assert sg == bg, k
+        assert (sv is None) == (bv is None), k
+        if bv is not None:
+            assert abs(sv - bv) < 1e-6, k
+        assert abs(sf_ - bf) < 1e-6, k

@@ -456,6 +456,64 @@ def main() -> None:
             .count(),
         )
 
+        # round 5 (cont.): SymSpell deletion-neighborhood linkage. Copies
+        # are salted with a per-copy md5-derived token appended to the name,
+        # so copy families are mutually >2 apart (cross-copy pairs excluded)
+        # and the distinct-name population, the near-pair graph and the
+        # id-expansion all grow LINEARLY with k — plain text copies would
+        # leave distinct-names constant while id pairs grow k^2 per name
+        # pair, which is the mass-duplication case exact dedup removes
+        # upstream (same reasoning as the minhash/semantic-dedup salts).
+        from mapreducefw_spark.operators.linkage import deletion_neighborhood_pairs
+
+        part0 = spark.read.parquet(f"{SF_DIR}/part.parquet")
+        if k == 1:
+            partk = part0
+        else:
+            partk = (
+                part0.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+                .select(
+                    (F.col("p_partkey") * k + F.col("_i")).alias("p_partkey"),
+                    F.concat(
+                        F.col("p_name"),
+                        F.lit(" "),
+                        F.substring(F.md5(F.col("_i").cast("string")), 1, 6),
+                    ).alias("p_name"),
+                )
+            )
+        timed(
+            "symspell_linkage",
+            k,
+            deletion_neighborhood_pairs(partk, "p_partkey", "p_name", 2)
+            .groupBy("dist")
+            .count(),
+        )
+
+        # round 5 (cont.): gap-fill resample — event-type keys re-keyed per
+        # copy so the key population (and hence the dense grid) grows with
+        # k; the fact aggregate is the only raw-sized pass
+        from mapreducefw_spark.operators.resample import gap_fill_ffill
+
+        if k == 1:
+            evg = normalize_event_ts(ev0)
+        else:
+            evg = (
+                normalize_event_ts(ev0)
+                .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+                .withColumn(
+                    "event_type",
+                    F.concat(F.col("event_type"), F.lit("#"), F.col("_i")),
+                )
+                .drop("_i")
+            )
+        timed(
+            "gap_fill_resample",
+            k,
+            gap_fill_ffill(
+                evg, "event_type", "ts", F.sum(dec("value")).cast("double")
+            ),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
