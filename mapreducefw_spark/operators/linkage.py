@@ -52,11 +52,20 @@ def _expand_to_id_pairs(name_pairs: DataFrame, ids: DataFrame) -> DataFrame:
     distinct) and every id carries one text, so the two joins enumerate
     each (copy_a, copy_b) combination once; least/greatest restores the
     id-ordered output contract. Identical-text id pairs are dist 0 and
-    excluded upstream by construction (_ta < _tb is strict)."""
+    excluded upstream by construction (_ta < _tb is strict).
+
+    The verified name-pair frame is force-broadcast: it is distinct-text
+    near-pair sized (the DP survivors), orders of magnitude below the
+    corpus, so the first expansion join is map-side; only the second join
+    shuffles, and what it shuffles is output-sized — the floor for an
+    operator whose answer IS those rows. (The 16x scale probe showed the
+    planner demoting this join to shuffle once the raw side outgrew the
+    auto-broadcast threshold, a 10x step; pair frames are the side that
+    stays small.)"""
     a = ids.select(F.col("_id").alias("_ia"), F.col("_txt").alias("_ta"))
     b = ids.select(F.col("_id").alias("_ib"), F.col("_txt").alias("_tb"))
     return (
-        name_pairs.join(a, "_ta")
+        a.join(F.broadcast(name_pairs), "_ta")
         .join(b, "_tb")
         .select(
             F.least("_ia", "_ib").alias("a_id"),

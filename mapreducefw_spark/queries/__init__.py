@@ -75,7 +75,11 @@ def register(name: str, oracle: str | None = None):
 # equi_depth_histogram; all oracle-green locally at sf0.001/0.01/0.1) and
 # the pipeline9 graph/sequence batch (pagerank_copurchase,
 # event_transition_matrix, session_paths_top, winsorized_price_stats;
-# oracle-green locally at sf0.001/0.01).
+# oracle-green locally at sf0.001/0.01/0.1), the pipeline10 deterministic
+# statistics (ols_price_size_by_brand, robust_outliers_mad; 3 sfs) and the
+# pipeline11 modern-surface batch (events_props_variant,
+# python_datasource_squares; sf0.001/0.01) and pipeline12 composition
+# batch (entity_resolution_clusters, yoy_revenue_growth; sf0.001/0.01).
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- no driver row yet (pipeline6 curation batch is new this round)
     "containment_dedup_pairs",
@@ -182,6 +186,8 @@ def load_all() -> None:
         pipeline8,
         pipeline9,
         pipeline10,
+        pipeline11,
+        pipeline12,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -38,6 +38,14 @@ EDGE_QUERIES = [
     "cohort_retention",
     "purchase_touch_attribution",
     "view_click_attribution_outer",
+    # pipeline8-11 events queries (NULL value rows feed the gap-fill
+    # aggregate and MAD filter; NULL users their own transition partition;
+    # malformed JSON the variant path; the 30-min hole splits paths)
+    "events_gap_fill_hourly",
+    "event_transition_matrix",
+    "session_paths_top",
+    "robust_outliers_mad",
+    "events_props_variant",
 ]
 
 

@@ -281,3 +281,56 @@ def test_quality_rules_count_actual_violations(spark):
         "in_range(price,0,10)": 1,
         "foreign_key(cust)": 1,
     }, got
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning: a selective dim-side
+    filter injects a might_contain() predicate on the fact side BEFORE the
+    shuffle, so at 100 TB the fact rows that can't join are dropped at the
+    scan instead of being shuffled. Pinned with thresholds lowered to
+    fixture scale (production defaults: 10 GB application side / 10 MB
+    creation side) and broadcast disabled so the shuffle join actually
+    needs the filter; results must be identical with the feature off."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    saved["spark.sql.optimizer.runtime.bloomFilter.enabled"] = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    )
+
+    def build():
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        with_filter = build()
+        plan = with_filter._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        rows_on = {(r.o_orderpriority, r.n) for r in with_filter.collect()}
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = build()
+        plan_off = without._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plan_off
+        assert rows_on == {(r.o_orderpriority, r.n) for r in without.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

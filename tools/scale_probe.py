@@ -130,6 +130,25 @@ the remainder (beyond a ≤30ms normalization bound) to fixture distribution
   minhash pipeline's shuffle 3.24 -> 2.41 MB at sf0.1 (int32 signatures,
   pinned shingle frame, candidate-pruned verification).
 
+## Round 5 (continued session 2): linkage id-expansion broadcast find
+
+- First symspell_linkage probe read 2.0/20.8/82.1s (1x/4x/16x) — a 10x
+  step at 4x, then EXACTLY 4.0x from 4x to 16x. The name-level DP phase
+  was innocent (64·k distinct names); the step was the planner demoting
+  the id-expansion join (verified name pairs ⟕ raw ids) from broadcast to
+  shuffle once the raw side outgrew the auto-broadcast threshold. Ruled
+  out first: md5-salt families within edit distance 2 (k²-pair blowup) —
+  all 120 salt pairs measure ≥3 apart. Fix: force-broadcast the NAME-PAIR
+  frame (DP survivors — distinct-text near-pair sized, orders of magnitude
+  under the corpus) so the first expansion join is map-side;
+  `_expand_to_id_pairs` documents why that side is the bounded one. Probe
+  now reads 0.71/1.4/4.9s — 6.9x at 16x, sublinear.
+- Same session's operator-level lesson (the reason the probe exists):
+  id-level pairing BEFORE the DP multiplies every true pair by
+  |copies_a|·|copies_b|; the operators canonicalize to DISTINCT texts
+  first, compare those, and re-expand afterwards — >500s → 5s at sf0.1
+  on the 64-distinct-name part table before any probe ran.
+
 ## Round 5 (continued session): probe methodology fix + a real find
 
 - **Probe bug fixed**: warm-up used to share one DataFrame with the first
