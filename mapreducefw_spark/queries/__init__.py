@@ -66,9 +66,13 @@ def register(name: str, oracle: str | None = None):
 # freshly covered by trigram_typicality + dup_ngram_stats),
 # topk_parts_per_brand (bench headline, plan-pinned in CI),
 # window_distribution_fns (window family keeps 5 other in-window rows).
-# Round-6 rotation queue (stalest after this round): the 6 sibling-covered
-# r2-stale, the displaced scalar/window/quality re-verifies, the r3-vintage
-# attribution/pipeline batch, and any new registrations — including the
+# Round-6 rotation queue (stalest after this round): the 12 displaced
+# r1-stale re-verifies (see the session-3 block below), the 6
+# sibling-covered r2-stale, the displaced scalar/window/quality
+# re-verifies, the r3-vintage attribution/pipeline batch, the 4 session-3
+# queries that missed the window (reservoir_sample_sources,
+# token_divergence_by_source, session_paths_top, yoy_revenue_growth),
+# and any new registrations — including the
 # pipeline8 linkage/resample/stats batch (edit_distance_part_pairs,
 # edit_distance_pairs_symspell, events_gap_fill_hourly,
 # reservoir_sample_sources, token_divergence_by_source,
@@ -108,24 +112,30 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "join_anti_orderless_customers",
     "grouping_sets_explicit",
     "sort_multikey_nulls",
-    # -- stalest: latest driver row is round 1 (math_conditional and
-    #    union_all_segments displaced to round-6 for the basket/attribution
-    #    rows: pure expression / set-op shapes with in-window siblings —
-    #    intersect_nations + intersect_all_quantities cover set ops;
-    #    range_generator_source displaced for rfm_segmentation — a pure
-    #    spark.range generator, no plan-regression surface)
-    "distinct_segments",
-    "from_json_struct",
-    "higher_order_token_fns",
-    "intersect_all_quantities",
-    "intersect_nations",
-    "join_right_outer_parts",
-    "map_column_functions",
-    "pandas_scalar_udf_margin",
-    "projection_rekey",
-    "salted_skew_aggregate",
-    "scd2_merge_emulation",
-    "topk_orders_global",
+    # -- session-3 registrations, all oracle-bearing with NO driver row.
+    #    These 12 take the slots previously queued for the r1-stale
+    #    re-verifies (distinct_segments, from_json_struct,
+    #    higher_order_token_fns, intersect_all_quantities, intersect_nations,
+    #    join_right_outer_parts, map_column_functions,
+    #    pandas_scalar_udf_margin, projection_rekey, salted_skew_aggregate,
+    #    scd2_merge_emulation, topk_orders_global — every one already holds
+    #    an r1 driver row, and the round-4 verdict ranked a rowless
+    #    registered query its #1 gap; the displaced twelve head the round-6
+    #    queue). All 12 below are green in the local vanilla-session driver
+    #    simulation (tools/drive_entry.py) at the driver's sf0.01 and in the
+    #    NULL/edge differential suites.
+    "edit_distance_part_pairs",
+    "edit_distance_pairs_symspell",
+    "events_gap_fill_hourly",
+    "equi_depth_histogram",
+    "pagerank_copurchase",
+    "event_transition_matrix",
+    "winsorized_price_stats",
+    "ols_price_size_by_brand",
+    "robust_outliers_mad",
+    "entity_resolution_clusters",
+    "events_props_variant",
+    "python_datasource_squares",
     # -- new this round (session 2), all oracle-bearing with no prior driver
     #    row: IVM merge == recompute, outer interval-join batch twin,
     #    cross-doc duplicated-passage coverage, sequence funnel, key-skew

@@ -44,8 +44,10 @@ WITH m AS (
   FROM part GROUP BY p_brand
 )
 SELECT p_brand, n,
-       (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
-       (sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+       (n * sxy - sx * sy)
+         / NULLIF(n * sxx - CAST(sx AS DOUBLE) * sx, 0) AS slope,
+       (sy - (n * sxy - sx * sy)
+               / NULLIF(n * sxx - CAST(sx AS DOUBLE) * sx, 0) * sx)
          / n AS intercept
 FROM m
 ORDER BY p_brand
@@ -72,7 +74,12 @@ def ols_price_size_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxy"),
     )
-    denom = F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    # NULLIF guards the degenerate all-one-size group (denominator 0):
+    # slope NULL on both engines rather than an engine-specific inf/error
+    denom = F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
+        F.lit(0.0),
+    )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     return m.select(
         "p_brand",

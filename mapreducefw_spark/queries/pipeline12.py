@@ -120,7 +120,7 @@ WITH yearly AS (
          CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
          COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
-  FROM orders GROUP BY 1, 2
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
 )
 SELECT o_orderpriority, yr, n_orders, revenue,
        (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w AS yoy_growth
@@ -136,7 +136,9 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     size), never over raw orders; exact-decimal year sums make the growth
     ratio a deterministic division of identical doubles. First year per
     priority is NULL growth on both engines."""
-    orders = t(spark, sf_dir, "orders")
+    # NULL order dates are excluded on BOTH sides: a NULL year has no place
+    # on a timeline, and its lag-window sort position differs across engines
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     yearly = orders.groupBy(
         "o_orderpriority", F.year("o_orderdate").cast("int").alias("yr")
     ).agg(

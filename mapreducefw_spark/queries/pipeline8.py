@@ -73,11 +73,16 @@ def edit_distance_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band |len diff| <= k pruning candidates before the DP runs. All
     comparisons are codegen'd JVM built-ins."""
     part = t(spark, sf_dir, "part")
+    # F.get (not [1]) tolerates one-token names — ANSI [] throws
+    # INVALID_ARRAY_INDEX on them — and the coalesce to '' matches
+    # split_part's missing-field result, so single-token names share the
+    # '' block on both engines instead of silently dropping (NULL keys
+    # never equi-join)
     pairs = blocked_levenshtein_pairs(
         part,
         id_col="p_partkey",
         text_col="p_name",
-        block_fn=lambda txt: F.split(txt, " ").getItem(1),
+        block_fn=lambda txt: F.coalesce(F.get(F.split(txt, " "), 1), F.lit("")),
         max_dist=EDIT_MAX_DIST,
     )
     return pairs.orderBy("a_id", "b_id")
@@ -285,7 +290,7 @@ WITH r AS (
          ROW_NUMBER() OVER (
            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
          COUNT(*) OVER () AS n
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 )
 SELECT CAST(((rn - 1) * {HIST_BUCKETS}) // n AS INTEGER) AS bucket,
        COUNT(*) AS n_rows,
@@ -309,8 +314,13 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank — ``(rank-1)*k div N`` — identical in both engines (the oracle's
     ROW_NUMBER form is the small-data twin; the tie-broken total order
     makes the rank, and hence every bucket boundary, deterministic)."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    # NULL prices are excluded on BOTH sides: a NULL has no place in a value
+    # histogram, and NULL sort position differs across engines (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST) — the filter removes the divergence class
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .filter(F.col("l_extendedprice").isNotNull())
     )
     ranked = global_rank_running(
         li, [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]

@@ -104,10 +104,21 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
+    # Rank and degree frames are node-cardinality; broadcasting them keeps
+    # the edge frame in place (checkpointed once, never re-shuffled) and
+    # cuts the per-iteration shuffle to the aggregated contributions —
+    # node-sized, not edge-sized. (The planner can't pick this itself:
+    # localCheckpoint erases size stats, so the iteration joins default to
+    # shuffle; the SHUFFLE.md probe measured 185 MB for 5 iterations over a
+    # 10.8 MB input before the hint.) Beyond broadcastable node counts the
+    # textbook alternative is GraphX-style co-partitioning: edges hashed by
+    # src once, ranks shuffled to the edge partitioning each round — still
+    # node-sized per-iteration traffic.
+    degb = F.broadcast(deg)
     for _ in range(PR_ITERS):
         contribs = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .join(degb, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("d")).alias("acc"))
         )
@@ -268,7 +279,7 @@ WITH r AS (
   SELECT o_totalprice, o_orderpriority,
          ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
          COUNT(*) OVER () AS n
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 q AS (
   SELECT MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
@@ -301,11 +312,15 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap path; exact-by-rank costs one range shuffle and stays
     driver-checkable.)"""
     orders = t(spark, sf_dir, "orders")
+    # the quantile rank frame excludes NULL prices on BOTH sides (NULL sort
+    # position differs across engines); NULL rows still flow through the
+    # final aggregates, where clip(NULL)=NULL is skipped identically
+    priced = orders.filter(F.col("o_totalprice").isNotNull())
     ranked = global_rank_running(
-        orders.select("o_totalprice", "o_orderkey"),
+        priced.select("o_totalprice", "o_orderkey"),
         [F.col("o_totalprice"), F.col("o_orderkey")],
     )
-    n = orders.agg(F.count(F.lit(1)).alias("_n"))
+    n = priced.agg(F.count(F.lit(1)).alias("_n"))
     q = (
         ranked.crossJoin(F.broadcast(n))
         .select(

@@ -38,6 +38,10 @@ EDGE_QUERIES = [
     # round-5 continued-session additions
     "dup_passage_coverage",
     "weighted_sample_tokens",
+    # session-3 additions (NULL texts: reservoir keeps them — no text
+    # dependence; divergence filters them on both sides)
+    "reservoir_sample_sources",
+    "token_divergence_by_source",
 ]
 
 ROWS = [

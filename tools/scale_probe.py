@@ -130,6 +130,20 @@ the remainder (beyond a ≤30ms normalization bound) to fixture distribution
   minhash pipeline's shuffle 3.24 -> 2.41 MB at sf0.1 (int32 signatures,
   pinned shingle frame, candidate-pruned verification).
 
+## Round 5 (continued session 3): interval_join back in band
+
+- r4's one perf-weak, `interval_join_events` (driver r4: 0.913s, 1.82x of
+  r3), measured **0.557s** in this session's full local bench — at r3's
+  0.501s level — and `events_tumbling_1h` 0.419s vs r3's 0.417s, both with
+  NO code change to either query. This confirms the r4 ratios were the
+  documented host-VM slow window + regenerated-fixture distribution, not a
+  plan regression; BENCH_r05 is the binding record.
+- That same local bench ran CONCURRENTLY with an edge-suite pytest session
+  (32 shared cores), which inflated four unrelated queries 1.3-3x; all
+  four re-measure in band isolated min-of-5 (salted_skew 0.711 / json
+  0.503 / chunking 0.266 / rank_scalable 0.643). Lesson repeated from the
+  host-drift trail: local numbers taken under contention are non-binding.
+
 ## Round 5 (continued session 2): linkage id-expansion broadcast find
 
 - First symspell_linkage probe read 2.0/20.8/82.1s (1x/4x/16x) — a 10x

@@ -36,7 +36,7 @@ PROBED = {
     "dup_passage_coverage": (["documents"], "passage dedup: shuffle = 8-byte gram hashes + doc ids, never gram text"),
     "funnel_view_click_purchase": (["events"], "funnel fold: one user-keyed exchange of (ts, type) structs"),
     "key_skew_report": (["lineitem"], "skew report: map-side combine leaves per-key partials + a bounded top-k"),
-    "edit_distance_pairs_symspell": (["part"], "linkage: DP over DISTINCT names; shuffle ~ variant index + output pairs"),
+    "edit_distance_pairs_symspell": (["part"], "linkage: output-sized — 2.4M verified pairs ARE the answer; DP inputs are distinct-name sized"),
     "events_gap_fill_hourly": (["events"], "gap-fill: one (key, bucket) partial-agg exchange; grid work is grid-sized"),
     "equi_depth_histogram": (["lineitem"], "two-phase rank: ONE range exchange of (price, keys), offsets O(partitions)"),
     "pagerank_copurchase": (["lineitem"], "5 iterations: shuffle ~ edges x iters (rank contributions), never raw facts re-scanned"),
