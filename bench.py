@@ -59,10 +59,11 @@ HEADLINE = [
     "bloom_decontaminate",
     "quality_decile_mixture",
     "incremental_agg_maintenance",
-    # round 5 (continued): linkage + resample + rank-based histogram
+    # round 5 (continued): linkage + resample + rank-based histogram + graph
     "edit_distance_pairs_symspell",
     "events_gap_fill_hourly",
     "equi_depth_histogram",
+    "copurchase_triangles",
 ]
 
 

@@ -71,7 +71,8 @@ def register(name: str, oracle: str | None = None):
 # sibling-covered r2-stale, the displaced scalar/window/quality
 # re-verifies, the r3-vintage attribution/pipeline batch, the 4 session-3
 # queries that missed the window (reservoir_sample_sources,
-# token_divergence_by_source, session_paths_top, yoy_revenue_growth),
+# token_divergence_by_source, session_paths_top, yoy_revenue_growth,
+# copurchase_triangles),
 # and any new registrations — including the
 # pipeline8 linkage/resample/stats batch (edit_distance_part_pairs,
 # edit_distance_pairs_symspell, events_gap_fill_hourly,
@@ -198,6 +199,7 @@ def load_all() -> None:
         pipeline10,
         pipeline11,
         pipeline12,
+        pipeline13,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -1,0 +1,120 @@
+"""Thirteenth batch (round 5, continued session): graph structure metrics.
+
+``copurchase_triangles`` — per-node triangle counts and local clustering
+coefficients over the (bounded) part co-purchase graph: the standard
+cohesion metric for recommendation graphs, and the canonical example of a
+multi-way self-join the engine must plan as two bounded equi-joins rather
+than anything quadratic.
+
+The distributed shape (node-iterator / MapReduce triangle counting,
+Suri & Vassilvitskii's shape): orient every edge low->high, join ordered
+edges on the middle vertex to enumerate wedges (a<b<c paths), then
+semi-verify the closing (a, c) edge with a third equi-join — wedge count
+is sum(deg^2) bounded, never n^2, and at 100 TB the classic refinement
+(orient by degree instead of id) bounds wedges by arboricity. Counts and
+degrees are integers; the coefficient is one division of identical
+operands — deterministic with no rounding.
+
+Semantic contract: chained shuffle-group-reduce
+(``/root/reference/MRFCore.cpp:252-446``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.queries import register
+from mapreducefw_spark.queries._util import t
+
+TRI_MAX_KEY = 1000  # bounded slice keeps the 3-way-join oracle affordable
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+                  GREATEST(a.l_partkey, b.l_partkey) AS y
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_partkey < {TRI_MAX_KEY} AND b.l_partkey < {TRI_MAX_KEY}
+    AND a.l_partkey IS NOT NULL AND b.l_partkey IS NOT NULL
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1 JOIN e e2 ON e1.y = e2.x JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+tn AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN COALESCE(tn.n_triangles, 0)
+                 / (d.degree * (d.degree - 1) / 2.0) END AS clustering_coeff
+FROM deg d LEFT JOIN tn USING (node)
+ORDER BY node
+""",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangles + local clustering coefficient on the bounded
+    co-purchase graph. Wedges come from one ordered-edge self-join on the
+    middle vertex; the closing edge is a second equi-join — both shuffles
+    keyed and bounded, no cartesian anywhere. Degree-1 nodes report NULL
+    coefficient on both engines (no wedge to close)."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_partkey") < TRI_MAX_KEY) & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    p1 = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    p2 = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = (
+        p1.join(p2, "k")
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # three consumers: deg + both wedge legs
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wedges = (
+        e.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .join(e.select(F.col("x").alias("b"), F.col("y").alias("c")), "b")
+    )
+    tri = wedges.join(
+        e.select(F.col("x").alias("a"), F.col("y").alias("c")), ["a", "c"]
+    )
+    tn = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    joined = deg.join(tn, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1) / 2.0),
+    )
+    return joined.select(
+        "node", "degree", "n_triangles", coeff.alias("clustering_coeff")
+    ).orderBy("node")

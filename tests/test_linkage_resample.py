@@ -176,3 +176,34 @@ def test_divergence_zero_for_identical_distribution(spark):
         .collect()
     )
     assert all(r.kl == 0.0 for r in out)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.one_of(st.none(), st.text(alphabet="abc", max_size=6)),
+    min_size=2,
+    max_size=14,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_symspell_property_random_strings(spark_global, texts):
+    """Deletion-neighborhood completeness on RANDOM short strings over a
+    3-letter alphabet (high collision density — the adversarial regime for
+    variant blocking): result set must equal brute force exactly."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark_global.createDataFrame(rows, schema="id long, txt string")
+    got = {
+        (r.a_id, r.b_id, r.dist)
+        for r in deletion_neighborhood_pairs(df, "id", "txt", 2).collect()
+    }
+    want = {
+        (a, b, _lev(ta, tb))
+        for a, ta in rows
+        for b, tb in rows
+        if ta is not None and tb is not None and a < b and 1 <= _lev(ta, tb) <= 2
+    }
+    assert got == want

@@ -33,6 +33,7 @@ EDGE_QUERIES = [
     "ols_price_size_by_brand",
     "equi_depth_histogram",
     "pagerank_copurchase",
+    "copurchase_triangles",
     "winsorized_price_stats",
     "yoy_revenue_growth",
 ]

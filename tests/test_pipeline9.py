@@ -85,3 +85,22 @@ def test_winsorize_clips_to_quantiles(spark, sf_dir):
     hi = max(r.max_clipped for r in rows)
     assert lo < hi
     assert all(lo <= r.min_clipped <= r.max_clipped <= hi for r in rows)
+
+
+def test_triangles_known_graph(spark, tmp_path):
+    # orders: {1,2,3} (triangle), {3,4} (pendant edge), {5,6},{6,7},{5,7}
+    # (second triangle sharing no nodes)
+    rows = []
+    for k, parts in enumerate([[1, 2, 3], [3, 4], [5, 6], [6, 7], [5, 7]], 1):
+        rows += [(k, p) for p in parts]
+    spark.createDataFrame(rows, ["l_orderkey", "l_partkey"]).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/lineitem.parquet")
+    out = {r.node: r for r in
+           QUERIES["copurchase_triangles"](spark, str(tmp_path)).collect()}
+    assert {n: out[n].n_triangles for n in sorted(out)} == {
+        1: 1, 2: 1, 3: 1, 4: 0, 5: 1, 6: 1, 7: 1
+    }
+    assert out[1].clustering_coeff == 1.0          # deg 2, closed wedge
+    assert out[3].degree == 3 and abs(out[3].clustering_coeff - 1 / 3) < 1e-12
+    assert out[4].clustering_coeff is None         # degree 1: no wedge

@@ -3,7 +3,7 @@
 
 The driver contract proves the DataFrame queries match their oracles; this
 suite proves the pure-SQL API surface (a user submitting the same ANSI text
-to both engines) agrees too — 76 of the registry's oracle strings execute
+to both engines) agrees too — 80 of the registry's oracle strings execute
 unmodified on both engines with identical results. Excluded oracles use
 genuine dialect-specific surface (DuckDB ``unnest``/``list()``/``sha256``/
 ``string_split``, regex-class dialects), not semantic divergence.
@@ -34,6 +34,8 @@ ANSI_PARITY = [
     "count_distinct_parts",
     "cube_lineitem_flags",
     "dedup_exact",
+    "edit_distance_pairs_symspell",
+    "edit_distance_part_pairs",
     "dedup_exact_keyed",
     "distinct_segments",
     "event_transition_matrix",
@@ -58,6 +60,7 @@ ANSI_PARITY = [
     "null_combinators",
     "nullsafe_join_counts",
     "ols_price_size_by_brand",
+    "pagerank_copurchase",
     "percentile_disc_prices",
     "pivot_flag_status",
     "q1_pricing_summary",
@@ -103,6 +106,7 @@ ANSI_PARITY = [
     "window_range_frame",
     "window_rank_customers",
     "winsorized_price_stats",
+    "yoy_revenue_growth",
 ]
 
 

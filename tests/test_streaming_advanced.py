@@ -375,3 +375,73 @@ def test_streaming_gap_fill_equals_batch_on_time_ordered_replay(spark, sf_dir, t
         if bv is not None:
             assert abs(sv - bv) < 1e-6, k
         assert abs(sf_ - bf) < 1e-6, k
+
+
+def test_watermark_late_row_reemits_window_best_effort(spark, tmp_path):
+    """Pins the ACTUAL (best-effort) watermark contract of streaming
+    aggregation, measured, not assumed: a row arriving AFTER the watermark
+    passed its window does NOT silently vanish — its evicted window is
+    re-opened and RE-EMITTED in a later append batch (Spark's docs only
+    promise data later than the watermark "may" be dropped; the strict
+    filter applies to state-backed ops like dedup/joins, not this path).
+    Operational consequences pinned here: (1) append-mode consumers must
+    merge on window key because a window can emit twice, (2) the ops
+    signal for lateness is the watermark advance in progress metrics.
+    Three files replayed in order; the last carries an event 3 hours
+    older than the advanced watermark."""
+    import os
+    import time
+
+    from datetime import datetime, timedelta
+
+    src = str(tmp_path / "wm_src")
+    base = datetime(2024, 5, 1, 10, 0, 0)
+    batches = [
+        [(1, base, 1, "click", 1.0, "{}")],
+        [(2, base + timedelta(hours=2), 1, "click", 1.0, "{}")],  # advances wm
+        [(3, base - timedelta(hours=1), 1, "click", 1.0, "{}")],  # LATE
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    now = time.time()
+    for i, rows in enumerate(batches):
+        before = set(os.listdir(src)) if i else set()
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in os.listdir(src):
+            if f not in before and f != "_SUCCESS":
+                os.utime(os.path.join(src, f), (now - 100 + i, now - 100 + i))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_wm_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        watermarks = [
+            p.get("eventTime", {}).get("watermark", "") for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
+    # observability: the watermark visibly advanced past the late event
+    assert any(wm >= "2024-05-01T11:30:00" for wm in watermarks), watermarks
+    out = sorted(
+        (r.s.hour, r["count"])
+        for r in spark.sql("SELECT window.start AS s, count FROM t_wm_drop").collect()
+    )
+    # behavior: the late 09:00 event re-opened its already-finalized window
+    # and emitted it — it was NOT dropped despite arriving 3 h behind the
+    # watermark (best-effort semantics; a sink keyed on the window would
+    # see this as a second version of the 09:00 row)
+    assert out == [(9, 1), (10, 1)], out
