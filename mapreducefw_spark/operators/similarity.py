@@ -398,3 +398,166 @@ def quantized_topk(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+):
+    """Train product-quantization codebooks (Jégou et al., PQ for nearest
+    neighbor search): split the vector into ``m`` contiguous subspaces and
+    run k-means with ``k`` centroids INDEPENDENTLY per subspace. Returns a
+    numpy array of shape (m, k, dim/m) — a MODEL (m*k*dim floats total, the
+    same broadcast-variable class as the IVF centroid matrix), never data.
+
+    Distributed shape: every Lloyd iteration is one Arrow-batched encode
+    pass over the corpus (all m subspaces assigned in a single UDF — one
+    numpy matmul per subspace per batch) plus one componentwise-mean
+    groupBy of (subspace, code, dim) — O(m*k*dim/m) groups. Only the model
+    is ever collected. Seeds are the md5-order first k vectors' subvectors:
+    deterministic across runs and partitionings (same trick as the
+    reservoir/shard operators), so retraining on the same corpus yields
+    the same codebooks up to float-summation order in the means.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d0 = dim // m
+    seed_rows = (
+        corpus.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(k)
+        .orderBy("vid")
+        .collect()
+    )
+    books = np.asarray(
+        [[list(r.vec[s * d0 : (s + 1) * d0]) for r in seed_rows] for s in range(m)],
+        dtype=np.float64,
+    )  # (m, k, d0)
+
+    for _ in range(iters):
+        coded = pq_encode(corpus, books)
+        comp = coded.select(
+            F.posexplode("codes").alias("s", "code"),
+            F.col("vec"),
+        ).select(
+            "s",
+            "code",
+            F.posexplode(
+                F.slice(
+                    "vec",
+                    F.col("s") * d0 + 1,
+                    d0,
+                )
+            ).alias("d", "x"),
+        )
+        means = (
+            comp.groupBy("s", "code", "d").agg(F.avg("x").alias("mu")).collect()
+        )
+        for r in means:  # model-sized: m*k*d0 rows
+            books[r.s, r.code, r.d] = r.mu
+    return books
+
+
+def pq_encode(corpus: DataFrame, books) -> DataFrame:
+    """Encode each vector to ``m`` byte codes (argmin L2 per subspace) via
+    an Arrow-batched pandas UDF — one (batch x d0) @ (d0 x k) matmul per
+    subspace per batch; the codebook rides the closure as a model-sized
+    broadcast. Output: ``vid, vec, codes array<int>`` (dim floats -> m
+    bytes is the 8-32x memory/shuffle win that makes billion-scale ANN
+    fit in RAM)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m, k, d0 = books.shape
+    bmat = np.asarray(books, dtype=np.float64)
+    sq = (bmat**2).sum(axis=2)  # (m, k)
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        out = np.empty((x.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * d0 : (s + 1) * d0]
+            # ||x - c||^2 = ||c||^2 - 2<x, c> + const(x): argmin drops const
+            out[:, s] = np.argmin(sq[s] - 2.0 * (xs @ bmat[s].T), axis=1)
+        return pd.Series(list(out))
+
+    return corpus.select("vid", "vec", codes("vec").alias("codes"))
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query precomputes an (m x k)
+    lookup table of exact query-subvector x centroid inner products; a
+    corpus row's approximate similarity is m table lookups summed — no
+    float vector math per pair, which is PQ's entire point at scale.
+
+    The query LUTs are model-sized (n_queries * m * k) and ride the UDF
+    closure; corpus codes stream through Arrow batches (n x m int32 numpy
+    fancy-indexing per batch). Per-query top-k is the same bounded window
+    as the other ANN forms. Output: ``qid, nid, sim, rk`` with sim the ADC
+    inner-product estimate rounded to 6 places."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m, kk, d0 = books.shape
+    bmat = np.asarray(books, dtype=np.float64)
+    qrows = queries.orderBy("vid").collect()  # search mode: query set is small
+    qids = np.asarray([r.vid for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r.vec for r in qrows], dtype=np.float64)
+    luts = np.stack(
+        [qmat[:, s * d0 : (s + 1) * d0] @ bmat[s].T for s in range(m)], axis=1
+    )  # (nq, m, k)
+
+    @pandas_udf("array<double>")
+    def adc(codes: pd.Series) -> pd.Series:
+        c = np.asarray(codes.tolist(), dtype=np.int64)  # (n, m)
+        sims = np.zeros((luts.shape[0], c.shape[0]))  # (nq, n)
+        for s in range(m):  # m is small; each step is one fancy-index gather
+            sims += luts[:, s, :][:, c[:, s]]
+        return pd.Series(list(np.round(sims.T, 6)))
+
+    scored = corpus_codes.select("vid", adc("codes").alias("sims")).select(
+        F.col("vid").alias("nid"),
+        F.posexplode("sims").alias("qpos", "sim"),
+    )
+    qid_arr = F.array(*[F.lit(int(q)) for q in qids])
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        scored.select(
+            F.get(qid_arr, F.col("qpos")).alias("qid"), "nid", "sim"
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def exact_rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Second stage of any retrieve-then-rerank ANN: exact cosine over the
+    candidate (qid, nid) pairs only — candidate-count work, never corpus^2.
+    Query vectors broadcast (search mode: model-sized)."""
+    pairs = cand.select("qid", "nid").join(
+        corpus.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec")), "nid"
+    ).join(
+        F.broadcast(
+            queries.select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"))
+        ),
+        "qid",
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        pairs.select("qid", "nid", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

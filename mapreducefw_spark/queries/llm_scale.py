@@ -288,3 +288,24 @@ def embedding_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = emb.filter(F.col("vid") < 10)
     return similarity.brute_force_topk(emb, q, k=5).orderBy("qid", "rk")
+
+
+@register("embedding_pq_topk")  # rows-only: float k-means codebooks are engine-specific
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al.), two-stage: normalize, train
+    m=16 x k=16 codebooks (dim floats -> 16 bytes per vector, a 16x
+    shuffle/RAM cut), retrieve top-50 per query by ADC table lookups, then
+    exact-cosine rerank to top-5. On this near-orthogonal fixture the ADC
+    candidate set contains 90% of the exact top-5 (recall pinned >= 0.8 in
+    tests/test_accuracy_pins.py); at production scale PQ composes with IVF
+    (IVF-ADC) so each query scans nprobe cells of byte codes, not floats."""
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    nrm = emb.select(
+        "vid",
+        F.transform("vec", lambda x: x / similarity._norm(F.col("vec"))).alias("vec"),
+    )
+    books = similarity.pq_train(nrm, m=16, k=16, iters=2, dim=EMBEDDING_DIM)
+    coded = similarity.pq_encode(nrm, books)
+    q = nrm.filter(F.col("vid") < 10)
+    cand = similarity.pq_topk(coded, q, books, k=50)
+    return similarity.exact_rerank(cand, nrm, q, k=5).orderBy("qid", "rk")

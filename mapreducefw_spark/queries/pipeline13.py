@@ -118,3 +118,44 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "node", "degree", "n_triangles", coeff.alias("clustering_coeff")
     ).orderBy("node")
+
+
+SKY_MAX_CUST = 300
+
+
+@register(
+    "pareto_orders_skyline",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+  WHERE o_custkey < {SKY_MAX_CUST}
+    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+)
+SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+FROM s a
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE b.o_totalprice <= a.o_totalprice AND b.o_orderdate >= a.o_orderdate
+    AND (b.o_totalprice < a.o_totalprice OR b.o_orderdate > a.o_orderdate)
+)
+ORDER BY o_totalprice, o_orderkey
+""",
+)
+def pareto_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of orders on (minimize price, maximize recency) — the Pareto
+    set no other order beats on both axes (operators/skyline.py). The
+    engine form is prefix arithmetic over the distinct-price frame in the
+    two-phase range-partition shape (no unpartitioned window, nothing
+    quadratic); the oracle is the textbook NOT-EXISTS dominance predicate
+    on a bounded customer slice — the small-data twin the operator
+    replaces."""
+    from mapreducefw_spark.operators.skyline import skyline_2d
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < SKY_MAX_CUST)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    return skyline_2d(orders, "o_totalprice", "o_orderdate").orderBy(
+        "o_totalprice", "o_orderkey"
+    )

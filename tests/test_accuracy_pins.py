@@ -230,3 +230,36 @@ def test_hll_sketch_merge_is_lossless_and_bounded(spark, sf_dir):
     assert merged == single
     exact = orders.select("o_custkey").distinct().count()
     assert abs(merged - exact) / exact <= 0.05
+
+
+def test_pq_two_stage_recall_pinned(vecs_01):
+    """Product quantization end-to-end: ADC top-50 retrieval (m=16 x k=16
+    codebooks on normalized vectors) + exact rerank recovers >= 0.8 of the
+    exact cosine top-5 on the sf0.01 corpus (0.9 measured; the margin
+    absorbs k-means float-summation variation). The near-orthogonal random
+    fixture is PQ's adversarial regime — real embedding corpora cluster and
+    quantize better, so the pin is conservative."""
+    emb = vecs_01
+    from pyspark.sql import functions as F
+
+    from mapreducefw_spark.operators import similarity as S
+
+    nrm = emb.select(
+        "vid", F.transform("vec", lambda x: x / S._norm(F.col("vec"))).alias("vec")
+    )
+    books = S.pq_train(nrm, m=16, k=16, iters=2, dim=64)
+    coded = S.pq_encode(nrm, books)
+    q = nrm.filter(F.col("vid") < 10)
+    got = {
+        (r.qid, r.nid)
+        for r in S.exact_rerank(S.pq_topk(coded, q, books, k=50), nrm, q, k=5).collect()
+    }
+    exact = {
+        (r.qid, r.nid)
+        for r in S.brute_force_topk(emb, emb.filter(F.col("vid") < 10), k=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
+    # codes really are m small ints (the 16-bytes-per-vector claim)
+    row = coded.first()
+    assert len(row.codes) == 16 and all(0 <= c < 16 for c in row.codes)

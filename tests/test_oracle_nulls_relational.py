@@ -34,6 +34,7 @@ EDGE_QUERIES = [
     "equi_depth_histogram",
     "pagerank_copurchase",
     "copurchase_triangles",
+    "pareto_orders_skyline",
     "winsorized_price_stats",
     "yoy_revenue_growth",
 ]
