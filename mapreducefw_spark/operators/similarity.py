@@ -561,3 +561,70 @@ def exact_rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame, k: int)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int = 5,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    retrieve: int = 50,
+) -> DataFrame:
+    """IVF-ADC (the billion-scale composition from the PQ paper): corpus
+    vectors live in inverted-file cells AND as m-byte PQ codes; a query
+    touches only its ``nprobe`` nearest cells, scores those candidates by
+    ADC table lookups (no float vector math), and exact-reranks the
+    ``retrieve`` best to the final ``k``. Per-query cost is
+    nprobe/n_cells of the corpus in BYTE CODES plus ``retrieve`` float
+    rows — the product of IVF's scan cut and PQ's memory cut.
+
+    ``corpus``/``queries`` are (vid, vec) — pass normalized vectors so the
+    ADC inner product ranks by cosine. ``books`` comes from pq_train on
+    the same corpus. Cells use the deterministic lowest-vid seed centroids
+    (same as ivf_topk's kmeans_iters=0 form); the vectorized assigner
+    handles growing cell counts. Output: ``qid, nid, sim, rk`` (exact
+    cosine after rerank).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m, kk, d0 = books.shape
+    bmat = np.asarray(books, dtype=np.float64)
+    centroids = corpus.orderBy("vid").limit(n_cells)
+    cells = assign_cells_vectorized(corpus, centroids)
+    coded = pq_encode(cells, books).join(cells.select("vid", "cell"), "vid")
+
+    qrows = queries.orderBy("vid").collect()  # search mode: model-sized
+    qmat = np.asarray([r.vec for r in qrows], dtype=np.float64)
+    luts = np.stack(
+        [qmat[:, s * d0 : (s + 1) * d0] @ bmat[s].T for s in range(m)], axis=1
+    )  # (nq, m, kk)
+    qidx = {int(r.vid): i for i, r in enumerate(qrows)}
+
+    probes = assign_probe_cells(queries, centroids, nprobe).select(
+        F.col("vid").alias("qid"), F.explode("probe").alias("cell")
+    )
+    cand = probes.join(coded.select("vid", "codes", "cell"), "cell").filter(
+        F.col("qid") != F.col("vid")
+    )
+
+    @pandas_udf("double")
+    def adc_pair(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        qi = qid.map(qidx).to_numpy(dtype=np.int64)
+        c = np.asarray(codes.tolist(), dtype=np.int64)  # (n, m)
+        sims = np.zeros(len(qi))
+        for s in range(m):
+            sims += luts[qi, s, c[:, s]]
+        return pd.Series(np.round(sims, 6))
+
+    w = W.partitionBy("qid").orderBy(F.desc("adc"), "vid")
+    shortlist = (
+        cand.withColumn("adc", adc_pair("qid", "codes"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= retrieve)
+        .select("qid", F.col("vid").alias("nid"))
+    )
+    return exact_rerank(shortlist, corpus, queries, k)

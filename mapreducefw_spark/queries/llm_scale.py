@@ -309,3 +309,22 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = nrm.filter(F.col("vid") < 10)
     cand = similarity.pq_topk(coded, q, books, k=50)
     return similarity.exact_rerank(cand, nrm, q, k=5).orderBy("qid", "rk")
+
+
+@register("embedding_ivf_pq_topk")  # rows-only: float k-means codebooks + cells
+def embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC composition (the billion-scale form from the PQ paper): each
+    query scans 6 of 16 inverted-file cells in m=16-byte PQ codes, scores
+    by ADC table lookups, exact-reranks the top 50 to the final 5 —
+    IVF's scan cut x PQ's 16x memory cut multiplied together. Recall@5
+    pinned >= 0.7 (0.86 measured) in tests/test_accuracy_pins.py."""
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    nrm = emb.select(
+        "vid",
+        F.transform("vec", lambda x: x / similarity._norm(F.col("vec"))).alias("vec"),
+    )
+    books = similarity.pq_train(nrm, m=16, k=16, iters=2, dim=EMBEDDING_DIM)
+    q = nrm.filter(F.col("vid") < 10)
+    return similarity.ivf_pq_topk(
+        nrm, q, books, k=5, n_cells=16, nprobe=6, retrieve=50
+    ).orderBy("qid", "rk")

@@ -263,3 +263,30 @@ def test_pq_two_stage_recall_pinned(vecs_01):
     # codes really are m small ints (the 16-bytes-per-vector claim)
     row = coded.first()
     assert len(row.codes) == 16 and all(0 <= c < 16 for c in row.codes)
+
+
+def test_ivf_pq_recall_pinned(vecs_01):
+    """IVF-ADC end-to-end: nprobe=6/16 cells scanned in 16-byte PQ codes,
+    ADC shortlist of 50, exact rerank to 5 — recall@5 >= 0.7 vs brute
+    force (0.86 measured; compound losses of cell pruning x quantization
+    on the adversarial near-orthogonal fixture)."""
+    emb = vecs_01
+    from pyspark.sql import functions as F
+
+    from mapreducefw_spark.operators import similarity as S
+
+    nrm = emb.select(
+        "vid", F.transform("vec", lambda x: x / S._norm(F.col("vec"))).alias("vec")
+    )
+    books = S.pq_train(nrm, m=16, k=16, iters=2, dim=64)
+    q = nrm.filter(F.col("vid") < 10)
+    got = {
+        (r.qid, r.nid)
+        for r in S.ivf_pq_topk(nrm, q, books, k=5, n_cells=16, nprobe=6).collect()
+    }
+    exact = {
+        (r.qid, r.nid)
+        for r in S.brute_force_topk(emb, emb.filter(F.col("vid") < 10), k=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, f"recall {recall}"
