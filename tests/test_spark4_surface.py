@@ -113,3 +113,65 @@ def test_python_datasource_streaming_reader(spark, tmp_path):
     rows = {r.id: r.square for r in spark.sql("SELECT * FROM t_sq_stream").collect()}
     # micro-batches of 20 cover [0, 50) exactly once under the offset log
     assert rows == {i: i * i for i in range(50)}
+
+
+def test_sql_scripting_control_flow(spark, sf_dir):
+    """Spark 4 SQL scripting: DECLARE / SET / WHILE / IF execute as one
+    compound statement — procedural control flow without a driver-side
+    Python loop. The loop result must equal the closed form."""
+    old = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        rows = spark.sql(
+            """
+            BEGIN
+              DECLARE i INT DEFAULT 1;
+              DECLARE acc BIGINT DEFAULT 0;
+              WHILE i <= 100 DO
+                SET acc = acc + i;
+                SET i = i + 1;
+              END WHILE;
+              IF acc = 5050 THEN
+                SELECT acc AS total, 'closed-form-match' AS verdict;
+              ELSE
+                SELECT acc AS total, 'mismatch' AS verdict;
+              END IF;
+            END
+            """
+        ).collect()
+        assert [(r.total, r.verdict) for r in rows] == [(5050, "closed-form-match")]
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", old)
+
+
+def test_managed_table_catalog_roundtrip(spark, sf_dir, tmp_path):
+    """Catalog surface: saveAsTable registers a managed table readable by
+    name and by SQL, listed in the catalog, appendable via insertInto, and
+    dropped cleanly. (Warehouse dir is session-scoped local parquet — the
+    catalog API is identical against a metastore.)"""
+    from pyspark.sql import functions as F
+
+    name = "t_catalog_rt"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.write.saveAsTable(name)
+    try:
+        assert name in [t.name for t in spark.catalog.listTables()]
+        by_name = spark.table(name)
+        assert by_name.count() == nation.count()
+        assert spark.sql(f"SELECT COUNT(*) AS n FROM {name}").first().n == nation.count()
+        # append via insertInto doubles the rows
+        nation.write.insertInto(name)
+        assert spark.table(name).count() == 2 * nation.count()
+        # predicate pushdown still reaches the managed table's scan
+        plan = (
+            spark.table(name)
+            .filter(F.col("n_nationkey") == 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    assert name not in [t.name for t in spark.catalog.listTables()]

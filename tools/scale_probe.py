@@ -143,6 +143,13 @@ the remainder (beyond a ≤30ms normalization bound) to fixture distribution
   four re-measure in band isolated min-of-5 (salted_skew 0.711 / json
   0.503 / chunking 0.266 / rank_scalable 0.643). Lesson repeated from the
   host-drift trail: local numbers taken under contention are non-binding.
+- **Session-closing CLEAN bench (idle machine, min-of-3)**: 38-query total
+  27.46s; the 31 r4-comparable queries total 21.46s vs the driver's r4
+  22.81s = 0.94x with ZERO per-query >1.3x flags — confirming the
+  mid-session flags were contention, and that the session's seven new
+  headline entries (bloom 0.79 / decile 0.64 / ivm 0.76 / symspell-linkage
+  1.61 / gap-fill 0.39 / equi-depth 1.22 / triangles 0.59) sit in the
+  same cost band as the tier they represent.
 
 ## Round 5 (continued session 2): linkage id-expansion broadcast find
 
