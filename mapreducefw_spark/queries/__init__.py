@@ -72,8 +72,9 @@ def register(name: str, oracle: str | None = None):
 # re-verifies, the r3-vintage attribution/pipeline batch, the 4 session-3
 # queries that missed the window (reservoir_sample_sources,
 # token_divergence_by_source, session_paths_top, yoy_revenue_growth,
-# copurchase_triangles, pareto_orders_skyline; embedding_pq_topk is
-# rows-only by design — recall-pinned, stays out per the no-oracle rule),
+# copurchase_triangles, pareto_orders_skyline, rolling_weekly_active_users;
+# embedding_pq_topk / embedding_ivf_pq_topk are rows-only by design —
+# recall-pinned, they stay out per the no-oracle rule),
 # and any new registrations — including the
 # pipeline8 linkage/resample/stats batch (edit_distance_part_pairs,
 # edit_distance_pairs_symspell, events_gap_fill_hourly,

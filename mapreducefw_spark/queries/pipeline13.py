@@ -159,3 +159,64 @@ def pareto_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(orders, "o_totalprice", "o_orderdate").orderBy(
         "o_totalprice", "o_orderkey"
     )
+
+
+@register(
+    "rolling_weekly_active_users",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+  FROM events WHERE user_id IS NOT NULL
+),
+bounds AS (SELECT MAX(d) AS mx FROM daily),
+contrib AS (
+  SELECT user_id,
+         unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day
+  FROM daily
+),
+wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY day),
+dau AS (SELECT d AS day, COUNT(*) AS dau FROM daily GROUP BY d)
+SELECT w.day, CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau
+FROM wau w LEFT JOIN dau USING (day) CROSS JOIN bounds
+WHERE w.day <= bounds.mx
+ORDER BY day
+""",
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU + trailing-7-day WAU per day — the engagement report whose
+    naive form is a distinct-count over a sliding window (not something a
+    window function can do exactly). The scalable shape: dedupe to daily
+    actives FIRST (the only events-sized pass, map-side combinable), then
+    each (user, day) contributes to the 7 window-end days via a bounded
+    explode — 7x the daily-actives frame, independent of raw event volume —
+    and one (day, user) distinct-count shuffle. Trailing windows ending
+    past the last observed day are clipped (broadcast 1-row bound). The
+    approximate path at extreme cardinality is the mergeable-HLL rollup
+    (hll_mergeable_distinct); this is the exact twin."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    bounds = daily.agg(F.max("d").alias("mx"))
+    contrib = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence("d", F.col("d") + F.expr("interval 6 days"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = daily.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("mx"))
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+        .orderBy("day")
+    )

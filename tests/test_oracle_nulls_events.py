@@ -46,6 +46,7 @@ EDGE_QUERIES = [
     "session_paths_top",
     "robust_outliers_mad",
     "events_props_variant",
+    "rolling_weekly_active_users",
 ]
 
 
