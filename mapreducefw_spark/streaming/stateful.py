@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -252,4 +253,77 @@ def gap_fill_stream(keyed: DataFrame, step_seconds: int = 3600) -> DataFrame:
         stateStructType="has int, last_b bigint, last_v double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def session_close_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Sessionization with EVENT-TIME TIMEOUTS: a user's session closes (and
+    emits exactly once) when the WATERMARK passes last_event + gap — not
+    when the next event for that user happens to arrive. This is the
+    applyInPandasWithState timeout API the other stateful operators don't
+    need (they emit per batch): ``GroupStateTimeout.EventTimeTimeout`` +
+    ``state.setTimeoutTimestamp``, with the timed-out callback delivering
+    the closed session. Idle users therefore emit WITHOUT new input — the
+    semantics ``session_window`` gives aggregations, here available to
+    arbitrary per-session state.
+
+    Input columns: ``user_id, ts`` (pre-filtered/projected; the stream must
+    carry a watermark on ts). Output one row per CLOSED session:
+    ``user_id, session_start, session_end (last event + gap), n_events``.
+    State per user is (start, last, n) — O(1) forever. Ordering contract
+    matches the other stateful forms: event-time order across batches
+    (within a batch, rows are sorted here); a gap WITHIN one batch also
+    splits sessions, batch-side, so replays coarser than the gap still
+    close correctly.
+    """
+    gap_us = gap_min * 60 * 1_000_000
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": pd.to_datetime([start_us], unit="us"),
+                    "session_end": pd.to_datetime([last_us + gap_us], unit="us"),
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        us = np.sort(rows["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = int(us[0]), int(us[0]) - 1, 0
+        out = []
+        for t_us in us:
+            t_us = int(t_us)
+            if n and t_us - last_us > gap_us:
+                out.append(emit(start_us, last_us, n))
+                start_us, n = t_us, 0
+            last_us = t_us
+            n += 1
+        state.update((start_us, last_us, n))
+        # close the open session once the WATERMARK passes last + gap
+        state.setTimeoutTimestamp(int((last_us + gap_us) / 1000) + 1)
+        for pdf in out:
+            yield pdf
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, session_start timestamp, "
+            "session_end timestamp, n_events bigint"
+        ),
+        stateStructType="start_us bigint, last_us bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -445,3 +445,72 @@ def test_watermark_late_row_reemits_window_best_effort(spark, tmp_path):
     # watermark (best-effort semantics; a sink keyed on the window would
     # see this as a second version of the 09:00 row)
     assert out == [(9, 1), (10, 1)], out
+
+
+def test_event_time_timeout_closes_sessions_like_batch(spark, sf_dir, tmp_path):
+    """session_close_stream == batch 30-min sessionization on a time-ordered
+    replay: sessions must close via the EVENT-TIME TIMEOUT (watermark
+    passing last_event + gap), incl. idle users with no further input. A
+    far-future sentinel row advances the final watermark so every open
+    session times out and emits; each session emits exactly once."""
+    import os
+    import time
+
+    from datetime import timedelta
+
+    from mapreducefw_spark.streaming import stateful
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts").filter(
+        F.col("user_id").isNotNull()
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    src = str(tmp_path / "sc_src")
+    cuts = [lo + span, lo + 2 * span]
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+        spark.createDataFrame([(-999, hi + timedelta(days=30))], ev.schema),
+    ]
+    now = time.time()
+    for i, p in enumerate(parts):
+        before = set(os.listdir(src)) if i else set()
+        p.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f not in before and f != "_SUCCESS":
+                os.utime(os.path.join(src, f), (now - 100 + i, now - 100 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    out = windows.run_bounded(
+        stateful.session_close_stream(stream, 30), "t_sclose", output_mode="append"
+    ).filter(F.col("user_id") != -999)
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events) for r in out.collect()
+    )
+    assert len(got) == len(set(got)), "a session emitted twice"
+
+    # batch truth: 30-min-gap islands per user
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    brk = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    islands = ev.select("user_id", "ts", F.sum(brk).over(run).alias("sid"))
+    batch = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in islands.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    assert got == batch
