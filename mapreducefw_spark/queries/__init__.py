@@ -72,7 +72,8 @@ def register(name: str, oracle: str | None = None):
 # re-verifies, the r3-vintage attribution/pipeline batch, the 4 session-3
 # queries that missed the window (reservoir_sample_sources,
 # token_divergence_by_source, session_paths_top, yoy_revenue_growth,
-# copurchase_triangles, pareto_orders_skyline, rolling_weekly_active_users;
+# copurchase_triangles, pareto_orders_skyline, rolling_weekly_active_users,
+# ohlc_hourly_bars, embedding_dim_stats;
 # embedding_pq_topk / embedding_ivf_pq_topk are rows-only by design —
 # recall-pinned, they stay out per the no-oracle rule),
 # and any new registrations — including the
@@ -202,6 +203,7 @@ def load_all() -> None:
         pipeline11,
         pipeline12,
         pipeline13,
+        pipeline14,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -47,6 +47,7 @@ EDGE_QUERIES = [
     "robust_outliers_mad",
     "events_props_variant",
     "rolling_weekly_active_users",
+    "ohlc_hourly_bars",
 ]
 
 
