@@ -156,3 +156,35 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def backfill_days(
+    source: DataFrame,
+    agg_fn,
+    agg_path: str,
+    day_col: str,
+    changed_days: DataFrame,
+) -> int:
+    """Incremental backfill: late/corrected source rows arrived for some
+    days — recompute ONLY those days' slice of a materialized daily
+    aggregate and dynamic-overwrite only those partitions. The batch
+    counterpart of the IVM changelog merge for the common case where the
+    view is day-partitioned and the delta names its days.
+
+    At 100 TB the two levers compose: the recompute input is a semi-join
+    against the (tiny, broadcast) changed-day list — partition-pruned at
+    the scan when the source is day-partitioned — and the write replaces
+    only the matching partitions (overwrite_partitions), never
+    truncating the table. A full nightly recompute scans everything;
+    this scans and rewrites O(changed days). Returns the number of days
+    backfilled.
+
+    ``agg_fn`` maps a source DataFrame slice to its aggregate rows (must
+    be day-local: every output row's ``day_col`` is derived from input
+    rows of that same day, which any per-day rollup satisfies)."""
+    from pyspark.sql import functions as F  # local: keep module import-light
+
+    days = changed_days.select(day_col).distinct()
+    affected = source.join(F.broadcast(days), day_col, "left_semi")
+    overwrite_partitions(agg_fn(affected), agg_path, [day_col])
+    return days.count()

@@ -250,3 +250,47 @@ def test_compaction_with_zorder_clustering(spark, tmp_path):
                 break
     # random 64-file layout: every file intersects the box; clustered: few do
     assert eligible <= total // 2, (eligible, total)
+
+
+def test_backfill_days_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Late data for two days -> backfill_days recomputes ONLY those
+    partitions, and the resulting materialized aggregate equals a full
+    recompute over the corrected source; untouched partitions keep their
+    original files (mtime-stable), proving the write really was partial."""
+    import os
+
+    from mapreducefw_spark.sources.maintenance import backfill_days
+
+    agg_path = str(tmp_path / "daily_agg")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    late_days = days[3:5]
+
+    def agg_fn(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+
+    # initial build is missing the late rows (half of each late day's events)
+    late = ev.filter(F.col("day").isin(late_days) & (F.col("event_id") % 2 == 0))
+    base = ev.exceptAll(late)
+    agg_fn(base).write.partitionBy("day").parquet(agg_path)
+    untouched = {
+        d: sorted(os.listdir(os.path.join(agg_path, f"day={d}")))
+        for d in days
+        if d not in late_days
+    }
+
+    n = backfill_days(base.unionByName(late), agg_fn, agg_path, "day", late)
+    assert n == len(late_days)
+
+    # partition-column type inference reads day= back as DATE; normalize
+    cols = [F.col("day").cast("string").alias("day"), "event_type", "n", "total"]
+    got = sorted(map(tuple, spark.read.parquet(agg_path).select(cols).collect()))
+    want = sorted(map(tuple, agg_fn(ev).select(cols).collect()))
+    assert got == want
+    for d, files in untouched.items():
+        assert sorted(os.listdir(os.path.join(agg_path, f"day={d}"))) == files
