@@ -514,3 +514,35 @@ def test_event_time_timeout_closes_sessions_like_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == batch
+
+
+def test_streaming_ohlc_bars_equal_batch(spark, sf_dir):
+    """OHLC bars as a watermarked streaming windowed aggregation: min_by/
+    max_by against the (ts, event_id) order struct work as streaming agg
+    functions (partial states merge associatively), so the bars equal the
+    batch ohlc_hourly_bars query on the bounded replay."""
+    from mapreducefw_spark.queries import QUERIES, load_all
+
+    load_all()
+    stream = windows.events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    key = F.struct("ts", "event_id")
+    bars = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .select(
+            "event_type", F.col("window.start").alias("bar"),
+            "open", "high", "low", "close", "n_ticks", "total",
+        )
+    )
+    out = windows.run_bounded(bars, "t_ohlc_stream")
+    got = sorted(map(tuple, out.collect()))
+    batch = sorted(map(tuple, QUERIES["ohlc_hourly_bars"](spark, sf_dir).collect()))
+    assert got == batch
