@@ -1,0 +1,106 @@
+"""Grammar-fuzzed cross-engine differential (SQLancer-lite): generate
+seeded random aggregation queries from a constrained ANSI grammar over
+lineitem/orders, run the SAME text through ``spark.sql`` and DuckDB, and
+compare exactly.
+
+The curated registry proves the operators we chose; the fuzzer probes the
+combinatorial space BETWEEN them — filter x grouping x aggregate
+combinations nobody hand-picked — using the exact-decimal idiom so every
+aggregate is order-independent. Seeds are fixed: failures reproduce, and
+the corpus of generated queries is stable across runs (no Date.now-style
+flakiness). 40 queries per run.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from mapreducefw_spark.sources.tables import TABLES, table
+
+GROUP_KEYS = [
+    "l_returnflag",
+    "l_linestatus",
+    "CAST(EXTRACT(year FROM l_shipdate) AS INTEGER)",
+    "CAST(l_suppkey % 7 AS BIGINT)",
+    "CAST(l_quantity >= 25 AS INTEGER)",
+]
+MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+PREDICATES = [
+    "l_quantity BETWEEN 5 AND 45",
+    "l_returnflag IN ('A', 'N')",
+    "l_shipdate >= TIMESTAMP '2023-06-01 00:00:00'",
+    "l_discount < 0.05",
+    "l_extendedprice IS NOT NULL",
+    "l_linestatus = 'F'",
+    "l_partkey % 3 <> 1",
+]
+
+
+def _gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+    keys = rng.sample(GROUP_KEYS, rng.randint(1, 3))
+    key_aliases = [f"g{i}" for i in range(len(keys))]
+    aggs = ["COUNT(*) AS n"]
+    for i, m in enumerate(rng.sample(MEASURES, rng.randint(1, 3))):
+        kind = rng.choice(["sum", "min", "max", "cntd"])
+        if kind == "sum":
+            aggs.append(
+                f"CAST(SUM(CAST({m} AS DECIMAL(12,2))) AS DOUBLE) AS a{i}"
+            )
+        elif kind == "cntd":
+            aggs.append(f"COUNT(DISTINCT {m}) AS a{i}")
+        else:
+            aggs.append(f"{kind.upper()}({m}) AS a{i}")
+    where = ""
+    if rng.random() < 0.8:
+        preds = rng.sample(PREDICATES, rng.randint(1, 3))
+        glue = " AND " if rng.random() < 0.7 else " OR "
+        where = "WHERE " + glue.join(preds)
+    having = ""
+    if rng.random() < 0.3:
+        having = f"HAVING COUNT(*) > {rng.randint(0, 3)}"
+    sel_keys = ", ".join(f"{k} AS {a}" for k, a in zip(keys, key_aliases))
+    return (
+        f"SELECT {sel_keys}, {', '.join(aggs)} FROM lineitem {where} "
+        f"GROUP BY {', '.join(key_aliases)} {having} "
+        f"ORDER BY {', '.join(key_aliases)}"
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    for tn in TABLES:
+        table(spark, sf_dir, tn).createOrReplaceTempView(tn)
+    con = duckdb.connect()
+    for tn in TABLES:
+        con.execute(f"CREATE VIEW {tn} AS SELECT * FROM '{sf_dir}/{tn}.parquet'")
+    return spark, con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _key(row):
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_fuzzed_aggregation_matches_duckdb(engines, seed):
+    spark, con = engines
+    sql = _gen_query(seed)
+    srows = sorted(
+        (tuple(_norm(v) for v in r) for r in spark.sql(sql).collect()), key=_key
+    )
+    drows = sorted(
+        (tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()), key=_key
+    )
+    assert srows == drows, f"seed {seed} diverged:\n{sql}"
