@@ -104,3 +104,86 @@ def test_fuzzed_aggregation_matches_duckdb(engines, seed):
         (tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()), key=_key
     )
     assert srows == drows, f"seed {seed} diverged:\n{sql}"
+
+
+JOINS = [
+    ("orders", "lineitem.l_orderkey = orders.o_orderkey"),
+    ("part", "lineitem.l_partkey = part.p_partkey"),
+    ("supplier", "lineitem.l_suppkey = supplier.s_suppkey"),
+]
+JOIN_KEYS = [
+    "l_returnflag",
+    "o_orderpriority",
+    "p_brand",
+    "s_nationkey",
+    "CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)",
+]
+JOIN_MEASURES = ["l_quantity", "o_totalprice", "p_retailprice", "s_acctbal"]
+JOIN_PREDS = [
+    "o_totalprice > 1000",
+    "p_size BETWEEN 10 AND 40",
+    "s_acctbal >= 0",
+    "l_discount < 0.08",
+    "o_orderpriority <> '5-LOW'",
+]
+
+
+def _tables_of(expr: str) -> set:
+    return {
+        t
+        for t, pref in (
+            ("lineitem", "l_"), ("orders", "o_"), ("part", "p_"), ("supplier", "s_")
+        )
+        if pref in [expr[i:i + 2] for i in range(len(expr))]
+    }
+
+
+def _gen_join_query(seed: int) -> str:
+    rng = random.Random(10_000 + seed)
+    joins = rng.sample(JOINS, rng.randint(1, 2))
+    jtypes = [rng.choice(["JOIN", "LEFT JOIN"]) for _ in joins]
+    avail = {"lineitem"} | {t for t, _ in joins}
+
+    def usable(expr):
+        return _tables_of(expr) <= avail
+
+    keys = rng.sample([k for k in JOIN_KEYS if usable(k)], 1)
+    keys += rng.sample([k for k in JOIN_KEYS if usable(k) and k not in keys],
+                       rng.randint(0, 1))
+    aggs = ["COUNT(*) AS n"]
+    for i, m in enumerate(rng.sample([m for m in JOIN_MEASURES if usable(m)],
+                                     rng.randint(1, 2))):
+        if rng.random() < 0.6:
+            aggs.append(f"CAST(SUM(CAST({m} AS DECIMAL(14,2))) AS DOUBLE) AS a{i}")
+        else:
+            aggs.append(f"{rng.choice(['MIN', 'MAX'])}({m}) AS a{i}")
+    where = ""
+    # predicates only over INNER-joined tables: a WHERE on a LEFT-joined
+    # table's column silently converts the join — legal SQL, but keep the
+    # generated intent unambiguous
+    inner = {"lineitem"} | {t for (t, _), jt in zip(joins, jtypes) if jt == "JOIN"}
+    cand = [p for p in JOIN_PREDS if _tables_of(p) <= inner]
+    if cand and rng.random() < 0.7:
+        where = "WHERE " + " AND ".join(rng.sample(cand, min(len(cand), rng.randint(1, 2))))
+    key_aliases = [f"g{i}" for i in range(len(keys))]
+    sel = ", ".join(f"{k} AS {a}" for k, a in zip(keys, key_aliases))
+    join_sql = " ".join(
+        f"{jt} {t} ON {cond}" for (t, cond), jt in zip(joins, jtypes)
+    )
+    return (
+        f"SELECT {sel}, {', '.join(aggs)} FROM lineitem {join_sql} {where} "
+        f"GROUP BY {', '.join(key_aliases)} ORDER BY {', '.join(key_aliases)}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzzed_join_aggregation_matches_duckdb(engines, seed):
+    spark, con = engines
+    sql = _gen_join_query(seed)
+    srows = sorted(
+        (tuple(_norm(v) for v in r) for r in spark.sql(sql).collect()), key=_key
+    )
+    drows = sorted(
+        (tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()), key=_key
+    )
+    assert srows == drows, f"seed {seed} diverged:\n{sql}"
