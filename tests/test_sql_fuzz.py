@@ -187,3 +187,46 @@ def test_fuzzed_join_aggregation_matches_duckdb(engines, seed):
         (tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()), key=_key
     )
     assert srows == drows, f"seed {seed} diverged:\n{sql}"
+
+
+WIN_PARTS = ["l_returnflag", "l_linestatus", "CAST(l_suppkey % 5 AS BIGINT)"]
+WIN_ORDERS = ["l_extendedprice", "l_quantity", "l_shipdate", "l_discount"]
+WIN_FNS = ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "NTILE(4)"]
+
+
+def _gen_window_query(seed: int) -> str:
+    rng = random.Random(20_000 + seed)
+    part = rng.sample(WIN_PARTS, rng.randint(1, 2))
+    order = rng.sample(WIN_ORDERS, rng.randint(1, 2))
+    # explicit direction + NULLS placement on every key: Spark defaults
+    # NULLS FIRST on ASC, DuckDB NULLS LAST — the explicit spec removes the
+    # divergence; (l_orderkey, l_linenumber) tiebreak totalizes the order
+    okeys = [
+        f"{k} {rng.choice(['ASC', 'DESC'])} NULLS "
+        f"{rng.choice(['FIRST', 'LAST'])}"
+        for k in order
+    ] + ["l_orderkey ASC", "l_linenumber ASC"]
+    fn = rng.choice(WIN_FNS)
+    lag_expr = ""
+    if rng.random() < 0.5:
+        lag_expr = ", LAG(l_extendedprice) OVER w AS prev_price"
+    win = f"PARTITION BY {', '.join(part)} ORDER BY {', '.join(okeys)}"
+    return (
+        f"SELECT l_orderkey, l_linenumber, {fn} OVER w AS rk{lag_expr} "
+        f"FROM lineitem WHERE l_quantity <= {rng.randint(10, 50)} "
+        f"WINDOW w AS ({win}) "
+        f"ORDER BY l_orderkey, l_linenumber"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzzed_window_functions_match_duckdb(engines, seed):
+    spark, con = engines
+    sql = _gen_window_query(seed)
+    srows = sorted(
+        (tuple(_norm(v) for v in r) for r in spark.sql(sql).collect()), key=_key
+    )
+    drows = sorted(
+        (tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()), key=_key
+    )
+    assert srows == drows, f"seed {seed} diverged:\n{sql}"
