@@ -1,0 +1,132 @@
+"""Differential EMPTY-INPUT robustness: every table present but zero rows.
+
+A regenerated fixture can legitimately contain an empty slice (a source
+with no documents, a day with no events); global aggregates over empty
+input are also a classic cross-engine divergence class (1 row of
+NULL/0 vs empty set). Each covered query must agree with its DuckDB
+oracle on the all-empty database — same row count, same values — and,
+implicitly, must not crash on empty frames (empty grids, empty edge
+sets, rank frames with N=0, broadcast bounds of NULL).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from mapreducefw_spark.queries import ORACLES, QUERIES, load_all
+from mapreducefw_spark.sources.tables import TABLES
+
+load_all()
+
+EMPTY_QUERIES = [
+    # aggregation / join / window core
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "join_left_outer_order_counts",
+    "window_rank_customers",
+    # grouping_sets_explicit: EXCLUDED — pinned as a known engine
+    # divergence below (Spark drops the () grand-total row on empty input)
+    "topk_orders_global",
+    # timeseries / sessions
+    "sessionization_30m",
+    "events_tumbling_1h",
+    "events_gap_fill_hourly",
+    "event_transition_matrix",
+    "session_paths_top",
+    "rolling_weekly_active_users",
+    "ohlc_hourly_bars",
+    # rank-based / stats
+    "equi_depth_histogram",
+    "winsorized_price_stats",
+    "robust_outliers_mad",
+    "ols_price_size_by_brand",
+    "yoy_revenue_growth",
+    # linkage / graph
+    "edit_distance_part_pairs",
+    "edit_distance_pairs_symspell",
+    "pagerank_copurchase",
+    "copurchase_triangles",
+    "entity_resolution_clusters",
+    "pareto_orders_skyline",
+    # text / curation
+    "dedup_exact",
+    "token_divergence_by_source",
+    "reservoir_sample_sources",
+    "doc_chunking",
+    "events_props_variant",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_db")
+    for tn in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{tn}.parquet")
+        df.limit(0).coalesce(1).write.parquet(f"{d}/{tn}.parquet")
+    return str(d)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _key(row):
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+
+
+@pytest.mark.parametrize("name", EMPTY_QUERIES)
+def test_empty_tables_match_oracle(spark, empty_dir, name):
+    sdf = QUERIES[name](spark, empty_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for tn in TABLES:
+        # Spark writes a DIRECTORY named <t>.parquet; DuckDB needs the glob
+        con.execute(
+            f"CREATE VIEW {tn} AS SELECT * "
+            f"FROM read_parquet('{empty_dir}/{tn}.parquet/*.parquet')"
+        )
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows), (len(srows), len(drows))
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sn = sorted((tuple(_norm(r[i]) for i in order_s) for r in srows), key=_key)
+    dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=_key)
+    assert sn == dn, [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+
+
+def test_known_divergence_grouping_sets_on_empty_input(spark, empty_dir):
+    """Found by this suite and pinned as ENGINE behavior, not an engine-
+    mapping bug: over an EMPTY input, ANSI says the () grand-total grouping
+    set still produces one row (aggregate over the empty group — same as
+    ``SELECT COUNT(*) FROM empty``). DuckDB conforms; Spark implements
+    grouping sets via Expand + a keyed hash aggregate, so zero input rows
+    yield zero groups and the grand-total row is dropped. The identical
+    query text therefore returns 1 row in DuckDB and 0 in Spark — invisible
+    on any non-empty fixture, which is why the registry query stays green.
+    If this test ever FAILS, Spark fixed the nonconformance: move
+    grouping_sets_explicit back into EMPTY_QUERIES."""
+    sql = ORACLES["grouping_sets_explicit"]
+    spark_rows = QUERIES["grouping_sets_explicit"](spark, empty_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * "
+        f"FROM read_parquet('{empty_dir}/customer.parquet/*.parquet')"
+    )
+    duck_rows = con.execute(sql).fetchall()
+    assert len(spark_rows) == 0
+    assert len(duck_rows) == 1 and duck_rows[0][2] == 0  # (NULL, NULL, 0, 3)
