@@ -130,3 +130,42 @@ def test_known_divergence_grouping_sets_on_empty_input(spark, empty_dir):
     duck_rows = con.execute(sql).fetchall()
     assert len(spark_rows) == 0
     assert len(duck_rows) == 1 and duck_rows[0][2] == 0  # (NULL, NULL, 0, 3)
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(spark, sf_dir, tmp_path_factory):
+    """Every table cut to its FIRST row (deterministic order by first
+    column): single-element aggregates are the other degenerate regime —
+    stddev/variance of one sample, windows of size one, joins that mostly
+    miss."""
+    d = tmp_path_factory.mktemp("tiny_db")
+    for tn in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{tn}.parquet")
+        first = df.orderBy(df.columns[0]).limit(1)
+        first.coalesce(1).write.parquet(f"{d}/{tn}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMPTY_QUERIES)
+def test_single_row_tables_match_oracle(spark, tiny_dir, name):
+    sdf = QUERIES[name](spark, tiny_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for tn in TABLES:
+        con.execute(
+            f"CREATE VIEW {tn} AS SELECT * "
+            f"FROM read_parquet('{tiny_dir}/{tn}.parquet/*.parquet')"
+        )
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows), (len(srows), len(drows))
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sn = sorted((tuple(_norm(r[i]) for i in order_s) for r in srows), key=_key)
+    dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=_key)
+    assert sn == dn, [(a, b) for a, b in zip(sn, dn) if a != b][:3]
