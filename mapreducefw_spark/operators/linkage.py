@@ -144,14 +144,23 @@ def deletion_neighborhood_pairs(
         raise ValueError("deletion_neighborhood_pairs supports max_dist in {1, 2}")
     s = "_txt"
     d1 = (
+        f"if(length({s}) >= 1, "
         f"transform(sequence(1, length({s})), i -> "
-        f"concat(substring({s}, 1, i - 1), substring({s}, i + 1, length({s}))))"
+        f"concat(substring({s}, 1, i - 1), substring({s}, i + 1, length({s})))), "
+        f"array())"
     )
+    # outer index stops at length-1 (and the whole term is gated on
+    # length >= 2): for i = length the inner sequence(i + 1, length) would
+    # DESCEND (Spark defaults step -1 when start > stop), emitting junk
+    # variants that only stayed harmless because candidates are re-verified
+    # with levenshtein — but cost spurious explode rows and join work
     d2 = (
-        f"flatten(transform(sequence(1, length({s})), i -> "
+        f"if(length({s}) >= 2, "
+        f"flatten(transform(sequence(1, length({s}) - 1), i -> "
         f"transform(sequence(i + 1, length({s})), j -> "
         f"concat(substring({s}, 1, i - 1), substring({s}, i + 1, j - i - 1), "
-        f"substring({s}, j + 1, length({s}))))))"
+        f"substring({s}, j + 1, length({s})))))), "
+        f"array())"
     )
     parts = [f"array({s})", d1] + ([d2] if max_dist >= 2 else [])
     variants = f"array_distinct(concat({', '.join(parts)}))"

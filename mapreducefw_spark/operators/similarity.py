@@ -38,6 +38,22 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def l2_normalize(df: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """Unit-normalize ``vec_col`` in place, computing the norm ONCE per row
+    through a staged projection. Dividing inside ``F.transform`` by an
+    inline ``_norm(vec)`` re-evaluates the full aggregate fold for EVERY
+    element — O(dim^2) interpreted work per row on a corpus-sized pass;
+    staging the scalar first keeps the fold linear."""
+    others = [c for c in df.columns if c != vec_col]
+    return (
+        df.withColumn("_l2n", _norm(F.col(vec_col)))
+        .select(
+            *others,
+            F.transform(vec_col, lambda x: x / F.col("_l2n")).alias(vec_col),
+        )
+    )
+
+
 def as_double_vecs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     from mapreducefw_spark.operators.textprep import ensure_parallelism
 

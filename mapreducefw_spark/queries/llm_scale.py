@@ -300,10 +300,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_accuracy_pins.py); at production scale PQ composes with IVF
     (IVF-ADC) so each query scans nprobe cells of byte codes, not floats."""
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    nrm = emb.select(
-        "vid",
-        F.transform("vec", lambda x: x / similarity._norm(F.col("vec"))).alias("vec"),
-    )
+    nrm = similarity.l2_normalize(emb)
     books = similarity.pq_train(nrm, m=16, k=16, iters=2, dim=EMBEDDING_DIM)
     coded = similarity.pq_encode(nrm, books)
     q = nrm.filter(F.col("vid") < 10)
@@ -319,10 +316,7 @@ def embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF's scan cut x PQ's 16x memory cut multiplied together. Recall@5
     pinned >= 0.7 (0.86 measured) in tests/test_accuracy_pins.py."""
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    nrm = emb.select(
-        "vid",
-        F.transform("vec", lambda x: x / similarity._norm(F.col("vec"))).alias("vec"),
-    )
+    nrm = similarity.l2_normalize(emb)
     books = similarity.pq_train(nrm, m=16, k=16, iters=2, dim=EMBEDDING_DIM)
     q = nrm.filter(F.col("vid") < 10)
     return similarity.ivf_pq_topk(

@@ -290,10 +290,13 @@ q AS (
 )
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       MIN(GREATEST(LEAST(o_totalprice, hi), lo)) AS min_clipped,
-       MAX(GREATEST(LEAST(o_totalprice, hi), lo)) AS max_clipped,
-       CAST(SUM(CAST(GREATEST(LEAST(o_totalprice, hi), lo)
-                     AS DECIMAL(12,2))) AS DOUBLE) AS sum_clipped
+       MIN(CASE WHEN o_totalprice IS NOT NULL
+           THEN GREATEST(LEAST(o_totalprice, hi), lo) END) AS min_clipped,
+       MAX(CASE WHEN o_totalprice IS NOT NULL
+           THEN GREATEST(LEAST(o_totalprice, hi), lo) END) AS max_clipped,
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                THEN CAST(GREATEST(LEAST(o_totalprice, hi), lo)
+                          AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_clipped
 FROM orders CROSS JOIN q
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -313,8 +316,10 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checkable.)"""
     orders = t(spark, sf_dir, "orders")
     # the quantile rank frame excludes NULL prices on BOTH sides (NULL sort
-    # position differs across engines); NULL rows still flow through the
-    # final aggregates, where clip(NULL)=NULL is skipped identically
+    # position differs across engines); NULL rows still count in n_orders
+    # but their price stays NULL through the clip (least/greatest would
+    # otherwise swallow the NULL and inject the p95 boundary), so the
+    # min/max/sum aggregates skip them
     priced = orders.filter(F.col("o_totalprice").isNotNull())
     ranked = global_rank_running(
         priced.select("o_totalprice", "o_orderkey"),
@@ -337,7 +342,10 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("_lo").alias("lo"), F.max("_hi").alias("hi"))
     )
-    clipped = F.greatest(F.least(F.col("o_totalprice"), F.col("hi")), F.col("lo"))
+    clipped = F.when(
+        F.col("o_totalprice").isNotNull(),
+        F.greatest(F.least(F.col("o_totalprice"), F.col("hi")), F.col("lo")),
+    )
     return (
         orders.crossJoin(F.broadcast(q))
         .groupBy("o_orderpriority")

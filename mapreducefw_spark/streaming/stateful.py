@@ -216,6 +216,11 @@ def gap_fill_stream(keyed: DataFrame, step_seconds: int = 3600) -> DataFrame:
             .sum()
         )
         hi = int(agg.index.max())
+        if has and hi <= int(last_b):
+            # Entirely-late batch: every bucket was already emitted. Drop it
+            # without touching state — updating would regress the cursor to
+            # hi and make the next in-order batch re-emit (key, bucket) rows.
+            return
         start = int(last_b) + 1 if has else int(agg.index.min())
         out_b, out_v, out_f, out_g = [], [], [], []
         fv = float(last_v)

@@ -166,3 +166,21 @@ def test_edge_relational_match_oracle(spark, edge_dir, name):
     dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=_key)
     diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not diffs, diffs[:3]
+
+
+def test_winsorized_null_price_not_injected(spark, edge_dir):
+    """Ground-truth pin (parity alone can't catch a symmetric bug): a NULL
+    o_totalprice must NOT clip to a boundary value. least/greatest SKIP
+    NULL args in both Spark and DuckDB, so an unguarded clip turns
+    NULL -> hi and inflates sum/max — both engines agreeing on the wrong
+    statistic. 1-URGENT has orders 100, NULL, 300, 250: sum_clipped must
+    be 650 (the unguarded form would say 950)."""
+    rows = {
+        r.o_orderpriority: r
+        for r in QUERIES["winsorized_price_stats"](spark, edge_dir).collect()
+    }
+    u = rows["1-URGENT"]
+    assert u.n_orders == 4
+    assert u.sum_clipped == pytest.approx(650.0)
+    assert u.max_clipped == pytest.approx(300.0)
+    assert u.min_clipped == pytest.approx(100.0)

@@ -546,3 +546,60 @@ def test_streaming_ohlc_bars_equal_batch(spark, sf_dir):
     got = sorted(map(tuple, out.collect()))
     batch = sorted(map(tuple, QUERIES["ohlc_hourly_bars"](spark, sf_dir).collect()))
     assert got == batch
+
+
+def test_streaming_gap_fill_entirely_late_batch_does_not_regress_cursor(
+    spark, tmp_path
+):
+    """Regression pin for the late-batch cursor bug: a micro-batch whose
+    buckets were ALL already emitted (hi <= state.last_b) must be dropped
+    WITHOUT touching state. Before the fix, state.update regressed the
+    cursor to hi, so the next in-order batch re-emitted every bucket in
+    (hi, old_last_b] — violating the exactly-once-per-(key, bucket)
+    contract. Replay: buckets {0,2} -> late-only {1} -> {4}; the union
+    must be the dense grid 0..4 with each bucket exactly once and bucket 3
+    a gap carrying bucket 4's predecessor fill (bucket 2's value)."""
+    import os
+    import time
+
+    from datetime import datetime
+
+    from mapreducefw_spark.streaming import stateful
+
+    src = str(tmp_path / "gf_late_src")
+    h = 3600
+    mk = lambda b, v: ("k", datetime.utcfromtimestamp(b * h), float(v))
+    batches = [
+        [mk(0, 1.0), mk(2, 3.0)],
+        [mk(1, 99.0)],  # entirely late: hi=1 < last_b=2
+        [mk(4, 5.0)],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        before = set(os.listdir(src)) if i else set()
+        spark.createDataFrame(
+            rows, "key string, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f not in before and f != "_SUCCESS":
+                os.utime(os.path.join(src, f), (now - 100 + i, now - 100 + i))
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windows.run_bounded(
+        stateful.gap_fill_stream(stream, h), "t_gf_late", output_mode="update"
+    )
+    rows = out.collect()
+    got = {
+        int(r.bucket.timestamp() // h): (r.value, r.filled_value, r.is_gap)
+        for r in rows
+    }
+    assert len(rows) == len(got), "a (key, bucket) emitted more than once"
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[1] == (None, 1.0, 1)  # gap from batch 1, NOT the late 99.0
+    assert got[2] == (3.0, 3.0, 0)
+    assert got[3] == (None, 3.0, 1)  # would re-emit/misfill if cursor regressed
+    assert got[4] == (5.0, 5.0, 0)
