@@ -67,6 +67,28 @@ HEADLINE = [
 ]
 
 
+def _mark(msg: str) -> None:
+    """Per-query stderr tag: JVM log warnings (e.g. WindowExec's 'No
+    Partition Defined') interleave chronologically with these markers, so
+    any warning in the bench tail is attributable to the query whose
+    marker precedes it — a round-5 verdict order (4 untraceable warnings
+    in the BENCH_r05 tail)."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count Window nodes with an EMPTY partitionSpec in the optimized
+    logical plan — each one becomes a single-task WindowExec (the source
+    of the 'No Partition Defined' warning). Logical-plan JSON, so no
+    execution needed."""
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return sum(
+        1
+        for n in nodes
+        if n.get("class", "").endswith("logical.Window") and not n.get("partitionSpec")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -83,11 +105,28 @@ def main() -> None:
     # round-1 times at steady state. One untimed sweep moves every timed rep
     # onto the warmed path, so round-over-round diffs measure plans, not how
     # cold the JVM happened to be when the driver ran the bench.
+    # One attribution line up front: which headline plans contain an
+    # unpartitioned window frame AT ALL (expected: exactly the CI
+    # allowlist in tests/test_plan_invariants.py — sequence_pack_spans'
+    # O(bucket-count) cumsum). Any WindowExec warning from a query NOT
+    # listed here is a plan regression, not a documented small frame.
+    frames = {}
     for name in HEADLINE:
+        try:
+            n = _unpartitioned_windows(QUERIES[name](spark, sf_dir))
+        except Exception as e:  # attribution must never fail the bench
+            n = f"scan-err: {e.__class__.__name__}"
+        if n:
+            frames[name] = n
+    _mark(f"unpartitioned-window frames by query (allowlisted in CI): {frames}")
+
+    for name in HEADLINE:
+        _mark(f"warmup {name}")
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
+        _mark(f"timing {name}")
         best = None
         for _ in range(3):  # min of 3 runs: host VM noise swings single reps >2x
             # cold cache each rep: a persist() surviving rep 1 would make
