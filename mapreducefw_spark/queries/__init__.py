@@ -44,9 +44,16 @@ def register(name: str, oracle: str | None = None):
 #   (d) the 2 queries whose semantics/plan changed this round
 #       (winsorized_price_stats NULL-clip guard on both sides;
 #       edit_distance_pairs_symspell d2 variant-generation fix);
-#   (e) 13 of the 34 r2-stale re-verifies, leading with the ones the
-#       verdict named (median_exact_prices, the windows batch, the scalar
-#       batch, dedup_exact).
+#   (e) the 6 new round-6 registrations (pipeline15 — staged funnel,
+#       recursive CTE, debounce, decay attribution, tolerance as-of,
+#       n-gram decontamination), each oracle-green locally at
+#       sf0.001/0.01 + the empty/NULL differential suites;
+#   (f) 7 of the 34 r2-stale re-verifies, leading with the ones the
+#       verdict named (median_exact_prices, dedup_exact, the windows
+#       batch). The scalar batch (conditional_aggregates,
+#       string_functions_2, null_combinators, map_higher_order,
+#       to_json_roundtrip) and window_nth_last_value were displaced by
+#       the new registrations and head the round-7 queue.
 # The 5 rows-only-by-design never-checked queries (semantic_dedup_cells,
 # embedding_pq_topk, embedding_ivf_pq_topk, hll_mergeable_distinct,
 # bpe_learned_merges) stay out per the no-oracle rule — their r2 rows-only
@@ -102,7 +109,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- (d) changed this round, fresh binding row wanted
     "winsorized_price_stats",
     "edit_distance_pairs_symspell",
-    # -- (e) r2-stale re-verifies (verdict-named first)
+    # -- (e) new round-6 registrations
+    "funnel_staged_minjoin",
+    "recursive_cte_reachability",
+    "debounce_consecutive_events",
+    "attribution_time_decay",
+    "asof_tolerance_join",
+    "ngram_overlap_decontam",
+    # -- (f) r2-stale re-verifies (verdict-named first)
     "median_exact_prices",
     "dedup_exact",
     "window_rank_customers",
@@ -110,12 +124,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "window_frames_running",
     "window_range_frame",
     "window_distribution_fns",
-    "window_nth_last_value",
-    "conditional_aggregates",
-    "string_functions_2",
-    "null_combinators",
-    "map_higher_order",
-    "to_json_roundtrip",
 )
 
 
@@ -151,6 +159,7 @@ def load_all() -> None:
         pipeline12,
         pipeline13,
         pipeline14,
+        pipeline15,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

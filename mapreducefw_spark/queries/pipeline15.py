@@ -1,0 +1,490 @@
+"""Round-6 batch: array-free staged funnel, Spark 4 recursive-CTE graph
+reachability, telemetry debounce dedup, time-decay attribution, tolerance
+as-of join, and n-gram overlap decontamination.
+
+Reference parity: these extend the reference's single MapReduce job shape
+(/root/reference/MRFCore.cpp:252-446 — map/shuffle/reduce over in-memory
+vectors) to the composed query surface its users would reach for next;
+each query is an independently-oracled DataFrame/SQL composition.
+
+- ``funnel_staged_minjoin`` — the staged-min funnel (array-free twin of
+  funnel_view_click_purchase; unbounded per-user event counts)
+- ``recursive_cte_reachability`` — min-hop BFS via Spark 4's WITH
+  RECURSIVE over the bounded co-purchase graph
+- ``debounce_consecutive_events`` — drop events repeating within N
+  seconds of the previous same-(user, type) event (telemetry debounce)
+- ``attribution_time_decay`` — day-bucketed exponential-decay credit of
+  purchase value to preceding touches
+- ``asof_tolerance_join`` — backward as-of with a max-staleness bound,
+  LEFT semantics (NULL when nothing recent enough)
+- ``ngram_overlap_decontam`` — per-doc fraction of distinct 5-grams
+  shared with a held-out set (corpus x benchmark at gram granularity)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mapreducefw_spark.queries import register
+from mapreducefw_spark.queries._util import dec, t
+
+REACH_MAX_KEY = 150  # bounded co-purchase slice: path counts stay affordable
+REACH_HOPS = 3
+DEBOUNCE_SEC = 600
+DECAY_WINDOW_DAYS = 7
+ASOF_TOL_DAYS = 30
+CONTAM_MOD = 97  # every 97th doc plays the held-out benchmark
+
+
+_FUNNEL_ORACLE = """
+WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS users_view,
+       (SELECT COUNT(*) FROM s2) AS users_click,
+       (SELECT COUNT(*) FROM s3) AS users_purchase,
+       ROUND((SELECT COUNT(*) FROM s2) * 1.0 / greatest((SELECT COUNT(*) FROM s1), 1), 6)
+           AS view_to_click,
+       ROUND((SELECT COUNT(*) FROM s3) * 1.0 / greatest((SELECT COUNT(*) FROM s2), 1), 6)
+           AS click_to_purchase
+"""
+
+
+@register("funnel_staged_minjoin", oracle=_FUNNEL_ORACLE)
+def funnel_staged_minjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged-min funnel: same strict-order view->click->purchase
+    semantics as funnel_view_click_purchase, computed by the ARRAY-FREE
+    scale path (operators/funnel.py::funnel_stage_per_user_staged) — the
+    oracle's staged-CTE formulation run literally as len(steps) user-keyed
+    min-aggregations, no per-user collect_list. This is the form that
+    survives a single bot user with 10^7 events; equality with the fold
+    form is pinned in tests/test_scale_features.py."""
+    from mapreducefw_spark.operators.funnel import funnel_stage_per_user_staged
+
+    # anonymous (NULL-user) events are excluded on BOTH sides: the staged
+    # SQL's equi-joins drop NULL keys while the operator's null-safe joins
+    # keep them, so the query pins the unambiguous identified-user form
+    # (the fold query keeps the NULL group, at most at stage 1 under SQL
+    # join semantics)
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    staged = funnel_stage_per_user_staged(ev, ["view", "click", "purchase"])
+    # coalesce: an EMPTY events table must yield (0, 0, 0, 0.0, 0.0) like
+    # the oracle's scalar COUNT subqueries, not a row of NULL sums
+    return staged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)), F.lit(0)
+        ).alias("users_view"),
+        F.coalesce(
+            F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)), F.lit(0)
+        ).alias("users_click"),
+        F.coalesce(
+            F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)), F.lit(0)
+        ).alias("users_purchase"),
+    ).select(
+        "users_view",
+        "users_click",
+        "users_purchase",
+        F.round(
+            F.col("users_click") * 1.0 / F.greatest(F.col("users_view"), F.lit(1)), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.col("users_purchase") * 1.0 / F.greatest(F.col("users_click"), F.lit(1)),
+            6,
+        ).alias("click_to_purchase"),
+    )
+
+
+@register(
+    "recursive_cte_reachability",
+    oracle=f"""
+WITH RECURSIVE und AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+                  GREATEST(a.l_partkey, b.l_partkey) AS y
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_partkey < {REACH_MAX_KEY} AND b.l_partkey < {REACH_MAX_KEY}
+    AND a.l_partkey IS NOT NULL AND b.l_partkey IS NOT NULL
+),
+edges AS (
+  SELECT x AS src, y AS dst FROM und UNION ALL SELECT y, x FROM und
+),
+seed AS (SELECT MIN(src) AS s FROM edges),
+bfs AS (
+  SELECT s AS node, 0 AS hop FROM seed
+  UNION ALL
+  SELECT e.dst, b.hop + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.hop < {REACH_HOPS}
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM bfs GROUP BY node ORDER BY node
+""",
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop reachability (<= 3 hops) from the smallest part in the
+    bounded co-purchase graph, via Spark 4's native WITH RECURSIVE — the
+    iterative-union surface entity_resolution_clusters builds by hand with
+    a DataFrame loop (pipeline12.py), here expressed declaratively and
+    executed by the engine's recursion operator. n_walks counts BFS
+    expansion walks (UNION ALL multiset semantics — identical level-wise
+    iteration in both engines); min_hop is the BFS distance.
+
+    Scale shape: each recursion level is one equi-join of the frontier
+    against the edge list + the hop bound — frontier-sized, not
+    edge-sized, and the hop cap bounds the level count. The walk count
+    grows with graph density (that is what the REACH_MAX_KEY slice
+    bounds); production reachability over unbounded graphs switches to
+    the level-wise DISTINCT frontier (semi-join dedup per level), which
+    Spark's UNION-mode recursion expresses directly."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_partkey") < REACH_MAX_KEY) & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    p1 = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    p2 = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        p1.join(p2, "k")
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
+        .distinct()
+    )
+    edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    edges.createOrReplaceTempView("rcte_edges_v")
+    return spark.sql(
+        f"""
+WITH RECURSIVE bfs AS (
+  SELECT (SELECT MIN(src) FROM rcte_edges_v) AS node, 0 AS hop
+  UNION ALL
+  SELECT e.dst, b.hop + 1
+  FROM bfs b JOIN rcte_edges_v e ON e.src = b.node
+  WHERE b.hop < {REACH_HOPS}
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM bfs GROUP BY node ORDER BY node
+"""
+    )
+
+
+@register(
+    "debounce_consecutive_events",
+    oracle=f"""
+WITH x AS (
+  SELECT event_type,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts,
+         ts
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN pts IS NULL
+                  OR date_diff('second', pts, ts) > {DEBOUNCE_SEC}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN pts IS NOT NULL
+                 AND date_diff('second', pts, ts) <= {DEBOUNCE_SEC}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM x GROUP BY event_type ORDER BY event_type
+""",
+)
+def debounce_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: an event repeating within DEBOUNCE_SEC of the
+    PREVIOUS same-(user, type) event is a bounce/double-fire to drop —
+    the consecutive-pair rule (lag against the previous event whether
+    kept or not), which one windowed lag computes exactly. Contrast
+    dedup_exact (whole-row identity) and the watermarked streaming dedup
+    (key identity within a watermark): this is proximity-in-time dedup.
+
+    One user-keyed window pass, no arrays, no self-join; NULL users form
+    their own partition identically in both engines. NULL ts rows are
+    excluded on both sides (NULL sort position differs across engines).
+    Scale: partition = (user, type) — millions of small partitions, the
+    shape window functions distribute perfectly."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    lagged = ev.select(
+        "event_type",
+        gap.alias("gap_s"),
+    )
+    kept = F.col("gap_s").isNull() | (F.col("gap_s") > DEBOUNCE_SEC)
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "attribution_time_decay",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, ts, COALESCE(value, 0) AS value
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+),
+tch AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+),
+j AS (
+  SELECT tch.event_type,
+         p.value / power(2.0, CAST(floor(date_diff('second', tch.ts, p.ts) / 86400.0) AS BIGINT))
+           AS credited
+  FROM p JOIN tch ON p.user_id = tch.user_id
+  WHERE tch.ts < p.ts
+    AND date_diff('second', tch.ts, p.ts) <= {DECAY_WINDOW_DAYS} * 86400
+)
+SELECT event_type AS touch_type,
+       COUNT(*) AS n_touches,
+       CAST(SUM(CAST(credited AS DECIMAL(18,8))) AS DOUBLE) AS credited_value
+FROM j GROUP BY event_type ORDER BY touch_type
+""",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: each purchase credits its value
+    to every preceding view/click touch of the same user within 7 days,
+    halved per whole day of staleness (day-bucketed 2^-d decay — the
+    weights are exact dyadic rationals and the fixture values are 2-place
+    decimals, so per-row credit is an exact <=8-place decimal both engines
+    recover identically; the sum uses the exact-decimal idiom at scale 8 —
+    a base-10 ROUND here would diverge, Spark rounds the double's shortest
+    decimal string while DuckDB rounds its binary value, and dyadic
+    credits sit exactly on round-half boundaries). Complements purchase_touch_attribution (positional) and
+    view_click_attribution_outer (windowed last-touch).
+
+    Scale shape: user-keyed equi-join + in-partition range predicate —
+    touches and purchases co-partition by user, so the temporal filter
+    never shuffles; per-user volumes bound the pair count. NULL users drop
+    on both sides (SQL join semantics)."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull()).select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.coalesce("value", F.lit(0.0)).alias("value"),
+    )
+    tch = ev.filter(
+        F.col("event_type").isin("view", "click") & F.col("ts").isNotNull()
+    ).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    dt = F.col("pts").cast("long") - F.col("tts").cast("long")
+    joined = (
+        p.join(tch, F.col("pu") == F.col("tu"))
+        .filter((F.col("tts") < F.col("pts")) & (dt <= DECAY_WINDOW_DAYS * 86400))
+        .select(
+            "event_type",
+            (
+                F.col("value")
+                / F.pow(F.lit(2.0), F.floor(dt / F.lit(86400.0)).cast("bigint"))
+            ).alias("credited"),
+        )
+    )
+    return (
+        joined.groupBy(F.col("event_type").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.col("credited").cast("decimal(18,8)"))
+            .cast("double")
+            .alias("credited_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@register(
+    "asof_tolerance_join",
+    oracle=f"""
+WITH ord AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       CASE WHEN floor((epoch(e.ts) - epoch(o.o_orderdate)) / 86400.0)
+                 <= {ASOF_TOL_DAYS}
+            THEN o.o_orderkey END AS last_orderkey,
+       CASE WHEN floor((epoch(e.ts) - epoch(o.o_orderdate)) / 86400.0)
+                 <= {ASOF_TOL_DAYS}
+            THEN CAST(floor((epoch(e.ts) - epoch(o.o_orderdate)) / 86400.0)
+                      AS BIGINT) END AS days_gap
+FROM events e ASOF LEFT JOIN ord o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+""",
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE and LEFT semantics: every
+    event keeps a row; the latest order at-or-before it attaches only if
+    it is at most 30 days old, else NULLs — the time-series enrichment
+    contract (pandas merge_asof tolerance=..., kdb aj within a window).
+    asof_join_latest_order is the unbounded inner form; this is the
+    bounded outer one.
+
+    Same single-shuffle shape: both sides tagged + unioned, one window
+    pass per user carries the latest order forward, then the tolerance
+    check decides whether the match survives — the filter costs nothing
+    extra because the carried columns are already in the row."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("key"), F.col("ts").alias("etime")
+    )
+    ord_ = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    events_tagged = ev.select(
+        "key",
+        F.col("etime").alias("time"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    orders_tagged = ord_.select(
+        "key",
+        F.col("o_orderdate").alias("time"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    w = (
+        W.partitionBy("key")
+        .orderBy("time", "is_event", "o_orderdate")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = events_tagged.unionByName(orders_tagged).select(
+        "key",
+        "time",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate"),
+    )
+    gap = F.floor(
+        (F.col("time").cast("long") - F.col("last_orderdate").cast("long"))
+        / F.lit(86400.0)
+    ).cast("bigint")
+    in_tol = F.col("last_orderkey").isNotNull() & (gap <= ASOF_TOL_DAYS)
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.date_format("time", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            F.when(in_tol, F.col("last_orderkey")).alias("last_orderkey"),
+            F.when(in_tol, gap).alias("days_gap"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "ngram_overlap_decontam",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5
+              THEN list_distinct(list_transform(generate_series(1, len(w) - 4),
+                   i -> CAST(('0x' || substr(md5(array_to_string(list_slice(w, i, i + 4), ' ')), 1, 12)) AS BIGINT)))
+              ELSE [] END AS gh
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(gh) AS h FROM g WHERE doc_id % {CONTAM_MOD} = 0
+),
+corpus AS (SELECT doc_id, gh FROM g WHERE doc_id % {CONTAM_MOD} <> 0),
+inst AS (SELECT doc_id, unnest(gh) AS h FROM corpus),
+hits AS (
+  SELECT i.doc_id, COUNT(*) AS n_hit
+  FROM inst i JOIN bench b ON i.h = b.h
+  GROUP BY i.doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.gh) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / greatest(len(c.gh), 1), 6)
+           AS overlap_frac
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def ngram_overlap_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram OVERLAP FRACTION (the GPT-3 /
+    PaLM contamination metric, 5-gram here for the short fixture docs):
+    every 97th doc plays the held-out benchmark; each remaining doc
+    reports what fraction of its DISTINCT 5-grams appear anywhere in the
+    benchmark set. bloom_decontaminate answers the doc-level membership
+    question; this grades partial leakage, the signal used to quarantine
+    near-copies of eval data.
+
+    Scale shape: map-side 48-bit gram hashing (raw text never shuffles),
+    benchmark grams deduped once, one hash join (benchmark side is NOT
+    force-broadcast: real benchmark suites are small but unbounded-many —
+    the planner broadcasts when stats allow), per-doc hit count, one join
+    back to the per-doc gram count. All frames are gram-hash sized."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    gh = F.when(
+        F.size(F.split("text", " ")) >= 5,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 4), "
+                "i -> cast(conv(substr(md5(array_join(slice(split(text, ' '), i, 5), ' ')), 1, 12), 16, 10) as bigint))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = docs.select("doc_id", gh.alias("gh"))
+    bench = (
+        g.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select(F.explode("gh").alias("h"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    inst = corpus.select("doc_id", F.explode("gh").alias("h"))
+    hits = inst.join(bench, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("gh").cast("bigint").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.greatest(F.size("gh"), F.lit(1)),
+                6,
+            ).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )

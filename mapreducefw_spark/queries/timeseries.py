@@ -428,10 +428,18 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     staged = funnel_stage_per_user(ev, ["view", "click", "purchase"])
+    # coalesce: empty events must yield (0, 0, 0, 0.0, 0.0) like the
+    # oracle's scalar COUNT subqueries, not a row of NULL sums
     return staged.agg(
-        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("users_view"),
-        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("users_click"),
-        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).alias("users_purchase"),
+        F.coalesce(
+            F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)), F.lit(0)
+        ).alias("users_view"),
+        F.coalesce(
+            F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)), F.lit(0)
+        ).alias("users_click"),
+        F.coalesce(
+            F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)), F.lit(0)
+        ).alias("users_purchase"),
     ).select(
         "users_view",
         "users_click",

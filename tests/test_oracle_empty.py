@@ -57,6 +57,15 @@ EMPTY_QUERIES = [
     "reservoir_sample_sources",
     "doc_chunking",
     "events_props_variant",
+    "funnel_view_click_purchase",
+    # round 6 (empty edge set -> empty BFS; empty funnel stages; empty
+    # debounce/attribution/decontam aggregates; as-of with no orders)
+    "funnel_staged_minjoin",
+    "recursive_cte_reachability",
+    "debounce_consecutive_events",
+    "attribution_time_decay",
+    "asof_tolerance_join",
+    "ngram_overlap_decontam",
 ]
 
 

@@ -48,6 +48,12 @@ EDGE_QUERIES = [
     "events_props_variant",
     "rolling_weekly_active_users",
     "ohlc_hourly_bars",
+    # round-6 additions (NULL users: staged funnel filters them both
+    # sides; debounce partitions them; decay attribution drops them via
+    # the join; NULL value feeds the decay credit's coalesce)
+    "funnel_staged_minjoin",
+    "debounce_consecutive_events",
+    "attribution_time_decay",
 ]
 
 

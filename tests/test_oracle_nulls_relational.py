@@ -37,6 +37,8 @@ EDGE_QUERIES = [
     "pareto_orders_skyline",
     "winsorized_price_stats",
     "yoy_revenue_growth",
+    # round 6: recursive BFS over the same NULL/dup-tolerant edge build
+    "recursive_cte_reachability",
 ]
 
 PART_ROWS = [

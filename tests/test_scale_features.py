@@ -334,3 +334,70 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_staged_equals_fold_on_fixture(spark, sf_dir):
+    """funnel_stage_per_user_staged (array-free scale path) must agree with
+    the collect_list fold form on real data — the two are the same
+    staged-min semantics by construction."""
+    from mapreducefw_spark.operators.funnel import (
+        funnel_stage_per_user,
+        funnel_stage_per_user_staged,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    fold = {r.user_id: r.stage for r in funnel_stage_per_user(ev, steps).collect()}
+    staged = {
+        r.user_id: r.stage for r in funnel_stage_per_user_staged(ev, steps).collect()
+    }
+    assert fold == staged and len(fold) > 0
+
+
+def test_funnel_hot_user_and_adversarial_order(spark):
+    """Hot-user case (one user with thousands of qualifying events) plus the
+    adversarial orderings that break naive first-N-per-type capping: a
+    click BEFORE the first view must not count, and the qualifying click
+    may be arbitrarily deep in that user's click history."""
+    from datetime import datetime, timedelta
+
+    from mapreducefw_spark.operators.funnel import (
+        funnel_stage_per_user,
+        funnel_stage_per_user_staged,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # hot user 1: 5000 clicks BEFORE the first view, then view, then one
+    # click, then purchase -> stage 3; the qualifying click is the 5001st
+    for i in range(5000):
+        rows.append((1, base + timedelta(seconds=i), "click"))
+    rows += [
+        (1, base + timedelta(seconds=6000), "view"),
+        (1, base + timedelta(seconds=7000), "click"),
+        (1, base + timedelta(seconds=8000), "purchase"),
+    ]
+    # user 2: click only before view -> stage 1 (view accepted, click not)
+    rows += [
+        (2, base, "click"),
+        (2, base + timedelta(seconds=1), "view"),
+    ]
+    # user 3: same-timestamp view+click -> strict inequality, stage 1
+    rows += [(3, base, "view"), (3, base, "click")]
+    # user 4: purchase-only -> stage 0
+    rows += [(4, base, "purchase")]
+    # NULL user: the fold groups NULL like any key (view then click ->
+    # stage 2); the staged form must match via null-safe joins
+    rows += [
+        (None, base, "view"),
+        (None, base + timedelta(seconds=1), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    expected = {1: 3, 2: 1, 3: 1, 4: 0, None: 2}
+    fold = {r.user_id: r.stage for r in funnel_stage_per_user(ev, steps).collect()}
+    staged = {
+        r.user_id: r.stage for r in funnel_stage_per_user_staged(ev, steps).collect()
+    }
+    assert fold == expected
+    assert staged == expected

