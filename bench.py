@@ -64,6 +64,15 @@ HEADLINE = [
     "events_gap_fill_hourly",
     "equi_depth_histogram",
     "copurchase_triangles",
+    # round 6: staged funnel (array-free scale path), tolerance as-of,
+    # debounce window, gram-overlap decontamination, native recursion,
+    # group-aware split
+    "funnel_staged_minjoin",
+    "asof_tolerance_join",
+    "debounce_consecutive_events",
+    "ngram_overlap_decontam",
+    "recursive_cte_reachability",
+    "group_aware_split",
 ]
 
 

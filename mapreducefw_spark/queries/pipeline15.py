@@ -488,3 +488,65 @@ def ngram_overlap_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "group_aware_split",
+    oracle="""
+WITH g AS (
+  SELECT user_id, COUNT(*) AS n_rows,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100
+           AS bucket
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+s AS (
+  SELECT CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         n_rows
+  FROM g
+)
+SELECT split, COUNT(*) AS n_groups, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       ROUND(SUM(n_rows) * 1.0 / (SELECT SUM(n_rows) FROM s), 6) AS row_frac
+FROM s GROUP BY split ORDER BY split
+""",
+)
+def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (sklearn GroupShuffleSplit's
+    contract, deterministic): EVERY row of a group (user) lands in the
+    same split, decided by a hash of the group key alone — so the split is
+    reproducible across engines, runs, partitionings, and data growth (a
+    user keeps their split as new events arrive; no random() state). The
+    80/10/10 target is hit in expectation over groups; the report shows
+    the realized row fractions, skewed by heavy users — exactly what the
+    training-data audit wants to see.
+
+    Scale shape: one groupBy(user) count (map-side combinable) + an
+    O(groups) bucket projection + an O(3) aggregate. The md5 prefix is
+    the same 48-bit cross-engine hash family the dedup tier uses."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    g = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    s = g.select(
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        "n_rows",
+    )
+    total = s.agg(F.sum("n_rows").alias("_t"))
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_groups",
+            "n_rows",
+            F.round(F.col("n_rows") * 1.0 / F.col("_t"), 6).alias("row_frac"),
+        )
+        .orderBy("split")
+    )

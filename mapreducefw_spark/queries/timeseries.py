@@ -262,6 +262,36 @@ def view_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "view_click_attribution_full",
+    oracle="""
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       COALESCE(v.user_id, c.user_id) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTES
+ORDER BY view_id, click_id
+""",
+)
+def view_click_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the FULL OUTER stream-stream join
+    (streaming/joins.py::view_click_join_full_outer): converted pairs,
+    never-converted views (NULL click_id) AND unattributed clicks (NULL
+    view_id — the direct-navigation leg the left-outer form drops) in one
+    result — the complete attribution ledger. Stream == batch pinned in
+    tests/test_streaming_advanced.py via the watermark-flush sentinel."""
+    from mapreducefw_spark.streaming.joins import view_click_join_full_outer
+
+    ev = t(spark, sf_dir, "events")
+    return view_click_join_full_outer(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        within="30 minutes",
+    ).orderBy("view_id", "click_id")
+
+
+@register(
     "time_rollup_multigrain",
     oracle="""
 SELECT grain, STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,

@@ -33,7 +33,13 @@ def _attribution_join(
         & (F.col("click_ts") > F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
         how,
-    ).select("view_id", "click_id", F.col("v_user").alias("user_id"))
+    ).select(
+        "view_id",
+        "click_id",
+        # full outer: an unmatched CLICK row has NULL v_user — the user
+        # comes from whichever side is present (equal when both are)
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+    )
 
 
 def view_click_join(
@@ -74,4 +80,25 @@ def view_click_join_outer(
     converted) run on this shape unchanged against Kafka."""
     return _attribution_join(
         views, clicks, within=within, watermark=watermark, how="leftOuter"
+    )
+
+
+def view_click_join_full_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream join: the left-outer contract plus the
+    symmetric click leg — a click with NO qualifying preceding view (the
+    direct-navigation / lost-referrer case) emits with a NULL view_id once
+    the watermark proves no older view can still arrive. State eviction is
+    two-sided: a view leaves when the watermark passes view_ts + within, a
+    click when it passes click_ts (its match range only extends backward).
+    The three-way split this yields in one operator — converted pairs,
+    never-converted views, unattributed clicks — is the complete
+    attribution ledger downstream reconciliation wants."""
+    return _attribution_join(
+        views, clicks, within=within, watermark=watermark, how="fullOuter"
     )

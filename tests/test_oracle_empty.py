@@ -66,6 +66,8 @@ EMPTY_QUERIES = [
     "attribution_time_decay",
     "asof_tolerance_join",
     "ngram_overlap_decontam",
+    "view_click_attribution_full",
+    "group_aware_split",
 ]
 
 

@@ -54,6 +54,8 @@ EDGE_QUERIES = [
     "funnel_staged_minjoin",
     "debounce_consecutive_events",
     "attribution_time_decay",
+    "view_click_attribution_full",
+    "group_aware_split",
 ]
 
 

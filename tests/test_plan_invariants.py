@@ -67,6 +67,8 @@ BNL_ALLOWED = {
     # two-phase rank's triangular offset frame + the 1-row total-count
     # broadcast for the bucket formula — both O(partitions)/O(1) frames
     "equi_depth_histogram": 2,
+    # the 1-row total-row-count broadcast for the realized-fraction column
+    "group_aware_split": 1,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'

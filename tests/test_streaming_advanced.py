@@ -603,3 +603,58 @@ def test_streaming_gap_fill_entirely_late_batch_does_not_regress_cursor(
     assert got[2] == (3.0, 3.0, 0)
     assert got[3] == (None, 3.0, 1)  # would re-emit/misfill if cursor regressed
     assert got[4] == (5.0, 5.0, 0)
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark, sf_dir, tmp_path):
+    """FULL OUTER stream-stream join == batch full-outer on the bounded
+    replay: converted pairs + never-converted views (NULL click_id) +
+    unattributed clicks (NULL view_id). Both outer legs flush only on
+    event-time progress, so the replay stages the same far-future
+    sentinel on both sides as the left-outer pin."""
+    import datetime
+    import os
+    import time
+
+    from mapreducefw_spark.streaming import joins
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    views_b = ev.filter(F.col("event_type") == "view").drop("event_type")
+    clicks_b = ev.filter(F.col("event_type") == "click").drop("event_type")
+    vdir, cdir = str(tmp_path / "v_src"), str(tmp_path / "c_src")
+    views_b.coalesce(1).write.parquet(vdir)
+    clicks_b.coalesce(1).write.parquet(cdir)
+
+    far = ev.agg(F.max("ts")).collect()[0][0] + datetime.timedelta(days=30)
+    flush = spark.createDataFrame([(-1, -999, far)], views_b.schema)
+    now = time.time()
+    for d in (vdir, cdir):
+        before = set(os.listdir(d))
+        flush.coalesce(1).write.mode("append").parquet(d)
+        for f in os.listdir(d):
+            path = os.path.join(d, f)
+            ts_f = now if f not in before or f == "_SUCCESS" else now - 100
+            os.utime(path, (ts_f, ts_f))
+
+    vs = (
+        spark.readStream.schema(views_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vdir)
+    )
+    cs = (
+        spark.readStream.schema(clicks_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    joined = joins.view_click_join_full_outer(vs, cs)
+    out = windows.run_bounded(joined, "t_ssj_full", output_mode="append")
+    got = out.filter(F.col("user_id") != -999)
+    expect = joins.view_click_join_full_outer(views_b, clicks_b)
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, expect.collect()), key=str
+    )
+    # all three legs actually exercised
+    assert got.filter(F.col("click_id").isNull()).count() > 0
+    assert got.filter(F.col("view_id").isNull()).count() > 0
+    assert got.filter(
+        F.col("view_id").isNotNull() & F.col("click_id").isNotNull()
+    ).count() > 0
