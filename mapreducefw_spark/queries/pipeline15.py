@@ -463,7 +463,11 @@ def ngram_overlap_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    g = docs.select("doc_id", gh.alias("gh"))
+    # one materialization of the per-doc gram arrays: three consumers
+    # (benchmark set, corpus instance explode, final per-doc size join)
+    # would otherwise each re-run the tokenize+md5 transform — measured
+    # 6.7s -> 2.2s min-of-3 at sf0.1 from this pin alone
+    g = docs.select("doc_id", gh.alias("gh")).localCheckpoint(eager=False)
     bench = (
         g.filter(F.col("doc_id") % CONTAM_MOD == 0)
         .select(F.explode("gh").alias("h"))
