@@ -150,8 +150,11 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-sized, and the hop cap bounds the level count. The walk count
     grows with graph density (that is what the REACH_MAX_KEY slice
     bounds); production reachability over unbounded graphs switches to
-    the level-wise DISTINCT frontier (semi-join dedup per level), which
-    Spark's UNION-mode recursion expresses directly."""
+    the level-wise DISTINCT frontier (semi-join dedup per level) — today
+    that is the hand-written iterative-DataFrame form
+    (pipeline12's component loop): Spark 4.1 rejects UNION-mode
+    recursion ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE], verified), so
+    only the UNION ALL multiset form is declarative."""
     li = (
         t(spark, sf_dir, "lineitem")
         .filter(

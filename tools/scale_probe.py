@@ -692,6 +692,99 @@ def main() -> None:
             contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau")),
         )
 
+        # round 6: staged-min funnel — the array-free scale path. Users
+        # re-keyed per copy; claim: len(steps) user-keyed min-aggregations
+        # (map-side combinable), no per-user array ever materializes.
+        from mapreducefw_spark.operators.funnel import funnel_stage_per_user_staged
+
+        timed(
+            "funnel_staged_minjoin",
+            k,
+            funnel_stage_per_user_staged(evk, ["view", "click", "purchase"])
+            .groupBy("stage")
+            .count(),
+        )
+
+        # round 6: telemetry debounce — one (user, type)-partitioned lag
+        # window; partitions multiply with users, each stays small
+        from pyspark.sql import Window as W6
+
+        wdb = W6.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(wdb).cast("long")
+        timed(
+            "debounce_lag_window",
+            k,
+            evk.filter(F.col("ts").isNotNull())
+            .select("event_type", gap.alias("g"))
+            .groupBy("event_type")
+            .agg(F.sum(F.when(F.col("g").isNull() | (F.col("g") > 600), 1).otherwise(0)).alias("n")),
+        )
+
+        # round 6: tolerance as-of — tagged union + per-key window; both
+        # sides' keys re-keyed per copy so key cardinality scales
+        ordk = multiplied(
+            ord0.select("o_custkey", "o_orderdate", "o_orderkey"), ["o_custkey"], k
+        )
+        ev_t = evk.select(
+            F.col("user_id").alias("key"), F.col("ts").alias("time"),
+            F.lit(1).alias("is_event"),
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+            F.lit(None).cast("timestamp").alias("o_orderdate"),
+        )
+        ord_t = ordk.select(
+            F.col("o_custkey").alias("key"), F.col("o_orderdate").alias("time"),
+            F.lit(0).alias("is_event"), "o_orderkey", "o_orderdate",
+        )
+        wasof = (
+            W6.partitionBy("key")
+            .orderBy("time", "is_event", "o_orderdate")
+            .rowsBetween(W6.unboundedPreceding, W6.currentRow)
+        )
+        timed(
+            "asof_union_window",
+            k,
+            ev_t.unionByName(ord_t)
+            .select(
+                "key", "is_event",
+                F.last("o_orderkey", ignorenulls=True).over(wasof).alias("lk"),
+            )
+            .filter((F.col("is_event") == 1) & F.col("lk").isNotNull())
+            .groupBy()
+            .count(),
+        )
+
+        # round 6: gram-overlap decontamination — corpus grows k-fold;
+        # grams salted per copy (via doc_id % k) so cross-copy grams never
+        # collide and the benchmark slice (every 97th doc) stays a CONSTANT
+        # FRACTION of the corpus. That is pessimistic vs deployment (real
+        # eval suites are fixed-size, so the bench side wouldn't grow at
+        # all); the measured ratio upper-bounds the true scaling.
+        gh6 = F.when(
+            F.size(F.split("text", " ")) >= 5,
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 4), "
+                    "i -> cast(conv(substr(md5(concat(cast(doc_id % {k} as string), '|', "
+                    "array_join(slice(split(text, ' '), i, 5), ' '))), 1, 12), 16, 10) as bigint))".format(k=max(k, 1))
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        g6 = docs.select("doc_id", gh6.alias("gh")).localCheckpoint(eager=False)
+        bench6 = (
+            g6.filter(F.col("doc_id") % 97 == 0)
+            .select(F.explode("gh").alias("h"))
+            .distinct()
+        )
+        corpus6 = g6.filter(F.col("doc_id") % 97 != 0)
+        inst6 = corpus6.select("doc_id", F.explode("gh").alias("h"))
+        timed(
+            "ngram_overlap_decontam",
+            k,
+            inst6.join(bench6, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",

@@ -41,6 +41,12 @@ PROBED = {
     "equi_depth_histogram": (["lineitem"], "two-phase rank: ONE range exchange of (price, keys), offsets O(partitions)"),
     "pagerank_copurchase": (["lineitem"], "5 iterations: shuffle ~ edges x iters (rank contributions), never raw facts re-scanned"),
     "token_divergence_by_source": (["documents"], "drift monitor: shuffle ~ (source, token) partials, top-N margins broadcast"),
+    # round 6
+    "ngram_overlap_decontam": (["documents"], "overlap decontam: shuffle = 8-byte gram hashes + doc ids; raw text and gram strings never leave the map side"),
+    "funnel_staged_minjoin": (["events"], "staged funnel: 3 user-keyed min-combined exchanges of (user, ts) — no per-user arrays, bot-user safe"),
+    "asof_tolerance_join": (["events", "orders"], "as-of: ONE key exchange of the tagged union; tolerance check rides carried columns"),
+    "debounce_consecutive_events": (["events"], "debounce: one (user, type) window exchange of (type, ts, id) rows"),
+    "group_aware_split": (["events"], "group split: map-combined per-user counts, then O(groups) rows"),
 }
 
 
