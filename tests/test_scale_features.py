@@ -401,3 +401,111 @@ def test_funnel_hot_user_and_adversarial_order(spark):
     }
     assert fold == expected
     assert staged == expected
+
+
+def test_funnel_staged_equals_fold_random_streams(spark_global):
+    """Hypothesis: fold == staged on random event streams — duplicate
+    timestamps, shuffled order, missing stages, repeated types, multiple
+    users (incl. user 0), everything the fixed cases don't enumerate."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mapreducefw_spark.operators.funnel import (
+        funnel_stage_per_user,
+        funnel_stage_per_user_staged,
+    )
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=20),  # second offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(rows=events)
+    def inner(rows):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        df = spark_global.createDataFrame(
+            [(u, base + timedelta(seconds=s), ty) for u, s, ty in rows],
+            "user_id bigint, ts timestamp, event_type string",
+        )
+        steps = ["view", "click", "purchase"]
+        fold = {r.user_id: r.stage for r in funnel_stage_per_user(df, steps).collect()}
+        staged = {
+            r.user_id: r.stage
+            for r in funnel_stage_per_user_staged(df, steps).collect()
+        }
+        assert fold == staged
+
+    inner()
+
+
+def test_asof_tolerance_boundary(spark, tmp_path):
+    """Tolerance boundary pin: an order exactly 30 days before the event
+    matches (gap <= 30); 31 days stale returns NULLs; an event with no
+    prior order at all returns NULLs; a user absent from orders survives
+    with NULLs (LEFT semantics)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreducefw_spark.queries import QUERIES, load_all
+
+    load_all()
+    d = tmp_path / "asof_edge"
+    d.mkdir()
+    ev_rows = [
+        # event_id, ts, user_id
+        (1, datetime(2024, 3, 31), 1),  # order 30 days earlier -> match
+        (2, datetime(2024, 4, 1), 2),   # order 31 days earlier -> NULL
+        (3, datetime(2024, 2, 1), 3),   # order AFTER event -> NULL
+        (4, datetime(2024, 3, 1), 4),   # user has no orders -> NULL
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in ev_rows], pa.int64()),
+                "ts": pa.array([r[1] for r in ev_rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in ev_rows], pa.int64()),
+                "event_type": pa.array(["view"] * 4, pa.string()),
+                "value": pa.array([1.0] * 4, pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    ord_rows = [
+        (10, 1, datetime(2024, 3, 1)),
+        (11, 2, datetime(2024, 3, 1)),
+        (12, 3, datetime(2024, 2, 15)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in ord_rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in ord_rows], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+                "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+                "o_orderdate": pa.array([r[2] for r in ord_rows], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    got = {
+        r.event_id: (r.last_orderkey, r.days_gap)
+        for r in QUERIES["asof_tolerance_join"](spark, str(d)).collect()
+    }
+    assert got == {
+        1: (10, 30),
+        2: (None, None),
+        3: (None, None),
+        4: (None, None),
+    }
