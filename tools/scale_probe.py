@@ -821,6 +821,12 @@ def main() -> None:
             "distinct names grow with k by construction, so index build + "
             "bucket joins track data near-linearly after the broadcast fix"
         ),
+        "ngram_overlap_decontam": (
+            "both sides of the gram join grow with k here (the benchmark "
+            "slice is a constant corpus fraction) — pessimistic vs "
+            "deployment, where the eval suite is fixed-size and only the "
+            "probe side grows; linear, not quadratic"
+        ),
     }
     for name, by_k in shapes.items():
         ratio = by_k[16] / max(by_k[1], 0.01)
