@@ -35,6 +35,42 @@ def multiplied(df, key_cols: list[str], k: int):
 
 
 BENCH_NOTES = """
+## Round 6 notes: r5 drift confirms + new probe rows
+
+- **The three r5 mild drifts (doc_chunking 1.26x, salted_skew_aggregate
+  1.24x, q10_returned_revenue 1.22x vs r4) min-of-N confirmed as host
+  drift, not plan changes** (no code touched any of them in r5 or r6).
+  Isolated min-of-5 at driver settings this round: salted_skew 0.528s and
+  q10 1.013s — both BELOW their r5 driver records (0.560 / 1.094).
+  doc_chunking bounced 0.304-0.389s across three sessions the same hour;
+  calibration against untouched scan-only queries in the same session
+  (filter_predicates 0.444 vs r5's 0.374 = 1.19x, text_token_stats 0.391
+  vs 0.254 = 1.54x, json_extract_events 0.501 vs 0.379 = 1.32x) shows the
+  whole host sitting 1.2-1.5x slow — the same drift trail documented in
+  the round-5 notes. Plan invariants for all three remain CI-pinned
+  (tests/test_plan_invariants.py), which is the non-timing regression gate.
+- **New 16x probe rows for the round-5 graph/stats shapes** (verdict
+  order #4): triangle_count, pagerank_3iter (per-iteration cost over
+  node-sized frames; the edge build is timed under triangle_count, which
+  shares the checkpointed edge frame), skyline_2d, equi_depth_rank_hist,
+  rolling_wau_explode — every round-5 docstring complexity claim now has
+  a measured row. Copies are DISJOINT subgraphs (both orderkey and
+  partkey re-keyed per copy): re-keying only orders would fuse part
+  copies into high-degree nodes — sum(deg^2) densification, not corpus
+  growth.
+- **Round-6 shapes measured too**: funnel_staged_minjoin 2.1x,
+  debounce_lag_window 2.7x, asof_union_window 3.4x at 16x — the staged
+  funnel's min-join form, the (user, type) lag window and the
+  tagged-union as-of all track data sublinearly, as their docstrings
+  claim. ngram_overlap_decontam 14.7x: linear with BOTH join sides
+  growing (the probe's benchmark is a constant 1/97 corpus fraction);
+  deployment benchmarks are fixed-size, so true scaling is better. Its
+  3x single-materialization win (6.7 -> 2.2s at sf0.1, gram arrays
+  pinned once) is recorded in the query docstring.
+- **Summary labels fixed** (verdict nit): ratios >4x now carry their
+  structural cause (hot-key demo, gram-instance growth, deletion-index
+  fan-out) instead of the blanket "(sublinear: fixed overhead amortizes)".
+
 ## Round-3 bench notes: root cause of the r2 "regressions"
 
 Six headline queries (q1/q3/q5/filter_predicates/sessionization_30m/
