@@ -150,7 +150,7 @@ WITH seq AS (
   SELECT event_type,
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
 ),
 trans AS (
   SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n
@@ -171,8 +171,16 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     One user-partitioned lag window (the only raw-sized pass), then
     O(types^2) aggregation. The probability is one BIGINT/BIGINT IEEE
     division of identical operands on both engines — deterministic without
-    rounding."""
-    ev = t(spark, sf_dir, "events")
+    rounding.
+
+    NULL ts and NULL event_type rows are excluded on BOTH sides: a
+    timeless event has no position in the lag chain (and NULL sort
+    position differs across engines), and a typeless event is not a
+    Markov state — lag() returning NULL must mean 'chain start', not
+    'previous type unknown'."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("next_type"),
@@ -202,7 +210,7 @@ WITH flagged AS (
          CASE WHEN LAG(ts) OVER w IS NULL
                 OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTES
               THEN 1 ELSE 0 END AS brk
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 islands AS (
@@ -234,8 +242,14 @@ def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-min gap, (ts, event_id) total order). The per-session event-type
     array is collected under a per-(user, session) grouping — bounded by
     session length, never a global window — and sorted by (ts, event_id)
-    struct order so the path string is deterministic on both engines."""
-    ev = t(spark, sf_dir, "events")
+    struct order so the path string is deterministic on both engines.
+    NULL ts / NULL event_type rows are excluded both sides (no island
+    position without a time; concat_ws silently SKIPS NULL array elements
+    while DuckDB's array_to_string does not — filtering removes the
+    divergence class at the source)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     micros = F.unix_micros(F.col("ts"))
     gap = micros - F.lag(micros).over(w)

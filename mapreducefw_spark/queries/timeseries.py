@@ -23,14 +23,17 @@ SELECT STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window
        event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """,
 )
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows via F.window (epoch-aligned, same as time_bucket)."""
-    ev = t(spark, sf_dir, "events")
+    """Tumbling 1-hour windows via F.window (epoch-aligned, same as
+    time_bucket). NULL ts excluded on BOTH sides: F.window silently drops
+    NULL-time rows while SQL GROUP BY would emit a NULL bucket — the
+    explicit filter makes the corrupt-timestamp policy symmetric."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -52,8 +55,10 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH assigned AS (
   SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS ws, value FROM events
+  WHERE ts IS NOT NULL
   UNION ALL
-  SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS ws, value FROM events
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS ws, value
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n,
@@ -64,8 +69,10 @@ ORDER BY window_start
 """,
 )
 def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1h length, 30m slide): each event lands in 2 windows."""
-    ev = t(spark, sf_dir, "events")
+    """Sliding windows (1h length, 30m slide): each event lands in 2
+    windows. NULL ts excluded both sides (same policy as the tumbling
+    form)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
@@ -88,7 +95,7 @@ WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN ts - COALESCE(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts - INTERVAL 10 YEAR)
                    > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id,
        CAST(SUM(new_session) AS BIGINT) AS n_sessions,
@@ -100,8 +107,10 @@ ORDER BY user_id
 )
 def sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: gap > 30 min starts a new session (lag + flag sum).
-    The streaming twin is ``session_window`` in mapreducefw_spark.streaming."""
-    ev = t(spark, sf_dir, "events")
+    The streaming twin is ``session_window`` in mapreducefw_spark.streaming.
+    NULL ts excluded both sides: a timeless event has no place in a gap
+    chain, and NULL sort position differs across engines."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact gap: cast('long') would truncate to seconds and
     # disagree with the oracle's exact interval compare near the boundary
@@ -126,7 +135,7 @@ WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 islands AS (
   SELECT user_id, ts,
@@ -146,8 +155,10 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window in BATCH mode (merged gap<30min intervals per user) —
     the same API the streaming twin uses; oracle is gaps-and-islands SQL.
     A session's end is last-event + gap, and an event at exactly that end
-    starts a NEW session (hence >= in the oracle's break condition)."""
-    ev = t(spark, sf_dir, "events")
+    starts a NEW session (hence >= in the oracle's break condition).
+    NULL ts excluded both sides (session_window drops them silently;
+    the filter makes the policy explicit and symmetric)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -78,6 +78,9 @@ ROWS = [
     (11, _ts("2024-03-02 00:00:00"), 1, "click", 11.0, '{"page": "d"}'),  # next day
     (12, _ts("2024-03-02 00:29:59"), 1, "click", 12.0, None),  # 30-min session edge
     (13, _ts("2024-03-02 00:30:00"), 1, "click", 13.0, None),  # exactly gap-sized hole
+    # round 6: NULL ts (a corrupt/unparseable event time) and NULL type
+    (14, None, 4, "view", 14.0, None),
+    (15, _ts("2024-03-02 01:00:00"), 4, None, 15.0, "{}"),
 ]
 
 
