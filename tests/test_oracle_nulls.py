@@ -42,6 +42,9 @@ EDGE_QUERIES = [
     # dependence; divergence filters them on both sides)
     "reservoir_sample_sources",
     "token_divergence_by_source",
+    # round 6 (contamination set holds doc 0's NULL text; short/empty
+    # docs produce empty gram arrays -> zero-gram rows with frac 0)
+    "ngram_overlap_decontam",
 ]
 
 ROWS = [
@@ -59,6 +62,8 @@ ROWS = [
     (10, "normal looking document with several distinct words inside", "de", "src3", 59),
     (14, "tail doc for the seventh-id contamination bucket", "de", "src3", 48),
     (21, "another multiple of seven lands in the contamination set", "en", "src0", 56),
+    # round 6: NULL source + NULL lang (grouping / salt keys go NULL)
+    (22, "null source document with enough words to gram", None, None, 46),
 ]
 
 
