@@ -127,3 +127,72 @@ def learn_bpe_merges(
     for fr in learned[1:]:
         out = out.unionByName(fr)
     return out.orderBy("rank")
+
+
+def bpe_encode_words(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every DISTINCT whitespace word under the learned merge rules,
+    returning (w, n_syms) — the word-level vocabulary view the corpus
+    joins back against.
+
+    Semantics match training application exactly: each rule is one
+    left-to-right greedy non-overlapping pass, applied in rank order
+    (Sennrich et al.; parity vs the pure-Python reference pinned in
+    tests/test_bpe.py). The merge list is MODEL-sized and enters the plan
+    as literals — the same allowed-collect class as k-means centroids and
+    PQ codebooks. Canonicalize-first: each distinct word pays the fold
+    once regardless of corpus frequency."""
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(text_col, " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    syms = F.concat(F.split("w", ""), F.array(F.lit("</w>")))
+    for left, right in merges:
+        syms = _apply_merge(syms, F.lit(left), F.lit(right))
+    return words.select("w", F.size(syms).alias("n_syms"))
+
+
+def bpe_fertility_by_source(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-fertility report: per source, how many BPE symbols the
+    learned vocabulary spends per whitespace word (the metric tokenizer
+    evaluations call fertility; high-fertility sources are expensive to
+    train on). One corpus scan to (source, word, count), a join against
+    the distinct-word encoding (vocabulary-sized, broadcastable), exact
+    integer sums, one deterministic division."""
+    per_word = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(source_col, F.explode(F.split(text_col, " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy(source_col, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    enc = bpe_encode_words(docs, merges, text_col=text_col)
+    return (
+        per_word.join(enc, "w")
+        .groupBy(source_col)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_syms")).cast("bigint").alias("bpe_tokens"),
+        )
+        .select(
+            source_col,
+            "n_words",
+            "bpe_tokens",
+            F.round(F.col("bpe_tokens") * 1.0 / F.col("n_words"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy(source_col)
+    )

@@ -557,3 +557,30 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register("bpe_fertility_by_source")  # merges model learned iteratively: rows-only
+def bpe_fertility_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING at corpus scale — the other half of the tokenizer
+    story next to bpe_learned_merges (training): learn 10 merge rules,
+    encode every distinct word under them (one greedy left-to-right pass
+    per rule, training-identical semantics), and report per-source
+    fertility (BPE symbols per whitespace word) — the metric that prices
+    a source's token cost before a training run.
+
+    Rows-only by design (the merge model comes from the iterative learner);
+    encode-vs-pure-Python parity and the end-to-end fertility arithmetic
+    are pinned in tests/test_bpe.py. The merge list is model-sized
+    (10 rules) — the allowed-collect class; corpus text is scanned once
+    and only (source, word, count) rows shuffle."""
+    from mapreducefw_spark.operators.bpe import (
+        bpe_fertility_by_source,
+        learn_bpe_merges,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in sorted(learn_bpe_merges(docs, 10).collect(), key=lambda r: r.rank)
+    ]
+    return bpe_fertility_by_source(docs, merges)

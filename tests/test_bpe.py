@@ -70,3 +70,65 @@ def test_bpe_overlap_and_ties(spark):
     # first merge must be the lexicographically-first among max-count pairs
     ref_first = _ref_bpe(wc, 1)[0]
     assert got[0] == ref_first
+
+
+def _ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encode: each rule one greedy left-to-right pass, in rank
+    order — identical to training application."""
+    syms = list(word) + ["</w>"]
+    for l, r in merges:
+        out, carry = [], None
+        for s in syms:
+            if carry == l and s == r:
+                out.append(l + r)
+                carry = None
+            else:
+                if carry is not None:
+                    out.append(carry)
+                carry = s
+        if carry is not None:
+            out.append(carry)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference(spark):
+    """bpe_encode_words == per-word pure-Python encode under the SAME
+    learned merges, including words unseen at training time (new text in
+    the encode set) and overlap/tie cases."""
+    train = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+    ]
+    wc = Counter(w for t in train for w in t.split(" "))
+    merges = [(l, r) for l, r, _ in _ref_bpe(wc, 8)]
+    docs = spark.createDataFrame(
+        [(0, "low lowest newest unseen aaaa")], "doc_id long, text string"
+    )
+    got = {
+        r.w: r.n_syms
+        for r in bpe.bpe_encode_words(docs, merges).collect()
+    }
+    expect = {
+        w: len(_ref_encode(w, merges))
+        for w in "low lowest newest unseen aaaa".split()
+    }
+    assert got == expect
+
+
+def test_bpe_fertility_report(spark):
+    """End-to-end fertility arithmetic: tokens_per_word = sum(count *
+    symbols) / sum(count) per source, against a hand-computed value."""
+    texts = [
+        (0, "ab ab", "s1"),
+        (1, "ab cd", "s2"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string, source string")
+    # one merge: (a, b) -> 'ab', so 'ab' = ['ab', '</w>'] (2 syms),
+    # 'cd' = ['c', 'd', '</w>'] (3 syms)
+    rep = {
+        r.source: (r.n_words, r.bpe_tokens, r.tokens_per_word)
+        for r in bpe.bpe_fertility_by_source(docs, [("a", "b")]).collect()
+    }
+    assert rep == {"s1": (2, 4, 2.0), "s2": (2, 5, 2.5)}
