@@ -584,3 +584,71 @@ def bpe_fertility_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in sorted(learn_bpe_merges(docs, 10).collect(), key=lambda r: r.rank)
     ]
     return bpe_fertility_by_source(docs, merges)
+
+
+@register(
+    "collation_token_counts",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT MIN(w) AS token, COUNT(*) AS n
+  FROM toks WHERE w <> '' GROUP BY lower(w)
+)
+SELECT token, n FROM g
+ORDER BY n DESC, token
+LIMIT 20
+""",
+)
+def collation_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive token counting via Spark 4 COLLATIONS: grouping on
+    ``token COLLATE UTF8_LCASE`` — the engine-native form of the
+    lower()-normalization every case-folding pipeline hand-writes (and
+    what the oracle runs; for the ASCII fixture the two are equivalent).
+    The group's representative is MIN(raw token) — deterministic on both
+    engines, since a collated group key's surfaced casing is otherwise
+    engine-chosen. One scan, one exchange of (folded token) partials."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    g = toks.groupBy(F.expr("w COLLATE UTF8_LCASE").alias("_k")).agg(
+        F.min(F.col("w").cast("string")).alias("token"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        g.select("token", "n")
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "approx_topk_event_types",
+    oracle="""
+SELECT event_type AS item, COUNT(*) AS n
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+ORDER BY n DESC, item
+LIMIT 5
+""",
+)
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's approx_top_k sketch surfaced as a query: top event types
+    with counts from ONE aggregation row (the sketch tracks up to 10k
+    items; with fewer distinct values than that it is EXACT, which is what
+    makes the oracle pairing honest — the same guarantee production uses
+    when keying dashboards off the sketch for low-cardinality columns).
+    NULL types excluded both sides; final order (count desc, item) makes
+    tie selection deterministic."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    sk = ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("n")
+        )
+        .orderBy(F.col("n").desc(), "item")
+    )

@@ -68,6 +68,8 @@ EMPTY_QUERIES = [
     "ngram_overlap_decontam",
     "view_click_attribution_full",
     "group_aware_split",
+    "collation_token_counts",
+    "approx_topk_event_types",
 ]
 
 

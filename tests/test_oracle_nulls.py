@@ -45,6 +45,7 @@ EDGE_QUERIES = [
     # round 6 (contamination set holds doc 0's NULL text; short/empty
     # docs produce empty gram arrays -> zero-gram rows with frac 0)
     "ngram_overlap_decontam",
+    "collation_token_counts",
 ]
 
 ROWS = [

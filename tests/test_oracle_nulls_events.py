@@ -56,6 +56,7 @@ EDGE_QUERIES = [
     "attribution_time_decay",
     "view_click_attribution_full",
     "group_aware_split",
+    "approx_topk_event_types",
 ]
 
 
