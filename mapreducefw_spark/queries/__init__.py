@@ -58,7 +58,12 @@ def register(name: str, oracle: str | None = None):
 # embedding_pq_topk, embedding_ivf_pq_topk, hll_mergeable_distinct,
 # bpe_learned_merges) stay out per the no-oracle rule — their r2 rows-only
 # records + accuracy pins stand.
-# Round-7 rotation queue (stalest after this round): the remaining 21
+# Round-7 rotation queue (stalest after this round): the round-6
+# registrations that missed the window (view_click_attribution_full,
+# group_aware_split, collation_token_counts, approx_topk_event_types —
+# all oracle-green locally at sf0.001/0.01 + edge suites;
+# bpe_fertility_by_source is rows-only by design and stays out), the
+# displaced scalar batch + window_nth_last_value, then the remaining 21
 # r2-stale (dedup family: dedup_exact_keyed, dedup_connected_groups,
 # dedup_groups_small, simhash_near_pairs, doc_fingerprint,
 # embedding_ivf_topk, embedding_lsh_topk, embedding_cosine_dedup,
