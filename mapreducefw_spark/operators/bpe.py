@@ -134,6 +134,7 @@ def bpe_encode_words(
     merges: list[tuple[str, str]],
     *,
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every DISTINCT whitespace word under the learned merge rules,
     returning (w, n_syms) — the word-level vocabulary view the corpus
@@ -145,13 +146,18 @@ def bpe_encode_words(
     tests/test_bpe.py). The merge list is MODEL-sized and enters the plan
     as literals — the same allowed-collect class as k-means centroids and
     PQ codebooks. Canonicalize-first: each distinct word pays the fold
-    once regardless of corpus frequency."""
-    words = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.explode(F.split(text_col, " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
-    )
+    once regardless of corpus frequency.
+
+    Pass ``words`` (a single-column ``w`` frame of distinct words) when a
+    caller already tokenized the corpus — re-deriving it here would pay
+    the full-text explode a second time."""
+    if words is None:
+        words = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(F.split(text_col, " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .distinct()
+        )
     syms = F.concat(F.split("w", ""), F.array(F.lit("</w>")))
     for left, right in merges:
         syms = _apply_merge(syms, F.lit(left), F.lit(right))
@@ -170,15 +176,20 @@ def bpe_fertility_by_source(
     evaluations call fertility; high-fertility sources are expensive to
     train on). One corpus scan to (source, word, count), a join against
     the distinct-word encoding (vocabulary-sized, broadcastable), exact
-    integer sums, one deterministic division."""
+    integer sums, one deterministic division. The distinct-word frame the
+    encoder runs on derives from the SAME (source, word, count) pass — the
+    corpus text is tokenized exactly once here."""
     per_word = (
         docs.filter(F.col(text_col).isNotNull())
         .select(source_col, F.explode(F.split(text_col, " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy(source_col, "w")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # feeds the encoder AND the join
     )
-    enc = bpe_encode_words(docs, merges, text_col=text_col)
+    enc = bpe_encode_words(
+        docs, merges, text_col=text_col, words=per_word.select("w").distinct()
+    )
     return (
         per_word.join(enc, "w")
         .groupBy(source_col)

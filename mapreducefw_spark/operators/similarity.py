@@ -39,18 +39,19 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def l2_normalize(df: DataFrame, vec_col: str = "vec") -> DataFrame:
-    """Unit-normalize ``vec_col`` in place, computing the norm ONCE per row
-    through a staged projection. Dividing inside ``F.transform`` by an
-    inline ``_norm(vec)`` re-evaluates the full aggregate fold for EVERY
-    element — O(dim^2) interpreted work per row on a corpus-sized pass;
-    staging the scalar first keeps the fold linear."""
-    others = [c for c in df.columns if c != vec_col]
-    return (
-        df.withColumn("_l2n", _norm(F.col(vec_col)))
-        .select(
-            *others,
-            F.transform(vec_col, lambda x: x / F.col("_l2n")).alias(vec_col),
-        )
+    """Unit-normalize ``vec_col`` in place (column ORDER preserved),
+    computing the norm ONCE per row through a staged projection. Dividing
+    inside ``F.transform`` by an inline ``_norm(vec)`` re-evaluates the
+    full aggregate fold for EVERY element — O(dim^2) interpreted work per
+    row on a corpus-sized pass; staging the scalar first keeps the fold
+    linear. The staging column name is collision-proofed so a caller's
+    own columns are never clobbered."""
+    tmp = "_l2n"
+    while tmp in df.columns:
+        tmp += "_"
+    normed = F.transform(vec_col, lambda x: x / F.col(tmp)).alias(vec_col)
+    return df.withColumn(tmp, _norm(F.col(vec_col))).select(
+        *[normed if c == vec_col else F.col(c) for c in df.columns]
     )
 
 

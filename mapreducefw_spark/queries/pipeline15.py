@@ -641,14 +641,19 @@ def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     items; with fewer distinct values than that it is EXACT, which is what
     makes the oracle pairing honest — the same guarantee production uses
     when keying dashboards off the sketch for low-cardinality columns).
-    NULL types excluded both sides; final order (count desc, item) makes
-    tie selection deterministic."""
+    NULL types excluded both sides. The sketch is asked for 100 items and
+    the deterministic (count desc, item) order + LIMIT 5 is applied AFTER
+    exploding — ordering only the sketch's own top-5 would let a count
+    tie at the k-boundary be broken arbitrarily by the sketch while the
+    oracle breaks it lexicographically (latent flake flagged in the
+    round-6 review)."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
-    sk = ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    sk = ev.agg(F.expr("approx_top_k(event_type, 100)").alias("tk"))
     return (
         sk.select(F.explode("tk").alias("e"))
         .select(
             F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("n")
         )
         .orderBy(F.col("n").desc(), "item")
+        .limit(5)
     )

@@ -427,18 +427,19 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "funnel_view_click_purchase",
     oracle="""
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
 ),
 s2 AS (
   SELECT e.user_id, MIN(e.ts) AS t2
-  FROM events e JOIN s1 USING (user_id)
+  FROM ev e JOIN s1 USING (user_id)
   WHERE e.event_type = 'click' AND e.ts > s1.t1
   GROUP BY e.user_id
 ),
 s3 AS (
   SELECT e.user_id, MIN(e.ts) AS t3
-  FROM events e JOIN s2 USING (user_id)
+  FROM ev e JOIN s2 USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
   GROUP BY e.user_id
 )
@@ -467,7 +468,12 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage pairs NOT count, identically in both engines."""
     from mapreducefw_spark.operators.funnel import funnel_stage_per_user
 
-    ev = t(spark, sf_dir, "events")
+    # anonymous (NULL-user) events excluded BOTH sides: the fold's groupBy
+    # would advance a NULL-user group past stage 1 while the oracle's
+    # staged equi-joins drop NULL keys after s1 — a real divergence the
+    # round-6 review confirmed by execution (same policy as
+    # funnel_staged_minjoin)
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     staged = funnel_stage_per_user(ev, ["view", "click", "purchase"])
     # coalesce: empty events must yield (0, 0, 0, 0.0, 0.0) like the
     # oracle's scalar COUNT subqueries, not a row of NULL sums

@@ -208,6 +208,13 @@ def gap_fill_stream(keyed: DataFrame, step_seconds: int = 3600) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         has, last_b, last_v = state.get if state.exists else (0, 0, 0.0)
         rows = pd.concat(list(batches), ignore_index=True)
+        # NULL-ts policy matches the batch twin (gap_fill_ffill / the
+        # windowed event queries): a timeless row has no bucket. Without
+        # this, NaT converts to int64 MIN below and a first-batch key
+        # would try to emit ~2.5e15 "gap" buckets from year -290308.
+        rows = rows[rows["ts"].notna()]
+        if rows.empty:
+            return
         us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         buckets = us // (step_seconds * 1_000_000)
         agg = (

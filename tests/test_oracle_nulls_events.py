@@ -82,6 +82,10 @@ ROWS = [
     # round 6: NULL ts (a corrupt/unparseable event time) and NULL type
     (14, None, 4, "view", 14.0, None),
     (15, _ts("2024-03-02 01:00:00"), 4, None, 15.0, "{}"),
+    # NULL-user click AFTER the NULL-user view at 02:35 — the sequence
+    # that diverged pre-fix (fold advanced the NULL group to stage 2,
+    # the oracle's equi-joins dropped it after s1)
+    (16, _ts("2024-03-01 02:40:00"), None, "click", 16.0, "{}"),
 ]
 
 

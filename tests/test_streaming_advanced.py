@@ -134,7 +134,8 @@ def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, tmp_path):
     )
     joined = joins.view_click_join_outer(vs, cs)
     out = windows.run_bounded(joined, "t_ssj_outer", output_mode="append")
-    got = out.filter(F.col("user_id") != -999)
+    # NULL-safe, same reason as the full-outer twin below
+    got = out.filter(F.col("user_id").isNull() | (F.col("user_id") != -999))
     expect = joins.view_click_join_outer(views_b, clicks_b)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
     # the outer legs actually exercised: some unmatched views must exist
@@ -647,7 +648,9 @@ def test_stream_stream_full_outer_join_matches_batch(spark, sf_dir, tmp_path):
     )
     joined = joins.view_click_join_full_outer(vs, cs)
     out = windows.run_bounded(joined, "t_ssj_full", output_mode="append")
-    got = out.filter(F.col("user_id") != -999)
+    # NULL-safe sentinel filter: a plain != -999 would also drop NULL-user
+    # outer rows from the streaming side only (NULL != -999 is NULL)
+    got = out.filter(F.col("user_id").isNull() | (F.col("user_id") != -999))
     expect = joins.view_click_join_full_outer(views_b, clicks_b)
     assert sorted(map(tuple, got.collect()), key=str) == sorted(
         map(tuple, expect.collect()), key=str
@@ -658,3 +661,42 @@ def test_stream_stream_full_outer_join_matches_batch(spark, sf_dir, tmp_path):
     assert got.filter(
         F.col("view_id").isNotNull() & F.col("click_id").isNotNull()
     ).count() > 0
+
+
+def test_streaming_gap_fill_null_ts_dropped(spark, tmp_path):
+    """A NULL-ts row in a key's FIRST batch must be dropped, not converted
+    (NaT -> int64 min would seed the cursor at bucket ~-2.56e15 and the
+    emit loop would try to yield quadrillions of gap rows). Policy matches
+    the batch twin: timeless rows have no bucket."""
+    import os
+    import time
+
+    from datetime import datetime
+
+    from mapreducefw_spark.streaming import stateful
+
+    src = str(tmp_path / "gf_null_src")
+    h = 3600
+    rows = [
+        ("k", None, 99.0),
+        ("k", datetime.utcfromtimestamp(0 * h), 1.0),
+        ("k", datetime.utcfromtimestamp(2 * h), 3.0),
+    ]
+    spark.createDataFrame(
+        rows, "key string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(src)
+    now = time.time()
+    for f in os.listdir(src):
+        os.utime(os.path.join(src, f), (now - 100, now - 100))
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windows.run_bounded(
+        stateful.gap_fill_stream(stream, h), "t_gf_null", output_mode="update"
+    )
+    got = {
+        int(r.bucket.timestamp() // h): (r.value, r.is_gap) for r in out.collect()
+    }
+    assert got == {0: (1.0, 0), 1: (None, 1), 2: (3.0, 0)}

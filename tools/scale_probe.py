@@ -637,15 +637,21 @@ def main() -> None:
         # graph (docstring claim: per-iteration cost = one edge-sized join
         # + node-sized shuffle; lineage pinned per iteration). 3 iterations
         # keep the probe affordable — per-iteration cost is what scales.
-        deg_g = e_g.groupBy(F.col("x").alias("src")).agg(F.count(F.lit(1)).alias("d"))
-        nodes_g = e_g.select(F.col("x").alias("node")).distinct()
+        # symmetrize: e_g stores each undirected edge once as (x < y);
+        # degrees/nodes/contributions must see BOTH directions or the
+        # probe measures a directed half-graph (round-6 review finding)
+        e_sym = e_g.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+            e_g.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+        )
+        deg_g = e_sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        nodes_g = e_sym.select(F.col("src").alias("node")).distinct()
         nn_g = nodes_g.agg(F.count(F.lit(1)).alias("n"))
         ranks = nodes_g.crossJoin(F.broadcast(nn_g)).select(
             "node", (F.lit(1.0) / F.col("n")).alias("pr")
         )
         for _ in range(3):
             contribs = (
-                e_g.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+                e_sym
                 .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
                 .join(F.broadcast(deg_g), "src")
                 .groupBy("dst")
