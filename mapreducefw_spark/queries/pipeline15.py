@@ -326,7 +326,9 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ord AS (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
-  FROM orders GROUP BY o_custkey, o_orderdate
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey, o_orderdate
 )
 SELECT e.event_id, e.user_id,
        STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
@@ -357,8 +359,11 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_id", F.col("user_id").alias("key"), F.col("ts").alias("etime")
     )
+    # NULL-custkey / NULL-date orders excluded both sides (same policy +
+    # reasoning as asof_join_latest_order)
     ord_ = (
         t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
         .groupBy(F.col("o_custkey").alias("key"), "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )

@@ -90,8 +90,8 @@ def map_column_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from_json_struct",
     oracle="""
 SELECT event_id,
-       CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) AS k,
-       CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) % 10 AS k_mod
+       TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) AS k,
+       TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) % 10 AS k_mod
 FROM events
 WHERE event_id < 500
 ORDER BY event_id
@@ -99,7 +99,9 @@ ORDER BY event_id
 )
 def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-full JSON parsing: from_json into a typed struct, then field
-    access — the production path (get_json_object re-parses per call)."""
+    access — the production path (get_json_object re-parses per call).
+    TRY_CAST oracle-side: malformed/keyless props regexp-extract to ''
+    and must become NULL like from_json does, not a conversion error."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     parsed = ev.select("event_id", F.from_json("props", "k int").alias("p"))
     return parsed.select(

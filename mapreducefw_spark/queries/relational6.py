@@ -117,17 +117,28 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "to_json_roundtrip",
     oracle="""
+WITH x AS (
+  SELECT event_id, event_type,
+         TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) AS k
+  FROM events WHERE event_id < 300
+)
 SELECT event_id,
-       '{"t":"' || event_type || '","k":' || CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) || '}' AS packed,
-       CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) AS k_back
-FROM events
-WHERE event_id < 300
+       CASE WHEN event_type IS NOT NULL AND k IS NOT NULL
+              THEN '{"t":"' || event_type || '","k":' || k || '}'
+            WHEN event_type IS NOT NULL THEN '{"t":"' || event_type || '"}'
+            WHEN k IS NOT NULL THEN '{"k":' || k || '}'
+            ELSE '{}' END AS packed,
+       k AS k_back
+FROM x
 ORDER BY event_id
 """,
 )
 def to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """struct -> to_json -> from_json round trip; the oracle builds the same
-    canonical JSON text directly."""
+    canonical JSON text directly — including Spark's to_json contract of
+    OMITTING null struct fields ('{}' when every field is null), which the
+    oracle's CASE ladder mirrors; TRY_CAST turns keyless/malformed props
+    into NULL k like get_json_object does."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
     packed = F.to_json(
         F.struct(

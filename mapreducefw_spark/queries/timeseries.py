@@ -357,7 +357,9 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ord AS (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
-  FROM orders GROUP BY o_custkey, o_orderdate
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey, o_orderdate
 )
 SELECT e.event_id, e.user_id,
        STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
@@ -375,8 +377,13 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_id", F.col("user_id").alias("key"), F.col("ts").alias("etime")
     )
+    # orders with a NULL custkey or NULL date are excluded BOTH sides: a
+    # dateless order has no as-of position (and would sort NULLS FIRST
+    # into the carry window on the Spark side only), and SQL's ASOF equi
+    # key never matches NULL
     ord_ = (
         t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
         .groupBy(F.col("o_custkey").alias("key"), "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )

@@ -57,6 +57,14 @@ EDGE_QUERIES = [
     "view_click_attribution_full",
     "group_aware_split",
     "approx_topk_event_types",
+    # round-6 sweep: every remaining events-reading oracle query (the
+    # fixture also writes an edge orders table for the join forms)
+    "view_click_attribution",
+    "asof_join_latest_order",
+    "asof_tolerance_join",
+    "skew_join_events_orders",
+    "from_json_struct",
+    "to_json_roundtrip",
 ]
 
 
@@ -86,6 +94,7 @@ ROWS = [
     # that diverged pre-fix (fold advanced the NULL group to stage 2,
     # the oracle's equi-joins dropped it after s1)
     (16, _ts("2024-03-01 02:40:00"), None, "click", 16.0, "{}"),
+    (17, _ts("2024-03-01 06:00:00"), 5, "view", 17.0, '{"k": -42, "page": "z"}'),
 ]
 
 
@@ -105,6 +114,31 @@ def edge_dir(tmp_path_factory):
         }
     )
     pq.write_table(tbl, str(d / "events.parquet"))
+    # edge orders for the events x orders join queries: NULL custkey,
+    # NULL orderdate, duplicate (custkey, date) pairs, a date after every
+    # event, and a customer matching the NULL-user events (never joins)
+    ord_rows = [
+        # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+        (1, 1, "O", 10.0, _ts("2024-02-25 00:00:00"), "1-URGENT"),
+        (2, 1, "O", 20.0, _ts("2024-02-25 00:00:00"), "1-URGENT"),  # dup (cust, date)
+        (3, 2, "F", 30.0, None, "5-LOW"),                           # NULL date
+        (4, None, "F", 40.0, _ts("2024-02-20 00:00:00"), "5-LOW"),  # NULL cust
+        (5, 3, "O", 50.0, _ts("2024-01-01 00:00:00"), "3-MEDIUM"),  # >30d stale
+        (6, 2, "O", 60.0, _ts("2024-12-31 00:00:00"), "3-MEDIUM"),  # after all events
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in ord_rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in ord_rows], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in ord_rows], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in ord_rows], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in ord_rows], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in ord_rows], pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
     return str(d)
 
 
@@ -127,6 +161,9 @@ def test_edge_events_match_oracle(spark, edge_dir, name):
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{edge_dir}/events.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{edge_dir}/orders.parquet'"
     )
     res = con.execute(ORACLES[name])
     dcols = [d[0] for d in res.description]
