@@ -149,12 +149,19 @@ def bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k). The (lang, bigram) pre-aggregation combines map-side, so the
     ranking window only sees distinct bigram counts — at 100 TB the shuffle
     carries the vocabulary, not the corpus."""
-    docs = t(spark, sf_dir, "documents")
+    # sub-2-token (and NULL) texts are guarded: sequence(1, size-1) would
+    # count DOWN to [1, 0] for a 1-token doc and element_at(toks, 2)
+    # throws under ANSI — the same descending-sequence trap fixed in the
+    # SymSpell d2 index; the oracle's range(1, len) is empty there
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     counts = (
         docs.select("lang", F.explode(grams).alias("bigram"))
         .groupBy("lang", "bigram")

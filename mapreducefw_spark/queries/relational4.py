@@ -193,6 +193,8 @@ def python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         @udtf(returnType="doc_id bigint, bigram string")
         class Bigrams:
             def eval(self, doc_id: int, text: str):
+                if text is None:  # NULL text: no rows (matches the oracle)
+                    return
                 toks = text.split(" ")
                 for a, b in zip(toks, toks[1:]):
                     yield doc_id, f"{a} {b}"

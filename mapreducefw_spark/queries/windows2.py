@@ -72,14 +72,16 @@ def window_nth_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tf AS (
   SELECT lang, token, COUNT(*) AS tf
-  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents)
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token
+        FROM documents WHERE lang IS NOT NULL)
   WHERE token <> ''
   GROUP BY lang, token
 ),
 df AS (
   SELECT token, COUNT(DISTINCT lang) AS df FROM tf GROUP BY token
 ),
-nlang AS (SELECT COUNT(DISTINCT lang) AS n FROM documents),
+nlang AS (SELECT COUNT(DISTINCT lang) AS n FROM documents
+          WHERE lang IS NOT NULL),
 scored AS (
   SELECT tf.lang, tf.token,
          ROUND(tf.tf * LN((SELECT n FROM nlang) / CAST(df.df AS DOUBLE)), 6) AS tfidf
@@ -103,7 +105,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two exchanges of the vocabulary table saved vs the naive plan)."""
     from mapreducefw_spark.operators.textprep import ensure_parallelism
 
-    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    # NULL-lang docs are excluded BOTH sides: the df identity below
+    # (count(*) over tf rows == countDistinct(lang)) breaks when a NULL
+    # lang group exists — COUNT(DISTINCT) skips NULL while the row count
+    # doesn't, silently inflating df for tokens seen in unlabeled docs
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    )
     tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
     )

@@ -46,6 +46,35 @@ EDGE_QUERIES = [
     # docs produce empty gram arrays -> zero-gram rows with frac 0)
     "ngram_overlap_decontam",
     "collation_token_counts",
+    # round-6 sweep: every remaining documents-reading oracle query
+    "benchmark_contamination",
+    "bigram_top_terms",
+    "bpe_token_counts",
+    "cdc_apply_changelog",
+    "cross_snapshot_jaccard",
+    "dedup_canonical_selection",
+    "dedup_exact",
+    "dedup_exact_keyed",
+    "dedup_groups_small",
+    "doc_fingerprint",
+    "explode_posexplode_tokens",
+    "higher_order_token_fns",
+    "jaccard_token_pairs",
+    "mr_wordcount",
+    "multimodal_bytes_meta",
+    "pii_scrub_stats",
+    "python_udtf_bigrams",
+    "repetition_scores",
+    "snapshot_diff",
+    "source_mix_weights",
+    "stopword_candidates",
+    "stratified_split_counts",
+    "text_normalize_stats",
+    "text_quality_scores",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "training_prep_pipeline",
+    "training_shard_stats",
 ]
 
 ROWS = [
