@@ -97,8 +97,21 @@ def global_rank_running(
     )
     drop = ["_pid", "_lrank", "_rank_off"]
     if sum_col is not None:
+        # SUM OVER (ROWS UNBOUNDED PRECEDING) semantics: NULL only while
+        # the ENTIRE prefix has no non-null value. _lsum is NULL when this
+        # row's own partition has none so far (e.g. a NULL-measure row
+        # opens a partition) — a bare _lsum + offset would poison the
+        # carried total to NULL there, diverging from the single-window
+        # form (found by the TPC-H NULL edge suite).
         out = out.withColumn(
-            "running_total", F.col("_lsum") + F.coalesce(F.col("_sum_off"), F.lit(0))
+            "running_total",
+            F.when(
+                F.col("_lsum").isNull() & F.col("_sum_off").isNull(),
+                F.lit(None),
+            ).otherwise(
+                F.coalesce(F.col("_lsum"), F.lit(0))
+                + F.coalesce(F.col("_sum_off"), F.lit(0))
+            ),
         )
         drop += ["_lsum", "_sum_off"]
     return out.drop(*drop)

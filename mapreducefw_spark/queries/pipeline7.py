@@ -486,13 +486,14 @@ rfm AS (
          COUNT(*) AS frequency,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
   FROM orders, mx
+  WHERE o_custkey IS NOT NULL
   GROUP BY o_custkey, mx.corpus_max
 ),
 binned AS (
   SELECT o_custkey, recency_days, frequency, monetary,
-         NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_bin,
+         NTILE(4) OVER (ORDER BY recency_days ASC NULLS LAST, o_custkey) AS r_bin,
          NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_bin,
-         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_bin
+         NTILE(4) OVER (ORDER BY monetary DESC NULLS LAST, o_custkey) AS m_bin
   FROM rfm
 )
 SELECT r_bin, f_bin, m_bin,
@@ -513,7 +514,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines assign identical bins. Small-frame form by design: a
     corpus-scale percentile cut composes operators/rank.py's two-phase
     global rank exactly as quality_decile_mixture demonstrates."""
-    orders = t(spark, sf_dir, "orders")
+    # anonymous (NULL-custkey) orders are not customers — excluded both
+    # sides; NULL recency/monetary (all-NULL dates or prices for a
+    # customer) sort NULLS LAST explicitly on BOTH sides (engine defaults
+    # differ: Spark ASC=NULLS FIRST, DuckDB=NULLS LAST)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
     from pyspark.sql.window import Window as W
 
     mx = orders.agg(F.max("o_orderdate").alias("corpus_max"))
@@ -537,9 +542,13 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(W.orderBy(F.asc("recency_days"), "o_custkey")).alias("r_bin"),
+        F.ntile(4)
+        .over(W.orderBy(F.asc_nulls_last("recency_days"), "o_custkey"))
+        .alias("r_bin"),
         F.ntile(4).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_bin"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_bin"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc_nulls_last("monetary"), "o_custkey"))
+        .alias("m_bin"),
     )
     return (
         binned.groupBy("r_bin", "f_bin", "m_bin")

@@ -577,7 +577,7 @@ SELECT p_partkey,
        UPPER(p_brand) AS ubrand,
        LENGTH(p_name) AS name_len,
        SUBSTRING(p_name, 1, 3) AS pfx,
-       CONCAT(p_brand, ':', p_type) AS brand_type,
+       CONCAT_WS(':', p_brand, p_type) AS brand_type,
        REPLACE(p_name, ' ', '_') AS snake,
        TRY_CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_num,
        LEN(string_split(p_name, ' ')) AS n_words

@@ -65,9 +65,14 @@ def map_column_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     map_keys — the MapType surface; output reduced to plain columns so the
     oracle stays engine-neutral."""
     orders = t(spark, sf_dir, "orders")
-    per_status = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # NULL priority -> sentinel key: Spark forbids NULL MAP KEYS
+    # ([NULL_MAP_KEY] runtime crash, found by the TPC-H NULL edge suite);
+    # the sentinel keeps the row in the total while staying out of the
+    # urgent lookup, matching the oracle's COUNT(*) / IN-list semantics
+    per_status = orders.groupBy(
+        "o_orderstatus",
+        F.coalesce("o_orderpriority", F.lit("(none)")).alias("o_orderpriority"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     as_map = per_status.groupBy("o_orderstatus").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("o_orderpriority", "cnt")))

@@ -78,8 +78,9 @@ def null_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_higher_order",
     oracle="""
 WITH per AS (
-  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
-  FROM customer GROUP BY c_nationkey, c_mktsegment
+  SELECT c_nationkey, COALESCE(c_mktsegment, '(none)') AS c_mktsegment,
+         COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2
 )
 SELECT c_nationkey,
        array_to_string(list_sort(list(c_mktsegment || '=' || CAST(cnt * 2 AS VARCHAR))), ',') AS doubled_entries,
@@ -93,7 +94,12 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform_values / map_filter over a built map column; output is
     flattened to sorted 'k=v' strings so the oracle stays engine-neutral."""
     cust = t(spark, sf_dir, "customer")
-    per = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+    # NULL segment -> sentinel map key ([NULL_MAP_KEY] crash otherwise);
+    # mirrored in the oracle so both sides carry the '(none)' entry
+    per = cust.groupBy(
+        "c_nationkey",
+        F.coalesce("c_mktsegment", F.lit("(none)")).alias("c_mktsegment"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     as_map = per.groupBy("c_nationkey").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("c_mktsegment", "cnt")))
