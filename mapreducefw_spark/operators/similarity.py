@@ -75,12 +75,17 @@ def brute_force_topk(
     # join is not collapsed into the post-join projection), so the per-pair
     # work is a single dot fold + divide. Inlining cosine() above the join
     # instead re-derives the corpus norm once per query — 3 folds per pair.
+    # searchable-vector guard: NULL vectors, vectors with NULL elements
+    # and ZERO vectors are excluded (norm NULL or 0 fails > 0). Without it
+    # a zero vector crashes the cosine divide under ANSI — and DuckDB's
+    # list_cosine_similarity would meanwhile return -1.0 for the same
+    # pair, so the guard is also what keeps the oracle pairing symmetric.
     q = queries.select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec"), _norm(F.col("vec")).alias("qn")
-    )
+    ).filter(F.col("qn") > 0)
     c = corpus.select(
         F.col("vid").alias("nid"), F.col("vec").alias("nvec"), _norm(F.col("vec")).alias("nn")
-    )
+    ).filter(F.col("nn") > 0)
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("nid"))
@@ -389,7 +394,11 @@ def quantize_int8(df: DataFrame) -> DataFrame:
     maxabs = F.array_max(F.transform("vec", lambda x: F.abs(x)))
     scale = F.lit(127.0) / maxabs
     q = F.transform("vec", lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
-    return df.filter(maxabs > 0).select("vid", q.alias("qvec"))
+    # array_max SKIPS NULL elements, so maxabs > 0 alone would keep a
+    # vector with NULL components and emit NULL quantized entries
+    # (DuckDB's list_dot_product then ERRORS on them) — exclude them
+    has_null = F.exists("vec", lambda x: x.isNull())
+    return df.filter((maxabs > 0) & ~has_null).select("vid", q.alias("qvec"))
 
 
 def quantized_topk(

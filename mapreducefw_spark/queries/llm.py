@@ -158,8 +158,20 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_topk",
     oracle="""
-WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
-     c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+WITH ok AS (
+       -- searchable vectors only: non-NULL, no NULL elements, norm > 0
+       -- (mirrors the Spark-side norm > 0 guard; list_sum, not
+       -- list_dot_product, because WHERE conjuncts don't short-circuit
+       -- and list_dot_product ERRORS on NULL elements; DuckDB's
+       -- list_cosine_similarity returns -1.0 for a zero vector where
+       -- Spark's ANSI divide would error)
+       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       WHERE embedding IS NOT NULL
+         AND len(list_filter(embedding, x -> x IS NULL)) = 0
+         AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)), 0) > 0
+     ),
+     q AS (SELECT vec_id AS qid, e AS qe FROM ok WHERE vec_id < 10),
+     c AS (SELECT vec_id AS nid, e AS ne FROM ok),
      sims AS (
        SELECT qid, nid, ROUND(list_cosine_similarity(qe, ne), 6) AS sim
        FROM q CROSS JOIN c
@@ -190,7 +202,10 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        COUNT(*) AS n,
-       ROUND(AVG(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+       ROUND(AVG(CASE WHEN embedding IS NOT NULL
+                       AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                 THEN SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 END), 4) AS avg_norm
 FROM embeddings
 GROUP BY label
 ORDER BY label

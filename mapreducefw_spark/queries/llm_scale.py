@@ -148,7 +148,10 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_dedup",
     oracle="""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE vec_id < 300 AND embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)), 0) > 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -162,7 +165,14 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator shape is identical). The oracle is
     the quadratic definition on a 300-vector slice; the scale path for the
     full corpus is LSH-bucketed (embedding_lsh_dedup below)."""
-    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings")).filter(F.col("vid") < 300)
+    # searchable-vector guard (norm > 0 excludes NULL / NULL-element /
+    # zero vectors) — without it the cosine in the threshold filter hits
+    # an ANSI divide-by-zero on a zero vector
+    emb = (
+        similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+        .filter(F.col("vid") < 300)
+        .filter(similarity._norm(F.col("vec")) > 0)
+    )
     a = emb.select(F.col("vid").alias("id_a"), F.col("vec").alias("ea"))
     b = emb.select(F.col("vid").alias("id_b"), F.col("vec").alias("eb"))
     sim = similarity.cosine(F.col("ea"), F.col("eb"))
@@ -257,8 +267,17 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_truncated_topk",
     oracle="""
-WITH q AS (SELECT vec_id AS qid, (embedding::DOUBLE[])[1:16] AS qe FROM embeddings WHERE vec_id < 10),
-     c AS (SELECT vec_id AS nid, (embedding::DOUBLE[])[1:16] AS ne FROM embeddings),
+WITH ok AS (
+       -- guard on the SLICED vector: searchability is decided in the
+       -- truncated space the query actually searches
+       SELECT vec_id, (embedding::DOUBLE[])[1:16] AS e FROM embeddings
+       WHERE embedding IS NOT NULL
+         AND len(list_filter((embedding::DOUBLE[])[1:16], x -> x IS NULL)) = 0
+         AND COALESCE(list_sum(list_transform((embedding::DOUBLE[])[1:16],
+                                               x -> x*x)), 0) > 0
+     ),
+     q AS (SELECT vec_id AS qid, e AS qe FROM ok WHERE vec_id < 10),
+     c AS (SELECT vec_id AS nid, e AS ne FROM ok),
      sims AS (
        SELECT qid, nid, ROUND(list_cosine_similarity(qe, ne), 6) AS sim
        FROM q CROSS JOIN c

@@ -50,8 +50,12 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
 s AS (
+  -- list_max SKIPS NULL elements, so the > 0 test alone would keep a
+  -- vector with NULL components (and list_dot_product errors on those);
+  -- the explicit no-NULL-element guard mirrors quantize_int8's filter
   SELECT vec_id, e, 127.0 / list_max(list_transform(e, x -> abs(x))) AS sc
   FROM v WHERE list_max(list_transform(e, x -> abs(x))) > 0
+    AND e IS NOT NULL AND len(list_filter(e, x -> x IS NULL)) = 0
 ),
 q AS (
   SELECT vec_id, list_transform(e, x -> CAST(floor(x * sc + 0.5) AS INT)) AS qe

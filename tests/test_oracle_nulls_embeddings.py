@@ -1,0 +1,109 @@
+"""Differential NULL/edge robustness for the embeddings-table queries —
+the last uncovered oracle slice (the two table-free queries,
+range_generator_source and python_datasource_squares, have no input to
+inject edges into).
+
+Edge vectors: NULL embedding, NULL elements INSIDE a vector, the zero
+vector (norm 0 — cosine's division-by-zero corner), duplicate vectors
+(similarity ties), NULL vec_id, NULL label. 16-dim so the truncated-topk
+slice (first 16 dims) spans the whole vector.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mapreducefw_spark.queries import ORACLES, QUERIES, load_all
+
+load_all()
+
+EDGE_QUERIES = [
+    "embedding_cosine_topk",
+    "embedding_cosine_dedup",
+    "embedding_dim_stats",
+    "embedding_label_norms",
+    "embedding_quantized_topk",
+    "embedding_truncated_topk",
+]
+
+DIM = 16
+
+
+def _vec(seed: float) -> list[float]:
+    return [float((seed * (i + 3)) % 7 - 3) for i in range(DIM)]
+
+
+ROWS = [
+    # (vec_id, embedding, label)
+    (0, _vec(1.7), 1),
+    (1, _vec(2.3), 2),
+    (2, _vec(1.7), 1),                      # exact duplicate of 0 (sim tie)
+    (3, None, 3),                           # NULL embedding
+    (4, [0.0] * DIM, 1),                    # zero vector: norm 0
+    (5, _vec(3.1)[:-1] + [None], 2),        # NULL element inside
+    (6, _vec(4.9), None),                   # NULL label
+    (None, _vec(5.3), 4),                   # NULL vec_id
+    (8, _vec(6.1), 4),
+    (9, _vec(0.4), 5),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_emb")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in ROWS], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in ROWS], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in ROWS], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _key(row):
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_embeddings_match_oracle(spark, edge_dir, name):
+    sdf = QUERIES[name](spark, edge_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{edge_dir}/embeddings.parquet'"
+    )
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows), (len(srows), len(drows))
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sn = sorted((tuple(_norm(r[i]) for i in order_s) for r in srows), key=_key)
+    dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=_key)
+    diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not diffs, diffs[:3]
