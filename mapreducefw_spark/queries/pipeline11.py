@@ -33,8 +33,13 @@ DS_PARTS = 8
     oracle="""
 WITH k AS (
   SELECT event_type,
+         -- regexp_full_match guard: DuckDB's string->int cast ROUNDS
+         -- '1.5' to 2, Spark's strict parse NULLs it; only integral
+         -- strings may cast
          CASE WHEN json_valid(props)
-              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+               AND regexp_full_match(
+                     COALESCE(json_extract_string(props, '$.k'), ''), '-?\d+')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type,
@@ -50,12 +55,16 @@ ORDER BY event_type
 def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed extraction from the props JSON via the Spark 4 VARIANT type:
     parse once (``try_parse_json`` -> binary variant), extract with
-    ``try_variant_get`` — NULL-safe on malformed JSON and missing keys on
-    both engines (json_valid guard in the oracle). The older string-path
+    ``try_variant_get`` — NULL-safe on malformed JSON, missing keys and
+    non-integral values on both engines (json_valid guard + strict
+    string-to-int parse in the oracle). The older string-path
     twin is ``json_extract_events`` (get_json_object); this is the
     parse-once scale form."""
     ev = t(spark, sf_dir, "events")
-    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    # extract as STRING then strict-parse to long: try_variant_get's
+    # direct bigint coerces 1.5 -> 1 while DuckDB's CAST rounds -> 2; the
+    # string route makes non-integral k NULL identically on both sides
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "string").try_cast("long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -479,7 +479,8 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rfm_segmentation",
     oracle="""
-WITH mx AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders),
+WITH mx AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders
+            WHERE o_custkey IS NOT NULL),
 rfm AS (
   SELECT o_custkey,
          CAST(date_diff('day', MAX(o_orderdate), mx.corpus_max) AS BIGINT) AS recency_days,

@@ -682,17 +682,20 @@ def math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k": ?(-?\\d+)', 1), '') AS INT)) AS BIGINT) AS sum_k,
-       CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k": ?(-?\\d+)', 1), '') AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)\\s*[,}]', 1) AS INT)) AS BIGINT) AS sum_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)\\s*[,}]', 1) AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
 """,
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON property extraction (events.props); aggregation over the parsed value."""
+    """JSON property extraction (events.props); aggregation over the
+    parsed value. try_cast + the oracle's anchored regexp: a non-integral
+    k ('{"k": 1.5}') is NULL on both sides — a bare cast crashes under
+    ANSI and a bare \d+ regexp would match the integer prefix."""
     ev = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

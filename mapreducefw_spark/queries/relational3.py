@@ -95,8 +95,8 @@ def map_column_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from_json_struct",
     oracle="""
 SELECT event_id,
-       TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) AS k,
-       TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) % 10 AS k_mod
+       TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)\\s*[,}]', 1) AS INT) AS k,
+       TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)\\s*[,}]', 1) AS INT) % 10 AS k_mod
 FROM events
 WHERE event_id < 500
 ORDER BY event_id
@@ -106,7 +106,10 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-full JSON parsing: from_json into a typed struct, then field
     access — the production path (get_json_object re-parses per call).
     TRY_CAST oracle-side: malformed/keyless props regexp-extract to ''
-    and must become NULL like from_json does, not a conversion error."""
+    and must become NULL like from_json does, not a conversion error; the
+    regexp anchors on a following , or } so the integer PREFIX of a
+    non-integral number (1.5) is NOT matched — from_json('k int') yields
+    NULL there."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     parsed = ev.select("event_id", F.from_json("props", "k int").alias("p"))
     return parsed.select(

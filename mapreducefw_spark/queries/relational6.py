@@ -124,8 +124,12 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to_json_roundtrip",
     oracle="""
 WITH x AS (
-  SELECT event_id, event_type,
-         TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)', 1) AS INT) AS k
+  SELECT event_id,
+         -- escape like Spark's to_json does (backslash first, then quote)
+         replace(replace(event_type, '\\', '\\\\'), '"', '\\"') AS event_type,
+         -- integer must be FOLLOWED by , or } (a bare \d+ would match the
+         -- integer PREFIX of 1.5 where from_json/strict-int yields NULL)
+         TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)\\s*[,}]', 1) AS INT) AS k
   FROM events WHERE event_id < 300
 )
 SELECT event_id,
@@ -149,7 +153,9 @@ def to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = F.to_json(
         F.struct(
             F.col("event_type").alias("t"),
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            # try_cast: a non-integral k ('{"k": 1.5}') must become NULL
+            # like the oracle's anchored regexp, not an ANSI cast crash
+            F.get_json_object("props", "$.k").try_cast("int").alias("k"),
         )
     )
     back = F.from_json(packed, "t string, k int")

@@ -134,7 +134,7 @@ def sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+                   > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
   FROM events WHERE ts IS NOT NULL
 ),
 islands AS (
@@ -152,12 +152,14 @@ ORDER BY user_id, session_start
 """,
 )
 def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """session_window in BATCH mode (merged gap<30min intervals per user) —
-    the same API the streaming twin uses; oracle is gaps-and-islands SQL.
-    A session's end is last-event + gap, and an event at exactly that end
-    starts a NEW session (hence >= in the oracle's break condition).
-    NULL ts excluded both sides (session_window drops them silently;
-    the filter makes the policy explicit and symmetric)."""
+    """session_window in BATCH mode (merged gap<=30min intervals per user)
+    — the same API the streaming twin uses; oracle is gaps-and-islands
+    SQL. MEASURED boundary contract (Spark 4.1, pinned by the edge
+    suite's exact-30-min event chain): an event at exactly
+    last-event + gap still MERGES into the session — the break condition
+    is strictly greater-than. NULL ts excluded both sides (session_window
+    drops them silently; the filter makes the policy explicit and
+    symmetric)."""
     ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

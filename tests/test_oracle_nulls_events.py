@@ -95,6 +95,10 @@ ROWS = [
     # the oracle's equi-joins dropped it after s1)
     (16, _ts("2024-03-01 02:40:00"), None, "click", 16.0, "{}"),
     (17, _ts("2024-03-01 06:00:00"), 5, "view", 17.0, '{"k": -42, "page": "z"}'),
+    # round-6 review: non-integral k (strict-int parse must NULL, not
+    # prefix-match '1'), and a quote+backslash event_type (to_json escapes)
+    (18, _ts("2024-03-01 06:30:00"), 5, "view", 18.0, '{"k": 1.5}'),
+    (19, _ts("2024-03-01 07:00:00"), 5, 'say "hi" \ bye', 19.0, '{"k": 7}'),
 ]
 
 
