@@ -38,6 +38,17 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def filter_searchable(df: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """Keep only vectors cosine math is DEFINED on: non-NULL, no NULL
+    elements, nonzero norm (one ``_norm > 0`` predicate rejects all
+    three). Applied at every ANN entry point — a zero or NULL-element
+    vector (a padding row, a failed embedding job) would otherwise raise
+    an ANSI DIVIDE_BY_ZERO / propagate NULL sims deep inside the plan,
+    the crash class the round-6 embeddings edge suite pinned for
+    brute_force_topk."""
+    return df.filter(_norm(F.col(vec_col)) > 0)
+
+
 def l2_normalize(df: DataFrame, vec_col: str = "vec") -> DataFrame:
     """Unit-normalize ``vec_col`` in place (column ORDER preserved),
     computing the norm ONCE per row through a staged projection. Dividing
@@ -49,6 +60,9 @@ def l2_normalize(df: DataFrame, vec_col: str = "vec") -> DataFrame:
     tmp = "_l2n"
     while tmp in df.columns:
         tmp += "_"
+    # unsearchable vectors (zero norm / NULL elements) are dropped: unit
+    # direction is undefined for them and x / 0 errors under ANSI
+    df = filter_searchable(df, vec_col)
     normed = F.transform(vec_col, lambda x: x / F.col(tmp)).alias(vec_col)
     return df.withColumn(tmp, _norm(F.col(vec_col))).select(
         *[normed if c == vec_col else F.col(c) for c in df.columns]
@@ -56,10 +70,19 @@ def l2_normalize(df: DataFrame, vec_col: str = "vec") -> DataFrame:
 
 
 def as_double_vecs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Loader for the similarity tier. NULL-id rows are dropped: an
+    unaddressable vector can't be returned, deduped against (keep-first
+    needs an orderable id) or seed a centroid (NULL ids sort first and
+    crash the numpy centroid collect); oracles of as_double_vecs-backed
+    queries carry the matching vec_id IS NOT NULL filter."""
     from mapreducefw_spark.operators.textprep import ensure_parallelism
 
-    return ensure_parallelism(df).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    return (
+        ensure_parallelism(df)
+        .filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+        )
     )
 
 
@@ -187,6 +210,8 @@ def ivf_topk(
 ) -> DataFrame:
     """ANN via inverted-file cells: deterministic seed centroids (the n_cells
     lowest-id corpus vectors) optionally refined by k-means iterations."""
+    corpus = filter_searchable(corpus)
+    queries = filter_searchable(queries)
     centroids = corpus.orderBy("vid").limit(n_cells)
     if kmeans_iters > 0:
         centroids = kmeans_refine(corpus, centroids, iters=kmeans_iters)
@@ -258,6 +283,8 @@ def random_hyperplane_topk(
     known up front."""
     if dim <= 0:
         raise ValueError(f"dim must be a positive vector length, got {dim}")
+    corpus = filter_searchable(corpus)
+    queries = filter_searchable(queries)
     import hashlib
 
     def component(t: int, p: int, i: int) -> float:
@@ -339,6 +366,9 @@ def semantic_dedup(
     dup_of = lowest same-cell vid with cosine >= threshold among lower ids,
     NULL for kept docs — the same keep-first rule as the exact-hash dedup
     tier, so downstream filters are uniform across dedup operators.
+    Unsearchable vectors (NULL / NULL-element / zero) are excluded up
+    front — they have no cosine neighborhood, and would otherwise crash
+    the within-cell divide under ANSI.
 
     max_cell_size guards the 100 TB failure mode (one mega-cell turning
     quadratic): cells are truncated to their max_cell_size lowest-vid
@@ -347,6 +377,7 @@ def semantic_dedup(
     stays bounded). Production would instead split hot cells by recursing
     k-means; the cap keeps this operator one pass.
     """
+    corpus = filter_searchable(corpus)
     centroids = corpus.orderBy("vid").limit(n_cells)
     if kmeans_iters > 0:
         centroids = kmeans_refine(corpus, centroids, iters=kmeans_iters)
@@ -573,10 +604,15 @@ def exact_rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame, k: int)
     candidate (qid, nid) pairs only — candidate-count work, never corpus^2.
     Query vectors broadcast (search mode: model-sized)."""
     pairs = cand.select("qid", "nid").join(
-        corpus.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec")), "nid"
+        filter_searchable(corpus).select(
+            F.col("vid").alias("nid"), F.col("vec").alias("nvec")
+        ),
+        "nid",
     ).join(
         F.broadcast(
-            queries.select(F.col("vid").alias("qid"), F.col("vec").alias("qvec"))
+            filter_searchable(queries).select(
+                F.col("vid").alias("qid"), F.col("vec").alias("qvec")
+            )
         ),
         "qid",
     )

@@ -166,7 +166,7 @@ WITH ok AS (
        -- list_cosine_similarity returns -1.0 for a zero vector where
        -- Spark's ANSI divide would error)
        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-       WHERE embedding IS NOT NULL
+       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
          AND len(list_filter(embedding, x -> x IS NULL)) = 0
          AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)), 0) > 0
      ),

@@ -149,7 +149,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_cosine_dedup",
     oracle="""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-           WHERE vec_id < 300 AND embedding IS NOT NULL
+           WHERE vec_id IS NOT NULL AND vec_id < 300 AND embedding IS NOT NULL
              AND len(list_filter(embedding, x -> x IS NULL)) = 0
              AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)), 0) > 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -271,7 +271,7 @@ WITH ok AS (
        -- guard on the SLICED vector: searchability is decided in the
        -- truncated space the query actually searches
        SELECT vec_id, (embedding::DOUBLE[])[1:16] AS e FROM embeddings
-       WHERE embedding IS NOT NULL
+       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
          AND len(list_filter((embedding::DOUBLE[])[1:16], x -> x IS NULL)) = 0
          AND COALESCE(list_sum(list_transform((embedding::DOUBLE[])[1:16],
                                                x -> x*x)), 0) > 0

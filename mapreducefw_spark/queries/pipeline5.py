@@ -48,6 +48,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id IS NOT NULL
 ),
 s AS (
   -- list_max SKIPS NULL elements, so the > 0 test alone would keep a

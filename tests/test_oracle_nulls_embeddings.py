@@ -17,6 +17,7 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from mapreducefw_spark.queries import ORACLES, QUERIES, load_all
 
@@ -107,3 +108,33 @@ def test_edge_embeddings_match_oracle(spark, edge_dir, name):
     dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=_key)
     diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not diffs, diffs[:3]
+
+
+def test_ann_rows_only_paths_survive_edge_vectors(spark, edge_dir):
+    """The rows-only ANN operators (no oracle, so the differential can't
+    cover them) must not crash on NULL / NULL-element / zero vectors —
+    the searchable-vector guard excludes them at every entry point. Also
+    pins that searchable ids never include the degenerate rows."""
+    from mapreducefw_spark.operators import similarity as S
+    from mapreducefw_spark.queries._util import t
+
+    emb = S.as_double_vecs(t(spark, edge_dir, "embeddings"))
+    bad_ids = {3, 4, 5}  # NULL vec, zero vec, NULL-element vec
+
+    ivf = S.ivf_topk(emb, emb.filter(F.col("vid") < 2), k=3, n_cells=2, nprobe=2)
+    assert not ({r.nid for r in ivf.collect()} & bad_ids)
+
+    lsh = S.random_hyperplane_topk(
+        emb, emb.filter(F.col("vid") < 2), k=3, dim=DIM, n_planes=4
+    )
+    assert not ({r.nid for r in lsh.collect()} & bad_ids)
+
+    sd = S.semantic_dedup(emb, n_cells=2, threshold=0.4, kmeans_iters=0)
+    assert not ({r.vid for r in sd.collect()} & bad_ids)
+
+    nrm = S.l2_normalize(emb)
+    rows = nrm.collect()
+    assert not ({r.vid for r in rows} & bad_ids)
+    for r in rows:
+        s = sum(x * x for x in r.vec)
+        assert abs(s - 1.0) < 1e-9
