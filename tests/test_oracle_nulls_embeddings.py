@@ -11,8 +11,6 @@ slice (first 16 dims) spans the whole vector.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -72,42 +70,15 @@ def edge_dir(tmp_path_factory):
     return str(d)
 
 
-def _norm(v):
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
-
-
-def _key(row):
-    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
-
-
 @pytest.mark.parametrize("name", EDGE_QUERIES)
 def test_edge_embeddings_match_oracle(spark, edge_dir, name):
-    sdf = QUERIES[name](spark, edge_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    from tests._edge_compare import assert_query_matches_oracle
 
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{edge_dir}/embeddings.parquet'"
     )
-    res = con.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-
-    assert sorted(scols) == sorted(dcols)
-    assert len(srows) == len(drows), (len(srows), len(drows))
-    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    sn = sorted((tuple(_norm(r[i]) for i in order_s) for r in srows), key=_key)
-    dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=_key)
-    diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
-    assert not diffs, diffs[:3]
+    assert_query_matches_oracle(QUERIES[name](spark, edge_dir), con, ORACLES[name])
 
 
 def test_ann_rows_only_paths_survive_edge_vectors(spark, edge_dir):
