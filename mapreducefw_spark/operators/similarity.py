@@ -61,10 +61,13 @@ def l2_normalize(df: DataFrame, vec_col: str = "vec") -> DataFrame:
     while tmp in df.columns:
         tmp += "_"
     # unsearchable vectors (zero norm / NULL elements) are dropped: unit
-    # direction is undefined for them and x / 0 errors under ANSI
-    df = filter_searchable(df, vec_col)
+    # direction is undefined for them and x / 0 errors under ANSI. The
+    # guard filters on the ALREADY-STAGED norm scalar — filtering via
+    # filter_searchable first would re-evaluate the O(dim) fold in the
+    # Filter operator (subexpression elimination doesn't span Filter and
+    # Project), doubling the dominant per-row cost.
     normed = F.transform(vec_col, lambda x: x / F.col(tmp)).alias(vec_col)
-    return df.withColumn(tmp, _norm(F.col(vec_col))).select(
+    return df.withColumn(tmp, _norm(F.col(vec_col))).filter(F.col(tmp) > 0).select(
         *[normed if c == vec_col else F.col(c) for c in df.columns]
     )
 
@@ -482,6 +485,7 @@ def pq_train(
     """
     import numpy as np
 
+    corpus = filter_searchable(corpus)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d0 = dim // m
@@ -530,6 +534,7 @@ def pq_encode(corpus: DataFrame, books) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    corpus = filter_searchable(corpus)
     m, k, d0 = books.shape
     bmat = np.asarray(books, dtype=np.float64)
     sq = (bmat**2).sum(axis=2)  # (m, k)
@@ -563,6 +568,7 @@ def pq_topk(
     fancy-indexing per batch). Per-query top-k is the same bounded window
     as the other ANN forms. Output: ``qid, nid, sim, rk`` with sim the ADC
     inner-product estimate rounded to 6 places."""
+    queries = filter_searchable(queries)
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -650,6 +656,8 @@ def ivf_pq_topk(
     handles growing cell counts. Output: ``qid, nid, sim, rk`` (exact
     cosine after rerank).
     """
+    corpus = filter_searchable(corpus)
+    queries = filter_searchable(queries)
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 

@@ -165,13 +165,10 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator shape is identical). The oracle is
     the quadratic definition on a 300-vector slice; the scale path for the
     full corpus is LSH-bucketed (embedding_lsh_dedup below)."""
-    # searchable-vector guard (norm > 0 excludes NULL / NULL-element /
-    # zero vectors) — without it the cosine in the threshold filter hits
-    # an ANSI divide-by-zero on a zero vector
-    emb = (
-        similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-        .filter(F.col("vid") < 300)
-        .filter(similarity._norm(F.col("vec")) > 0)
+    emb = similarity.filter_searchable(
+        similarity.as_double_vecs(t(spark, sf_dir, "embeddings")).filter(
+            F.col("vid") < 300
+        )
     )
     a = emb.select(F.col("vid").alias("id_a"), F.col("vec").alias("ea"))
     b = emb.select(F.col("vid").alias("id_b"), F.col("vec").alias("eb"))

@@ -18,8 +18,16 @@ def norm_value(v):
     return v
 
 
+def _total_order(v):
+    # recursive: arrays normalize to tuples that may CONTAIN None — a
+    # top-level-only guard would crash sorted() on ('a', (1.0, None))
+    if isinstance(v, tuple):
+        return (False, "tuple", tuple(_total_order(x) for x in v))
+    return (v is None, str(type(v)), 0 if v is None else v)
+
+
 def row_key(row):
-    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+    return tuple(_total_order(v) for v in row)
 
 
 def assert_query_matches_oracle(sdf, con, oracle_sql: str) -> None:

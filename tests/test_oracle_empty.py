@@ -11,8 +11,6 @@ sets, rank frames with N=0, broadcast bounds of NULL).
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -82,25 +80,9 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
     return str(d)
 
 
-def _norm(v):
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
-
-
-def _key(row):
-    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
-
-
 @pytest.mark.parametrize("name", EMPTY_QUERIES)
 def test_empty_tables_match_oracle(spark, empty_dir, name):
-    sdf = QUERIES[name](spark, empty_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    from tests._edge_compare import assert_query_matches_oracle
 
     con = duckdb.connect()
     for tn in TABLES:
@@ -109,17 +91,7 @@ def test_empty_tables_match_oracle(spark, empty_dir, name):
             f"CREATE VIEW {tn} AS SELECT * "
             f"FROM read_parquet('{empty_dir}/{tn}.parquet/*.parquet')"
         )
-    res = con.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-
-    assert sorted(scols) == sorted(dcols)
-    assert len(srows) == len(drows), (len(srows), len(drows))
-    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    sn = sorted((tuple(_norm(r[i]) for i in order_s) for r in srows), key=_key)
-    dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=_key)
-    assert sn == dn, [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+    assert_query_matches_oracle(QUERIES[name](spark, empty_dir), con, ORACLES[name])
 
 
 def test_known_divergence_grouping_sets_on_empty_input(spark, empty_dir):
@@ -161,9 +133,7 @@ def tiny_dir(spark, sf_dir, tmp_path_factory):
 
 @pytest.mark.parametrize("name", EMPTY_QUERIES)
 def test_single_row_tables_match_oracle(spark, tiny_dir, name):
-    sdf = QUERIES[name](spark, tiny_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    from tests._edge_compare import assert_query_matches_oracle
 
     con = duckdb.connect()
     for tn in TABLES:
@@ -171,14 +141,4 @@ def test_single_row_tables_match_oracle(spark, tiny_dir, name):
             f"CREATE VIEW {tn} AS SELECT * "
             f"FROM read_parquet('{tiny_dir}/{tn}.parquet/*.parquet')"
         )
-    res = con.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-
-    assert sorted(scols) == sorted(dcols)
-    assert len(srows) == len(drows), (len(srows), len(drows))
-    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    sn = sorted((tuple(_norm(r[i]) for i in order_s) for r in srows), key=_key)
-    dn = sorted((tuple(_norm(r[i]) for i in order_d) for r in drows), key=_key)
-    assert sn == dn, [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+    assert_query_matches_oracle(QUERIES[name](spark, tiny_dir), con, ORACLES[name])
