@@ -662,3 +662,71 @@ def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "item")
         .limit(5)
     )
+
+
+MIX_ALPHA = 0.7  # mT5/PaLM temperature: p_i^alpha re-normalized
+MIX_BUDGET = 1_000_000
+
+
+@register(
+    "temperature_mix_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS t FROM s),
+w AS (
+  SELECT source, n_tokens,
+         power(n_tokens / tot.t, {MIX_ALPHA}) AS raw_w
+  FROM s CROSS JOIN tot
+),
+z AS (SELECT SUM(raw_w) AS z FROM w)
+SELECT w.source, w.n_tokens,
+       ROUND(w.raw_w / z.z, 6) AS mix_weight,
+       CAST(floor(w.raw_w / z.z * {MIX_BUDGET}) AS BIGINT) AS alloc_tokens
+FROM w CROSS JOIN z
+ORDER BY source
+""",
+)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5 / PaLM sampling formula):
+    sampling weight proportional to p_i^alpha with alpha < 1 UP-weights
+    small sources so a dominant crawl can't drown the rest — THE standard
+    multi-source mixing rule next to the hard token caps of
+    token_budget_waterfill. Reports each source's token count, its
+    normalized temperature weight, and its floor-allocated share of a
+    fixed token budget.
+
+    Shape: one map-side-combinable (source, token-count) aggregate over
+    the corpus, then O(sources) arithmetic against two 1-row broadcast
+    totals. Determinism: both engines evaluate the same IEEE pow/divide
+    on identical inputs; weights are rounded at 1e-6 (pow low-bit drift
+    is ~1e-16 relative) and allocations use floor on the unrounded
+    weight identically."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = s.agg(F.sum("n_tokens").alias("t"))
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("t"), F.lit(MIX_ALPHA)).alias("raw_w"),
+    )
+    z = w.agg(F.sum("raw_w").alias("z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("raw_w") / F.col("z"), 6).alias("mix_weight"),
+            F.floor(F.col("raw_w") / F.col("z") * MIX_BUDGET)
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

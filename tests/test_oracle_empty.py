@@ -68,6 +68,7 @@ EMPTY_QUERIES = [
     "group_aware_split",
     "collation_token_counts",
     "approx_topk_event_types",
+    "temperature_mix_allocation",
 ]
 
 

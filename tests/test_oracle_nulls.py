@@ -45,6 +45,7 @@ EDGE_QUERIES = [
     # docs produce empty gram arrays -> zero-gram rows with frac 0)
     "ngram_overlap_decontam",
     "collation_token_counts",
+    "temperature_mix_allocation",
     # round-6 sweep: every remaining documents-reading oracle query
     "benchmark_contamination",
     "bigram_top_terms",
