@@ -60,7 +60,8 @@ def register(name: str, oracle: str | None = None):
 # records + accuracy pins stand.
 # Round-7 rotation queue (stalest after this round): the round-6
 # registrations that missed the window (view_click_attribution_full,
-# group_aware_split, collation_token_counts, approx_topk_event_types —
+# group_aware_split, collation_token_counts, approx_topk_event_types,
+# temperature_mix_allocation —
 # all oracle-green locally at sf0.001/0.01 + edge suites;
 # bpe_fertility_by_source is rows-only by design and stays out), the
 # displaced scalar batch + window_nth_last_value, then the remaining 21
