@@ -1,8 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with total + per-query
-wall seconds. Results materialize via the noop sink so timings measure the
-full distributed plan without driver-collect overhead (large outputs) while
-small aggregates still pay their real cost.
+on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with the totals. Results
+materialize via the noop sink so timings measure the full distributed plan
+without driver-collect overhead (large outputs) while small aggregates still
+pay their real cost.
+
+The driver captures only the LAST 2000 chars of stdout (BENCH_r06.json's
+"parsed": null — the one-line JSON outgrew the window and its head, with
+"value", was truncated away). So the full result (per-query map included)
+goes to BENCH_FULL.json + stderr, and the stdout line self-limits to 1800
+chars, eliding the per-query map when the suite is too large to fit.
 """
 
 from __future__ import annotations
@@ -123,8 +129,18 @@ def main() -> None:
     for name in HEADLINE:
         try:
             n = _unpartitioned_windows(QUERIES[name](spark, sf_dir))
-        except Exception as e:  # attribution must never fail the bench
+        except Exception as e:  # attribution must never fail the bench...
+            # ...but a scan failure silently skips this query's window check,
+            # so it must be LOUD (round-6 verdict nit): REGRESSION-style line
+            # + a marked entry in the attribution map.
             n = f"scan-err: {e.__class__.__name__}"
+            print(
+                f"REGRESSION-RISK plan-scan failed for {name}: "
+                f"{e.__class__.__name__}: {e} — unpartitioned-window "
+                f"attribution SKIPPED for this query",
+                file=sys.stderr,
+                flush=True,
+            )
         if n:
             frames[name] = n
     _mark(f"unpartitioned-window frames by query (allowlisted in CI): {frames}")
@@ -158,14 +174,34 @@ def main() -> None:
     }
 
     # regression gate: diff against the newest BENCH_r{N}.json the driver
-    # recorded; flag any query >1.3x slower than the previous round
+    # recorded; flag any query >1.3x slower than the previous round.
+    # BENCH_r06 taught us the driver's tail capture is 2000 chars: the r6
+    # one-line JSON outgrew it, so "parsed" landed null and the per-query
+    # map survived only in raw tail text. Two defenses now: (a) the prev
+    # loader falls back to BENCH_FULL.json — the full result this script
+    # writes every run (the driver's end-of-round commit picks it up) —
+    # whenever parsed is null or lacks a query map; (b) the stdout line is
+    # kept short (see below).
     prior_files = sorted(
         REPO.glob("BENCH_r*.json"),
         key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
     )
+    prev, prev_src = None, None
     if prior_files:
-        prev = json.loads(prior_files[-1].read_text())
-        prev = prev.get("parsed", prev)  # driver wraps our JSON line under "parsed"
+        rec = json.loads(prior_files[-1].read_text())
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            prev, prev_src = parsed, prior_files[-1].name
+    full_path = REPO / "BENCH_FULL.json"
+    if prev is None and full_path.exists():
+        try:
+            cand = json.loads(full_path.read_text())
+        except Exception:
+            cand = None
+        # only comparable if it measured the same sf as this run
+        if isinstance(cand, dict) and cand.get("queries") and cand.get("sf") == sf:
+            prev, prev_src = cand, "BENCH_FULL.json"
+    if prev is not None:
         prev_q = prev.get("queries", {})
         regressions = {
             n: {"prev": prev_q[n], "now": now, "ratio": round(now / prev_q[n], 2)}
@@ -177,7 +213,7 @@ def main() -> None:
         # "slower" when the only change is more queries measured
         common = [n for n in per_query if n in prev_q]
         result["vs_prev"] = {
-            "file": prior_files[-1].name,
+            "file": prev_src,
             "total_prev": prev.get("value"),
             "total_ratio": round(total / prev["value"], 3) if prev.get("value") else None,
             "comparable_total": round(sum(per_query[n] for n in common), 3),
@@ -188,9 +224,39 @@ def main() -> None:
             "regressions": regressions,
         }
         if regressions:
-            print(f"REGRESSIONS vs {prior_files[-1].name}: {regressions}", file=sys.stderr)
+            print(f"REGRESSIONS vs {prev_src}: {regressions}", file=sys.stderr)
 
-    print(json.dumps(result))
+    # Full result: to a committed file + stderr (both escape the 2000-char
+    # stdout tail window). The driver's record only needs the short line.
+    full_path.write_text(json.dumps(result, indent=1) + "\n")
+    _mark(f"full result: {json.dumps(result)}")
+
+    # The final stdout line must survive a 2000-char tail capture. Emit the
+    # full line when it fits with margin; otherwise elide the per-query map
+    # (it lives in BENCH_FULL.json / stderr) and compress the regression
+    # block to name->ratio.
+    line = json.dumps(result)
+    if len(line) > 1800:
+        short = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "sf": result["sf"],
+            "cpus": result["cpus"],
+            "n_queries": len(per_query),
+            "queries_file": "BENCH_FULL.json",
+        }
+        if "vs_prev" in result:
+            vp = result["vs_prev"]
+            short["vs_prev"] = {
+                "file": vp["file"],
+                "comparable_ratio": vp["comparable_ratio"],
+                "regressions": {
+                    n: r["ratio"] for n, r in vp["regressions"].items()
+                },
+            }
+        line = json.dumps(short, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

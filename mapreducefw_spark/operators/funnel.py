@@ -38,6 +38,8 @@ def funnel_stage_per_user(
     exact same semantics — equality pinned in tests/test_scale_features.py)
     or the O(1)-state streaming twin
     streaming/stateful.py::funnel_stage_stream."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
     ev = events.filter(F.col(type_col).isin(*steps))
     seq = F.array_sort(F.collect_list(F.struct(F.col(ts_col), F.col(type_col))))
     per_user = ev.groupBy(user_col).agg(seq.alias("seq"))
@@ -89,7 +91,13 @@ def funnel_stage_per_user_staged(
     Joins are NULL-SAFE on the user key: the fold form's groupBy treats a
     NULL user as an ordinary group, so the staged joins must too (a plain
     equi-join would silently cap every NULL-user row at stage 1).
+
+    steps=[] raises in both variants (ADVICE r6: F.greatest(single-arg)
+    crashed here while the fold form degraded to stage 0 — the guard keeps
+    the two forms behavior-identical).
     """
+    if not steps:
+        raise ValueError("steps must be non-empty")
     ev = events.filter(F.col(type_col).isin(*steps)).select(
         F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"), F.col(type_col).alias("_ty")
     )

@@ -58,33 +58,36 @@ def register(name: str, oracle: str | None = None):
 # embedding_pq_topk, embedding_ivf_pq_topk, hll_mergeable_distinct,
 # bpe_learned_merges) stay out per the no-oracle rule — their r2 rows-only
 # records + accuracy pins stand.
-# Round-7 rotation queue (stalest after this round): the round-6
-# registrations that missed the window (view_click_attribution_full,
-# group_aware_split, collation_token_counts, approx_topk_event_types,
-# temperature_mix_allocation —
-# all oracle-green locally at sf0.001/0.01 + edge suites;
-# bpe_fertility_by_source is rows-only by design and stays out), the
-# displaced scalar batch + window_nth_last_value, then the remaining 21
-# r2-stale (dedup family: dedup_exact_keyed, dedup_connected_groups,
-# dedup_groups_small, simhash_near_pairs, doc_fingerprint,
-# embedding_ivf_topk, embedding_lsh_topk, embedding_cosine_dedup,
-# embedding_lsh_dedup, embedding_label_norms, lang_id_heuristic,
-# rolling_fingerprint, multimodal_pipeline, text_token_stats,
-# text_quality_scores, topk_parts_per_brand, window_global_rank,
-# explode_posexplode_tokens, catalog_input_file_name, tablesample_seeded,
-# python_udtf_bigrams), then the r3-vintage batch, then new registrations.
+# Round-7 window (this round), per the r6 verdict's order #3:
+#   (a) the 5 round-6 registrations that missed the r6 window
+#       (view_click_attribution_full, group_aware_split,
+#       collation_token_counts, approx_topk_event_types,
+#       temperature_mix_allocation) — all ◆judge-verified green in the r6
+#       session; the binding driver record is what's missing
+#       (bpe_fertility_by_source is rows-only by design and stays out);
+#   (b) the permanent canary core (every round);
+#   (c) the displaced scalar batch + window_nth_last_value;
+#   (d) the 12 ORACLE-PAIRED r2-stale (the queue's other 9 r2-stale —
+#       dedup_connected_groups, simhash_near_pairs, embedding_ivf_topk,
+#       embedding_lsh_topk, embedding_lsh_dedup, lang_id_heuristic,
+#       rolling_fingerprint, multimodal_pipeline, tablesample_seeded —
+#       are rows-only and stay out per the no-oracle rule; their r2
+#       rows-only records + accuracy pins stand);
+#   (e) the queries whose oracle/semantics changed this round (ADVICE r6
+#       quoted-integer JSON fix: json_extract_events + events_props_variant;
+#       to_json_roundtrip also changed and already sits in (c));
+#   (f) new round-7 registrations;
+#   (g) r3-vintage re-verifies spread across categories, filling the
+#       remaining slots.
+# After round 7 the stalest pool is the remaining ~32 r3-vintage rows —
+# they head the round-8 queue, then the r4 pool.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- (a) oracle-paired, never driver-checked
-    "deterministic_sample_pct",
-    "reservoir_sample_sources",
-    "token_divergence_by_source",
-    "session_paths_top",
-    "yoy_revenue_growth",
-    "copurchase_triangles",
-    "pareto_orders_skyline",
-    "rolling_weekly_active_users",
-    "ohlc_hourly_bars",
-    "embedding_dim_stats",
+    # -- (a) oracle-paired, never driver-checked (round-6 registrations)
+    "view_click_attribution_full",
+    "group_aware_split",
+    "collation_token_counts",
+    "approx_topk_event_types",
+    "temperature_mix_allocation",
     # -- (b) permanent canary core
     "mr_search",
     "mr_wordcount",
@@ -96,40 +99,39 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "join_anti_orderless_customers",
     "grouping_sets_explicit",
     "sort_multikey_nulls",
-    # -- (c) r1-stale re-verifies (all 15)
-    "projection_rekey",
-    "distinct_segments",
-    "union_all_segments",
-    "intersect_nations",
-    "topk_orders_global",
-    "math_conditional",
-    "higher_order_token_fns",
-    "range_generator_source",
-    "join_right_outer_parts",
-    "intersect_all_quantities",
-    "map_column_functions",
-    "from_json_struct",
-    "pandas_scalar_udf_margin",
-    "salted_skew_aggregate",
-    "scd2_merge_emulation",
-    # -- (d) changed this round, fresh binding row wanted
-    "winsorized_price_stats",
-    "edit_distance_pairs_symspell",
-    # -- (e) new round-6 registrations
-    "funnel_staged_minjoin",
-    "recursive_cte_reachability",
-    "debounce_consecutive_events",
-    "attribution_time_decay",
-    "asof_tolerance_join",
-    "ngram_overlap_decontam",
-    # -- (f) r2-stale re-verifies (verdict-named first)
-    "median_exact_prices",
-    "dedup_exact",
-    "window_rank_customers",
-    "window_lag_lead_orders",
-    "window_frames_running",
-    "window_range_frame",
-    "window_distribution_fns",
+    # -- (c) displaced-from-r6 scalar batch + window_nth_last_value
+    "conditional_aggregates",
+    "string_functions_2",
+    "null_combinators",
+    "map_higher_order",
+    "to_json_roundtrip",
+    "window_nth_last_value",
+    # -- (d) r2-stale oracle-paired re-verifies (all 12)
+    "topk_parts_per_brand",
+    "window_global_rank",
+    "dedup_exact_keyed",
+    "doc_fingerprint",
+    "text_token_stats",
+    "text_quality_scores",
+    "embedding_label_norms",
+    "dedup_groups_small",
+    "embedding_cosine_dedup",
+    "explode_posexplode_tokens",
+    "catalog_input_file_name",
+    "python_udtf_bigrams",
+    # -- (e) oracle changed this round (quoted-k JSON contract)
+    "json_extract_events",
+    "events_props_variant",
+    # -- (f) new round-7 registrations (appended as they land)
+    # -- (g) r3-vintage re-verifies, category spread
+    "string_functions",
+    "date_functions",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "subquery_correlated_max",
+    "pivot_flag_status",
+    "array_agg_order_parts",
+    "stats_corr_qty_price",
 )
 
 

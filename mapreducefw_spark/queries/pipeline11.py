@@ -30,15 +30,18 @@ DS_PARTS = 8
 
 @register(
     "events_props_variant",
-    oracle="""
+    oracle=r"""
 WITH k AS (
   SELECT event_type,
          -- regexp_full_match guard: DuckDB's string->int cast ROUNDS
          -- '1.5' to 2, Spark's strict parse NULLs it; only integral
          -- strings may cast
+         -- TRIM: Spark's try_cast(string->long) trims, so a quoted
+         -- padded '{"k": " 7"}' is 7 on the variant path; DuckDB's CAST
+         -- trims too, only the full-match guard needed the TRIM
          CASE WHEN json_valid(props)
                AND regexp_full_match(
-                     COALESCE(json_extract_string(props, '$.k'), ''), '-?\d+')
+                     TRIM(COALESCE(json_extract_string(props, '$.k'), '')), '-?\d+')
               THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events
 )

@@ -682,8 +682,8 @@ def math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)\\s*[,}]', 1) AS INT)) AS BIGINT) AS sum_k,
-       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)\\s*[,}]', 1) AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?"? ?(-?\\d+) ?"?\\s*[,}]', 1) AS INT)) AS BIGINT) AS sum_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?"? ?(-?\\d+) ?"?\\s*[,}]', 1) AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -693,7 +693,11 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction (events.props); aggregation over the
     parsed value. try_cast + the oracle's anchored regexp: a non-integral
     k ('{"k": 1.5}') is NULL on both sides — a bare cast crashes under
-    ANSI and a bare \d+ regexp would match the integer prefix."""
+    ANSI and a bare \\d+ regexp would match the integer prefix. A QUOTED
+    integral ('{"k": "7"}', '{"k": " 7"}') is 7 on both sides: Spark's
+    get_json_object unquotes and try_cast trims, so the oracle regexp
+    accepts optional quotes/inner padding (ADVICE r6; fixture-pinned in
+    tests/test_oracle_nulls_events.py)."""
     ev = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").try_cast("int")
     return (

@@ -109,7 +109,10 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must become NULL like from_json does, not a conversion error; the
     regexp anchors on a following , or } so the integer PREFIX of a
     non-integral number (1.5) is NOT matched — from_json('k int') yields
-    NULL there."""
+    NULL there. Unlike the get_json_object paths (json_extract_events,
+    to_json_roundtrip), from_json's typed parse REJECTS a quoted integral
+    ('{"k": "7"}' -> NULL), so this oracle's regexp deliberately stays
+    unquoted-only (fixture-pinned in tests/test_oracle_nulls_events.py)."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     parsed = ev.select("event_id", F.from_json("props", "k int").alias("p"))
     return parsed.select(

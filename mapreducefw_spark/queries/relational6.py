@@ -127,9 +127,9 @@ WITH x AS (
   SELECT event_id,
          -- escape like Spark's to_json does (backslash first, then quote)
          replace(replace(event_type, '\\', '\\\\'), '"', '\\"') AS event_type,
-         -- integer must be FOLLOWED by , or } (a bare \d+ would match the
+         -- integer must be FOLLOWED by , or } (a bare \\d+ would match the
          -- integer PREFIX of 1.5 where from_json/strict-int yields NULL)
-         TRY_CAST(regexp_extract(props, '"k": ?(-?\\d+)\\s*[,}]', 1) AS INT) AS k
+         TRY_CAST(regexp_extract(props, '"k": ?"? ?(-?\\d+) ?"?\\s*[,}]', 1) AS INT) AS k
   FROM events WHERE event_id < 300
 )
 SELECT event_id,
@@ -148,7 +148,10 @@ def to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical JSON text directly — including Spark's to_json contract of
     OMITTING null struct fields ('{}' when every field is null), which the
     oracle's CASE ladder mirrors; TRY_CAST turns keyless/malformed props
-    into NULL k like get_json_object does."""
+    into NULL k like get_json_object does. The regexp accepts an
+    optionally-QUOTED integral ('{"k": "7"}' -> 7) because
+    get_json_object unquotes + try_cast trims (ADVICE r6, same fix as
+    json_extract_events)."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
     packed = F.to_json(
         F.struct(

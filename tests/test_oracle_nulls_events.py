@@ -97,7 +97,15 @@ ROWS = [
     # round-6 review: non-integral k (strict-int parse must NULL, not
     # prefix-match '1'), and a quote+backslash event_type (to_json escapes)
     (18, _ts("2024-03-01 06:30:00"), 5, "view", 18.0, '{"k": 1.5}'),
-    (19, _ts("2024-03-01 07:00:00"), 5, 'say "hi" \ bye', 19.0, '{"k": 7}'),
+    (19, _ts("2024-03-01 07:00:00"), 5, 'say "hi" \\ bye', 19.0, '{"k": 7}'),
+    # round-7 (ADVICE r6): QUOTED integrals. get_json_object+try_cast and
+    # the variant string route read "7"/" 7" as 7; from_json('k int')'s
+    # typed parse NULLs them; quoted "1.5" is NULL everywhere. Each oracle
+    # now states which contract it mirrors — these rows make the gap
+    # non-latent.
+    (20, _ts("2024-03-01 07:30:00"), 5, "view", 20.0, '{"k": "7"}'),
+    (21, _ts("2024-03-01 08:00:00"), 5, "view", 21.0, '{"k": " 7", "page": "q"}'),
+    (22, _ts("2024-03-01 08:30:00"), 5, "view", 22.0, '{"k": "1.5"}'),
 ]
 
 

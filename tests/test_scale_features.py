@@ -354,6 +354,24 @@ def test_funnel_staged_equals_fold_on_fixture(spark, sf_dir):
     assert fold == staged and len(fold) > 0
 
 
+def test_funnel_empty_steps_raises_in_both_variants(spark, sf_dir):
+    """ADVICE r6: steps=[] used to crash the staged form (F.greatest with a
+    single arg) while the fold form silently returned stage 0 — the two
+    variants must stay behavior-identical, so both now raise."""
+    import pytest as _pytest
+
+    from mapreducefw_spark.operators.funnel import (
+        funnel_stage_per_user,
+        funnel_stage_per_user_staged,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    with _pytest.raises(ValueError, match="non-empty"):
+        funnel_stage_per_user(ev, [])
+    with _pytest.raises(ValueError, match="non-empty"):
+        funnel_stage_per_user_staged(ev, [])
+
+
 def test_funnel_hot_user_and_adversarial_order(spark):
     """Hot-user case (one user with thousands of qualifying events) plus the
     adversarial orderings that break naive first-N-per-type capping: a
