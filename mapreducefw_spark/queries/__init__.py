@@ -122,7 +122,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- (e) oracle changed this round (quoted-k JSON contract)
     "json_extract_events",
     "events_props_variant",
-    # -- (f) new round-7 registrations (appended as they land)
+    # -- (f) new round-7 registrations
+    "gopher_quality_rules",
+    "zipf_alpha_by_source",
+    "nucleus_topp_sources",
+    "bitmap_exact_distinct",
+    "union_by_name_evolution",
+    "event_pair_pmi",
+    "inverted_index_postings",
     # -- (g) r3-vintage re-verifies, category spread
     "string_functions",
     "date_functions",
@@ -168,6 +175,7 @@ def load_all() -> None:
         pipeline13,
         pipeline14,
         pipeline15,
+        pipeline16,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -75,6 +75,13 @@ EDGE_QUERIES = [
     "tfidf_top_terms",
     "training_prep_pipeline",
     "training_shard_stats",
+    # round 7 (NULL/empty texts: zero-word docs must fail the Gopher gate
+    # with NULL ratios, not crash; NULL source is its own Zipf/nucleus
+    # group; the postings index drops NULL texts on both sides)
+    "gopher_quality_rules",
+    "zipf_alpha_by_source",
+    "nucleus_topp_sources",
+    "inverted_index_postings",
 ]
 
 ROWS = [

@@ -64,6 +64,11 @@ EDGE_QUERIES = [
     "skew_join_events_orders",
     "from_json_struct",
     "to_json_roundtrip",
+    # round 7 (NULL user_id must fall out of the bitmap exactly as
+    # COUNT(DISTINCT) drops it; NULL event_type is its own bitmap group
+    # but is excluded from PMI presence sets on both sides)
+    "bitmap_exact_distinct",
+    "event_pair_pmi",
 ]
 
 

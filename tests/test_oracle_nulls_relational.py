@@ -38,6 +38,9 @@ EDGE_QUERIES = [
     "yoy_revenue_growth",
     # round 6: recursive BFS over the same NULL/dup-tolerant edge build
     "recursive_cte_reachability",
+    # round 7: NULL totalprice/date pass through both union sides; the
+    # NAME-resolved fill column stays NULL-distinguishable from them
+    "union_by_name_evolution",
 ]
 
 PART_ROWS = [
