@@ -79,6 +79,13 @@ HEADLINE = [
     "ngram_overlap_decontam",
     "recursive_cte_reachability",
     "group_aware_split",
+    # round 7: quality gate (scan-only HOFs), Zipf fit, exact-distinct
+    # bitmaps, PMI self-join, postings-list build
+    "gopher_quality_rules",
+    "zipf_alpha_by_source",
+    "bitmap_exact_distinct",
+    "event_pair_pmi",
+    "inverted_index_postings",
 ]
 
 

@@ -35,6 +35,47 @@ def multiplied(df, key_cols: list[str], k: int):
 
 
 BENCH_NOTES = """
+## Round 7 notes: binding idle re-measure of the six r6 flags
+
+**All six r6-flagged regressions (q1 1.62x, q3 1.93x, q5 1.50x,
+join_left_outer 1.59x, topk_parts 1.43x, events_tumbling 1.34x) re-measured
+in band — host drift confirmed, zero plan regressions.** Protocol per the
+round-5/6 notes (verdict order #2): isolated min-of-5 at driver settings
+(sf0.1, local[32]), full untimed warm-up sweep, clearCache between reps,
+with three untouched scan-shaped calibration queries in the SAME session.
+
+| query | r5 driver | r6 driver | r7 re-measure | vs r5 raw | vs r5 calibrated |
+|---|---|---|---|---|---|
+| q1_pricing_summary | 0.798 | 1.296 | 1.148 | 1.44x | **1.05x** |
+| q3_top_revenue_orders | 0.575 | 1.111 | 0.855 | 1.49x | **1.08x** |
+| q5_region_revenue | 0.868 | 1.304 | 1.297 | 1.49x | **1.09x** |
+| join_left_outer_order_counts | 0.547 | 0.870 | 0.718 | 1.31x | **0.96x** |
+| topk_parts_per_brand | 0.231 | 0.330 | 0.331 | 1.43x | **1.04x** |
+| events_tumbling_1h | 0.330 | 0.442 | 0.474 | 1.44x | **1.05x** |
+
+Calibration: filter_predicates 0.464 vs r5 0.374 (1.24x), text_token_stats
+0.387 vs 0.254 (1.52x), json_extract_events 0.512 vs 0.379 (1.35x) — none
+of the three changed plan or code since r4, so the session-wide **1.372x**
+mean is the host's current speed, the same drift magnitude the r6 bench
+ran under. Divided out, every flagged query sits at 0.96-1.09x of its r5
+record — within the <=1.15x done-criterion, no plan diff to root-cause.
+The q3 case that sat "one hiccup from the 2x gate": its raw r7 min-of-5 is
+0.855s, BELOW the 1.111s r6 record even on a 1.37x-slow host — the r6
+number was taken in a worse window, not from a worse plan. Plan invariants
+for all six remain CI-pinned (tests/test_plan_invariants.py) and PLANS.md
+shapes are unchanged; the binding record for round-over-round totals stays
+the driver's BENCH_r{N}.json.
+
+**Deployment-shaped decontamination probe (verdict order #5):** the new
+`ngram_decontam_fixed_bench` row holds the eval-suite gram set FIXED
+(salt-'0' base slice, explicitly broadcast) while the corpus grows k-fold
+— the real deployment contract. Measured: 16x corpus -> **1.3x** time
+(0.33s -> 0.43s), i.e. near-flat at these sfs because the plan is scan +
+broadcast semi-join + partial agg with zero corpus shuffles; the cost that
+remains is the corpus scan itself, which is the linear floor any 100 TB
+decontamination pass must pay. The old 14-15x row (both sides growing) was
+the benchmark artifact its caveat claimed; the caveat is now a number.
+
 ## Round 6 notes: r5 drift confirms + new probe rows
 
 - **The three r5 mild drifts (doc_chunking 1.26x, salted_skew_aggregate
@@ -827,6 +868,42 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n_hit")),
         )
 
+        # round 7 (verdict order #5): the DEPLOYMENT-shaped decontamination
+        # probe. Real eval suites are fixed-size — only the corpus grows.
+        # Bench side: the every-97th slice of the BASE corpus, salt '0'
+        # (constant hash set across k, ~bench-suite sized). Corpus side:
+        # the full k-fold corpus with per-copy salts, so exactly the
+        # constant-size salt-'0' copy can overlap — fixed contamination
+        # pool, k-fold probe side. The bench set is explicitly broadcast
+        # (it is model-sized by contract), so the plan is scan + broadcast
+        # hash join + partial agg: zero corpus shuffles, the true 100 TB
+        # shape of the operator.
+        bench7 = (
+            docs0.filter(F.col("doc_id") % 97 == 0)
+            .select(
+                "doc_id",
+                F.when(
+                    F.size(F.split("text", " ")) >= 5,
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(1, size(split(text, ' ')) - 4), "
+                            "i -> cast(conv(substr(md5(concat('0', '|', "
+                            "array_join(slice(split(text, ' '), i, 5), ' '))), 1, 12), 16, 10) as bigint))"
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<bigint>")).alias("gh"),
+            )
+            .select(F.explode("gh").alias("h"))
+            .distinct()
+        )
+        timed(
+            "ngram_decontam_fixed_bench",
+            k,
+            inst6.join(F.broadcast(bench7), "h", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
@@ -867,7 +944,14 @@ def main() -> None:
             "both sides of the gram join grow with k here (the benchmark "
             "slice is a constant corpus fraction) — pessimistic vs "
             "deployment, where the eval suite is fixed-size and only the "
-            "probe side grows; linear, not quadratic"
+            "probe side grows; linear, not quadratic; see "
+            "ngram_decontam_fixed_bench for the deployment shape"
+        ),
+        "ngram_decontam_fixed_bench": (
+            "the DEPLOYMENT shape: fixed-size eval-suite gram set "
+            "broadcast, corpus side grows k-fold — scan + broadcast "
+            "semi-join + partial agg, zero corpus shuffles; this is the "
+            "operator's true 100 TB contract"
         ),
     }
     for name, by_k in shapes.items():
