@@ -80,7 +80,11 @@ def register(name: str, oracle: str | None = None):
 #   (g) r3-vintage re-verifies spread across categories, filling the
 #       remaining slots.
 # After round 7 the stalest pool is the remaining ~32 r3-vintage rows —
-# they head the round-8 queue, then the r4 pool.
+# they head the round-8 queue together with the round-7 batch-2
+# registrations that post-date this window (pipeline17: twap_user_daily,
+# kfold_assignment, fixed_width_histogram, session_conversion_bounce —
+# all oracle-green locally at sf0.001/0.01 + edge suites), then the r4
+# pool.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- (a) oracle-paired, never driver-checked (round-6 registrations)
     "view_click_attribution_full",
@@ -176,6 +180,7 @@ def load_all() -> None:
         pipeline14,
         pipeline15,
         pipeline16,
+        pipeline17,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -1,0 +1,277 @@
+"""Round-7 batch 2: time-weighted averaging over irregular series,
+stratified k-fold assignment, fixed-width histograms, and sessionized
+conversion/bounce classification.
+
+Semantic contract with the reference engine: each is again one
+map -> shuffle-by-key -> reduce -> sort job shape
+(`/root/reference/MapReduceClient.h:47-51`, `MRFCore.cpp:252-446`).
+
+Scale posture:
+- ``twap_user_daily``: one (user, day)-partitioned lead window + one
+  aggregation on the SAME key — the exchange reuses; no unpartitioned
+  frames. Weighted sums are per-group doubles, ROUND(6) absorbs
+  summation-order ulps.
+- ``kfold_assignment``: fold id is pure hash arithmetic off a
+  lang-partitioned row_number — deterministic across engines, runs and
+  partitionings (same contract as group_aware_split); balanced to ±1 per
+  stratum by construction.
+- ``fixed_width_histogram``: global min/max is a 1-row broadcast (never a
+  global window); binning is a map-side expression and the histogram
+  shuffle carries 20 rows.
+- ``session_conversion_bounce``: the sessionization_30m lag chain
+  (microsecond-exact gap compare) extended with a per-session running
+  session id; two same-key windows + one session-level reduce; output is
+  O(classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.queries import register
+from mapreducefw_spark.queries._util import t
+
+
+@register(
+    "twap_user_daily",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+),
+dur AS (
+  SELECT user_id, day, value,
+         COALESCE(
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id, day ORDER BY ts, event_id),
+           epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))
+         ) - epoch_us(ts) AS dur_us
+  FROM ev
+)
+SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       ROUND(SUM(value * dur_us) / SUM(dur_us), 6) AS twap
+FROM dur
+GROUP BY user_id, day
+ORDER BY user_id, day
+""",
+)
+def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) over the irregular event
+    series: each observation holds until the next one (last one until
+    midnight), the TWAP weights by held duration in microseconds — the
+    standard irregular-series aggregate a plain AVG gets wrong. One
+    (user, day) window + one aggregation on the same key. NULL
+    ts/user/value rows are excluded identically on both sides (they have
+    no place on a time axis); ROUND(6) absorbs the engines' differing
+    double-summation order."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = ev.select("user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value")
+    dur = F.coalesce(
+        F.lead(F.unix_micros(F.col("ts"))).over(
+            W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+        ),
+        F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp")),
+    ) - F.unix_micros(F.col("ts"))
+    return (
+        d.select("user_id", "day", "value", dur.alias("dur_us"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_us",
+            "twap",
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "kfold_assignment",
+    oracle="""
+SELECT doc_id, lang,
+       CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS INT) AS fold
+FROM documents
+ORDER BY doc_id
+""",
+)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation assignment: within each lang
+    stratum, docs are ordered by md5(doc_id) (a deterministic shuffle —
+    engine/run-stable, the group_aware_split idiom) and folds deal out
+    round-robin, so every stratum's folds are balanced to ±1 by
+    construction — what a bare hash%5 can NOT guarantee per stratum.
+    NULL lang is its own stratum on both engines. One lang-partitioned
+    window; fold is pure arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return d.select(
+        "doc_id", "lang", ((rn - 1) % 5).cast("int").alias("fold")
+    ).orderBy("doc_id")
+
+
+@register(
+    "fixed_width_histogram",
+    oracle="""
+WITH mm AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+binned AS (
+  SELECT CASE WHEN hi > lo
+              THEN LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)) AS INT), 19)
+              ELSE 0 END AS bin,
+         lo, hi
+  FROM orders, mm WHERE o_totalprice IS NOT NULL
+)
+SELECT bin,
+       lo + bin * ((hi - lo) / 20.0) AS bin_lo,
+       lo + (bin + 1) * ((hi - lo) / 20.0) AS bin_hi,
+       COUNT(*) AS n
+FROM binned
+GROUP BY bin, lo, hi
+ORDER BY bin
+""",
+)
+def fixed_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equal-WIDTH histogram of order totals (the frequency
+    complement of equi_depth_histogram's equal-DEPTH form): global min/max
+    is a 1-row broadcast — never a global window — binning is a map-side
+    expression, and the final shuffle carries 20 rows. Identical double
+    operands on both engines make bin ids and edges bit-equal (x == hi
+    lands on ratio 20.0 and LEAST-clamps to bin 19 identically); the
+    degenerate hi == lo corpus collapses to bin 0 instead of dividing by
+    zero."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    mm = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bin_ = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
+            F.lit(19),
+        ),
+    ).otherwise(0)
+    return (
+        orders.join(F.broadcast(mm))
+        .select(bin_.alias("bin"), "lo", "hi")
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("lo") + F.col("bin") * width).alias("bin_lo"),
+            (F.col("lo") + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "session_conversion_bounce",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN ts - COALESCE(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts - INTERVAL 10 YEAR)
+                   > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE ts IS NOT NULL
+),
+sessioned AS (
+  SELECT user_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM sessioned GROUP BY user_id, sess_id
+),
+classed AS (
+  SELECT CASE WHEN converted = 1 THEN 'converted'
+              WHEN n_events = 1 THEN 'bounce'
+              ELSE 'engaged' END AS class,
+         n_events
+  FROM per_session
+)
+SELECT class,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+FROM classed
+GROUP BY class
+ORDER BY class
+""",
+)
+def session_conversion_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-outcome classification on top of the sessionization_30m lag
+    chain: a running sum of new-session flags keys each (user, session),
+    then sessions class as 'converted' (contains a purchase), 'bounce'
+    (single event, no purchase) or 'engaged'. Two windows + the session
+    reduce all share the user-hash partitioning, so the exchange reuses;
+    output is O(classes) with exact-integer shares. NULL users form one
+    session chain on both engines (PARTITION BY groups NULLs); NULL
+    event_type simply never matches 'purchase'."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    # two selects: Spark rejects a window expression nested inside another
+    # window's argument, so the flag materializes first (same shape as the
+    # oracle's flagged -> sessioned CTE chain; both windows share the
+    # user-hash partitioning, so the second is exchange-free)
+    flagged = ev.select(
+        "user_id", "event_type", "ts", "event_id", new_session.alias("new_session")
+    )
+    sess_id = F.sum("new_session").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per_session = (
+        flagged.select("user_id", "event_type", sess_id.alias("sess_id"))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    classed = per_session.select(
+        F.when(F.col("converted") == 1, "converted")
+        .when(F.col("n_events") == 1, "bounce")
+        .otherwise("engaged")
+        .alias("class"),
+        "n_events",
+    )
+    agg = classed.groupBy("class").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    total = agg.agg(F.sum("n_sessions").alias("t"))
+    return (
+        agg.join(F.broadcast(total))
+        .select(
+            "class",
+            "n_sessions",
+            "n_events",
+            F.round(F.col("n_sessions").cast("double") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("class")
+    )

@@ -82,6 +82,8 @@ EDGE_QUERIES = [
     "zipf_alpha_by_source",
     "nucleus_topp_sources",
     "inverted_index_postings",
+    # NULL lang is its own k-fold stratum on both engines
+    "kfold_assignment",
 ]
 
 ROWS = [

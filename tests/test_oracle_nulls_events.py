@@ -69,6 +69,11 @@ EDGE_QUERIES = [
     # but is excluded from PMI presence sets on both sides)
     "bitmap_exact_distinct",
     "event_pair_pmi",
+    # round-7 batch 2 (NULL ts/user/value excluded from the TWAP time axis
+    # identically both sides; NULL users form one session chain; dup
+    # (user, ts) pairs tie-break on event_id in both windows)
+    "twap_user_daily",
+    "session_conversion_bounce",
 ]
 
 

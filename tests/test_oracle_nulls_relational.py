@@ -41,6 +41,8 @@ EDGE_QUERIES = [
     # round 7: NULL totalprice/date pass through both union sides; the
     # NAME-resolved fill column stays NULL-distinguishable from them
     "union_by_name_evolution",
+    # NULL totalprice rows drop out of min/max AND the binning identically
+    "fixed_width_histogram",
 ]
 
 PART_ROWS = [

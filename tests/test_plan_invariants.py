@@ -50,6 +50,10 @@ PUSHDOWN_REQUIRED = {
     "skew_join_events_orders",
     "doc_chunking",
     "bloom_decontaminate",
+    # round 7
+    "zipf_alpha_by_source",
+    "event_pair_pmi",
+    "inverted_index_postings",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in
@@ -69,6 +73,8 @@ BNL_ALLOWED = {
     "equi_depth_histogram": 2,
     # the 1-row total-row-count broadcast for the realized-fraction column
     "group_aware_split": 1,
+    # the 1-row distinct-user-count broadcast (no join condition -> BNL)
+    "event_pair_pmi": 1,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'
@@ -89,6 +95,8 @@ MIN_BROADCAST = {
     "window_global_rank_scalable": 1,
     # 4 bitmap probes (one per hash) + the exact-membership marker join
     "bloom_decontaminate": 5,
+    # per-type totals broadcast onto the pair frame (ca + cb)
+    "event_pair_pmi": 2,
 }
 
 
