@@ -275,3 +275,106 @@ def session_conversion_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class")
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+WITH canon AS (
+  SELECT doc_id, source,
+         MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       ROUND(CAST(SUM(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS removal_rate
+FROM canon
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-observability KPI every corpus pipeline reports: per
+    source, how many docs exact-dedup would remove (doc is not the
+    min-doc_id canonical of its text group) and the removal rate. One
+    text-partitioned window + one source aggregation; at 100 TB the
+    window's partition key would be the 32-byte content hash, never the
+    text (the dedup_exact contract) — text is used directly here only
+    because the min-over-group must match the oracle's NULL-grouping
+    (both engines group NULL texts together). Exact-integer rate."""
+    d = t(spark, sf_dir, "documents")
+    canonical = F.min("doc_id").over(W.partitionBy("text"))
+    removed = (F.col("doc_id") != canonical).cast("int")
+    return (
+        d.select("source", removed.alias("removed"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("removed").cast("bigint").alias("n_removed"),
+            F.round(
+                F.sum("removed").cast("double") / F.count(F.lit(1)), 6
+            ).alias("removal_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "shard_balance_report",
+    oracle="""
+WITH sharded AS (
+  SELECT CAST(hash_int % 16 AS INT) AS shard, n_chars
+  FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hash_int,
+               n_chars
+        FROM documents)
+),
+per AS (
+  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM sharded GROUP BY shard
+)
+SELECT shard, n_docs, n_chars,
+       ROUND(CAST(n_docs AS DOUBLE) * 16 / SUM(n_docs) OVER (), 6) AS doc_load_factor,
+       ROUND(CAST(n_chars AS DOUBLE) * 16 / SUM(n_chars) OVER (), 6) AS char_load_factor
+FROM per
+ORDER BY shard
+""",
+)
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment health check: docs deal into 16 shards by the
+    48-bit md5 prefix (the group_aware_split hash idiom — deterministic
+    across engines, runs and partitionings, unlike engine-native hash()),
+    reporting per-shard doc/char counts and load factors (1.0 = perfectly
+    even; the max factor is the straggler-shard indicator an imbalanced
+    writer shows before a 100 TB job hot-spots). 16-row output; the
+    over-() totals are O(shards) frames."""
+    d = t(spark, sf_dir, "documents")
+    hash_int = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    per = (
+        d.select((hash_int % 16).cast("int").alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_chars").alias("tc")
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_docs").cast("double") * 16 / F.col("td"), 6).alias(
+                "doc_load_factor"
+            ),
+            F.round(F.col("n_chars").cast("double") * 16 / F.col("tc"), 6).alias(
+                "char_load_factor"
+            ),
+        )
+        .orderBy("shard")
+    )

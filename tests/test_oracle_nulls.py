@@ -84,6 +84,10 @@ EDGE_QUERIES = [
     "inverted_index_postings",
     # NULL lang is its own k-fold stratum on both engines
     "kfold_assignment",
+    # NULL texts form one dedup group (both engines group NULLs); the
+    # shard hash is NULL-free (doc_id keyed)
+    "dedup_rate_by_source",
+    "shard_balance_report",
 ]
 
 ROWS = [

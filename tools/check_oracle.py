@@ -3,6 +3,7 @@ DuckDB oracle, compare exactly (sorted rows, columns sorted by name) — a
 stricter local stand-in for the driver's order-insensitive value-hash check.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --window   # the driver's checked-50
 """
 
 from __future__ import annotations
@@ -50,7 +51,12 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     load_all()
-    names = sys.argv[2:] or sorted(QUERIES)
+    if sys.argv[2:] == ["--window"]:
+        # exactly the driver's checked-50 window, in its order — the
+        # pre-flight for each round's CORRECTNESS record
+        names = list(QUERIES)[:50]
+    else:
+        names = sys.argv[2:] or sorted(QUERIES)
     spark = get_spark(cpus=8, shuffle_partitions=8)
     con = duck_connect(sf_dir)
     n_pass = n_fail = n_rows_only = 0
