@@ -282,7 +282,7 @@ def session_conversion_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH canon AS (
   SELECT doc_id, source,
-         MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
   FROM documents
 )
 SELECT source,
@@ -298,13 +298,14 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup-observability KPI every corpus pipeline reports: per
     source, how many docs exact-dedup would remove (doc is not the
     min-doc_id canonical of its text group) and the removal rate. One
-    text-partitioned window + one source aggregation; at 100 TB the
-    window's partition key would be the 32-byte content hash, never the
-    text (the dedup_exact contract) — text is used directly here only
-    because the min-over-group must match the oracle's NULL-grouping
-    (both engines group NULL texts together). Exact-integer rate."""
+    hash-partitioned window + one source aggregation. The window key is
+    md5(text) — the dedup_exact contract: the shuffle carries 32-byte
+    hashes, never document text (SHUFFLE.md measured the text-keyed form
+    at 1.5x input; the hash key cuts the exchange to hash+id width).
+    md5(NULL) is NULL on both engines, so NULL texts still form one group
+    exactly as PARTITION BY text did. Exact-integer rate."""
     d = t(spark, sf_dir, "documents")
-    canonical = F.min("doc_id").over(W.partitionBy("text"))
+    canonical = F.min("doc_id").over(W.partitionBy(F.md5("text")))
     removed = (F.col("doc_id") != canonical).cast("int")
     return (
         d.select("source", removed.alias("removed"))

@@ -47,6 +47,13 @@ PROBED = {
     "asof_tolerance_join": (["events", "orders"], "as-of: ONE key exchange of the tagged union; tolerance check rides carried columns"),
     "debounce_consecutive_events": (["events"], "debounce: one (user, type) window exchange of (type, ts, id) rows"),
     "group_aware_split": (["events"], "group split: map-combined per-user counts, then O(groups) rows"),
+    # round 7
+    "gopher_quality_rules": (["documents"], "quality gate: pure map-side array HOFs — shuffle is the output sort only"),
+    "bitmap_exact_distinct": (["events"], "exact distinct: shuffle = OR-merged fixed-width bucket bitmaps, not per-id rows"),
+    "event_pair_pmi": (["events"], "PMI: one distinct (user, type) exchange + vocabulary-bounded pair partials"),
+    "inverted_index_postings": (["documents"], "postings build: (token, doc) partials after map-side combine; text stays map-side"),
+    "twap_user_daily": (["events"], "TWAP: one (user, day) exchange reused by window AND aggregation"),
+    "dedup_rate_by_source": (["documents"], "dedup KPI: one text-keyed exchange + O(sources) partials"),
 }
 
 
