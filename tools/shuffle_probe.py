@@ -53,7 +53,7 @@ PROBED = {
     "event_pair_pmi": (["events"], "PMI: one distinct (user, type) exchange + vocabulary-bounded pair partials"),
     "inverted_index_postings": (["documents"], "postings build: (token, doc) partials after map-side combine; text stays map-side"),
     "twap_user_daily": (["events"], "TWAP: one (user, day) exchange reused by window AND aggregation"),
-    "dedup_rate_by_source": (["documents"], "dedup KPI: one text-keyed exchange + O(sources) partials"),
+    "dedup_rate_by_source": (["documents"], "dedup KPI: md5(text)-keyed exchange — hashes + ids, never text"),
 }
 
 
