@@ -80,11 +80,11 @@ def register(name: str, oracle: str | None = None):
 #   (g) r3-vintage re-verifies spread across categories, filling the
 #       remaining slots.
 # After round 7 the stalest pool is the remaining ~32 r3-vintage rows —
-# they head the round-8 queue together with the round-7 batch-2
+# they head the round-8 queue together with the round-7 late
 # registrations that post-date this window (pipeline17: twap_user_daily,
-# kfold_assignment, fixed_width_histogram, session_conversion_bounce —
-# all oracle-green locally at sf0.001/0.01 + edge suites), then the r4
-# pool.
+# kfold_assignment, fixed_width_histogram, session_conversion_bounce,
+# dedup_rate_by_source, shard_balance_report — all oracle-green locally
+# at sf0.001/0.01 + edge suites + full drive_entry), then the r4 pool.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- (a) oracle-paired, never driver-checked (round-6 registrations)
     "view_click_attribution_full",

@@ -76,6 +76,15 @@ remains is the corpus scan itself, which is the linear floor any 100 TB
 decontamination pass must pay. The old 14-15x row (both sides growing) was
 the benchmark artifact its caveat claimed; the caveat is now a number.
 
+**Round-7 shapes probed same-round** (no verdict order needed — every new
+docstring claim ships with its measured row): bitmap_exact_distinct 2.6x,
+pmi_presence_selfjoin 3.0x, twap_window 3.7x at 16x — the fixed-width
+bitmap merge, the vocabulary-bounded pair fan-out and the shared
+(user, day) exchange all track data sublinearly as claimed.
+inverted_postings_growth 6.7x: copies deliberately share one vocabulary so
+postings grow k-fold — instance-linear, with the head-term cap/salt noted
+in the query docstring as the 100 TB mitigation.
+
 ## Round 6 notes: r5 drift confirms + new probe rows
 
 - **The three r5 mild drifts (doc_chunking 1.26x, salted_skew_aggregate
@@ -904,6 +913,81 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n_hit")),
         )
 
+        # round 7: bitmap exact-distinct — users re-keyed so DISTINCT-user
+        # cardinality grows k-fold; bitmaps are fixed-width, so cost tracks
+        # (type, bucket) group count, linear in distinct ids
+        timed(
+            "bitmap_exact_distinct",
+            k,
+            evk.withColumn("bucket", F.expr("bitmap_bucket_number(user_id)"))
+            .groupBy("event_type", "bucket")
+            .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+            .groupBy("event_type")
+            .agg(F.expr("sum(bitmap_count(bm))").alias("n")),
+        )
+
+        # round 7: PMI presence self-join — distinct (user, type) rows grow
+        # with users; per-user pair fan-out is |type-vocab|^2-bounded, so
+        # candidate pairs grow LINEARLY (never events^2)
+        ut7 = (
+            evk.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+            .select("user_id", "event_type")
+            .distinct()
+        )
+        a7 = ut7.select(F.col("user_id").alias("u"), F.col("event_type").alias("ta"))
+        b7 = ut7.select(F.col("user_id").alias("u2"), F.col("event_type").alias("tb"))
+        timed(
+            "pmi_presence_selfjoin",
+            k,
+            a7.join(b7, (F.col("u") == F.col("u2")) & (F.col("ta") < F.col("tb")))
+            .groupBy("ta", "tb")
+            .count(),
+        )
+
+        # round 7: inverted-index build under posting growth. Doc copies
+        # deliberately share the SAME vocabulary (plain doc_id re-key, no
+        # salt): postings per token grow k-fold — the honest growth mode of
+        # a fixed-vocab corpus and exactly the hot-key the query docstring
+        # warns about. Probed to the (doc-freq, collection-freq) combine;
+        # the registered form's postings-string concat is output-sized and
+        # capped/salted at scale, so concatenating 16x strings here would
+        # measure driver formatting, not the distributed plan.
+        pos7 = docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+        ).filter(F.col("tok") != "")
+        timed(
+            "inverted_postings_growth",
+            k,
+            pos7.groupBy("tok", "doc_id")
+            .agg(F.count(F.lit(1)).alias("np"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("nd"), F.sum("np").alias("no")),
+        )
+
+        # round 7: TWAP — (user, day) partitions grow with users; the lead
+        # window and the aggregation share one exchange
+        d7 = evk.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        ).select("user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value")
+        dur7 = F.coalesce(
+            F.lead(F.unix_micros(F.col("ts"))).over(
+                W6.partitionBy("user_id", "day").orderBy("ts", "event_id")
+            ),
+            F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp")),
+        ) - F.unix_micros(F.col("ts"))
+        timed(
+            "twap_window",
+            k,
+            d7.select("user_id", "day", "value", dur7.alias("dur_us"))
+            .groupBy("user_id", "day")
+            .agg(
+                F.sum(F.col("value") * F.col("dur_us")).alias("wv"),
+                F.sum("dur_us").alias("w"),
+            ),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
@@ -946,6 +1030,10 @@ def main() -> None:
             "deployment, where the eval suite is fixed-size and only the "
             "probe side grows; linear, not quadratic; see "
             "ngram_decontam_fixed_bench for the deployment shape"
+        ),
+        "inverted_postings_growth": (
+            "fixed vocabulary, postings grow k-fold — gram-instance-linear "
+            "by design; the registered form caps/salts head terms at scale"
         ),
         "ngram_decontam_fixed_bench": (
             "the DEPLOYMENT shape: fixed-size eval-suite gram set "
