@@ -83,7 +83,8 @@ def register(name: str, oracle: str | None = None):
 # they head the round-8 queue together with the round-7 late
 # registrations that post-date this window (pipeline17: twap_user_daily,
 # kfold_assignment, fixed_width_histogram, session_conversion_bounce,
-# dedup_rate_by_source, shard_balance_report — all oracle-green locally
+# dedup_rate_by_source, shard_balance_report, quality_funnel_attrition,
+# transition_entropy_by_type — all oracle-green locally
 # at sf0.001/0.01 + edge suites + full drive_entry), then the r4 pool.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- (a) oracle-paired, never driver-checked (round-6 registrations)

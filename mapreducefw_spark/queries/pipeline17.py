@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
+from mapreducefw_spark.queries.pipeline16 import STOPWORDS
 
 
 @register(
@@ -378,4 +379,140 @@ def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("shard")
+    )
+
+
+@register(
+    "quality_funnel_attrition",
+    oracle="""
+WITH tk AS (
+  SELECT list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+flags AS (
+  SELECT
+    CASE WHEN len(toks) >= 20 THEN 1 ELSE 0 END AS f_len,
+    CASE WHEN len(toks) > 0
+          AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(toks) >= 0.8
+         THEN 1 ELSE 0 END AS f_alpha,
+    CASE WHEN len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in'], x))) >= 2
+         THEN 1 ELSE 0 END AS f_stop,
+    CASE WHEN len(toks) > 0
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+         THEN 1 ELSE 0 END AS f_ttr
+  FROM tk
+)
+SELECT COUNT(*) AS n_all,
+       CAST(SUM(f_len) AS BIGINT) AS n_after_len,
+       CAST(SUM(f_len * f_alpha) AS BIGINT) AS n_after_alpha,
+       CAST(SUM(f_len * f_alpha * f_stop) AS BIGINT) AS n_after_stop,
+       CAST(SUM(f_len * f_alpha * f_stop * f_ttr) AS BIGINT) AS n_after_ttr,
+       ROUND(CAST(SUM(f_len * f_alpha * f_stop * f_ttr) AS DOUBLE) / COUNT(*), 6) AS survival_rate
+FROM flags
+""",
+)
+def quality_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attrition report (the FineWeb/RefinedWeb-style number
+    every corpus pipeline publishes): how many docs survive each successive
+    quality gate — length floor, alphabetic-word fraction, stopword floor,
+    type-token ratio — applied CUMULATIVELY in pipeline order. All four
+    flags compute map-side in one scan (array HOFs); the output is a single
+    partial-agg row, so the shuffle is one row per task. NULL/empty texts
+    fail the first gate on both sides (0-word docs; the >0 guards keep the
+    ratio gates NULL-free). Exact-integer survival rate."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
+    )
+    d = t(spark, sf_dir, "documents").select(toks.alias("toks"))
+    n = F.size("toks")
+    f_len = (n >= 20).cast("int")
+    n_alpha = F.size(F.filter("toks", lambda x: x.rlike("[a-zA-Z]")))
+    f_alpha = ((n > 0) & (n_alpha.cast("double") / n >= 0.8)).cast("int")
+    n_stop = F.size(
+        F.filter(
+            "toks",
+            lambda x: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), x),
+        )
+    )
+    f_stop = (n_stop >= 2).cast("int")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n
+    f_ttr = ((n > 0) & (ttr >= 0.3)).cast("int")
+    flags = d.select(
+        f_len.alias("f_len"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+        f_ttr.alias("f_ttr"),
+    )
+    survived = F.col("f_len") * F.col("f_alpha") * F.col("f_stop") * F.col("f_ttr")
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("f_len").cast("bigint").alias("n_after_len"),
+        F.sum(F.col("f_len") * F.col("f_alpha")).cast("bigint").alias("n_after_alpha"),
+        F.sum(F.col("f_len") * F.col("f_alpha") * F.col("f_stop"))
+        .cast("bigint")
+        .alias("n_after_stop"),
+        F.sum(survived).cast("bigint").alias("n_after_ttr"),
+        F.round(
+            F.sum(survived).cast("double") / F.count(F.lit(1)), 6
+        ).alias("survival_rate"),
+    )
+
+
+@register(
+    "transition_entropy_by_type",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+trans AS (
+  SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS st FROM trans GROUP BY 1)
+SELECT tr.prev_type,
+       CAST(COUNT(*) AS INT) AS n_next_types,
+       tt.st AS n_transitions,
+       ROUND(-SUM((tr.n / tt.st) * ln(tr.n / tt.st)), 6) AS entropy_nats
+FROM trans tr JOIN tot tt USING (prev_type)
+GROUP BY tr.prev_type, tt.st
+ORDER BY tr.prev_type
+""",
+)
+def transition_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each event type's next-event distribution —
+    the predictability score on top of event_transition_matrix's Markov
+    table (high entropy = the type's successors are diverse; 0 = fully
+    deterministic chains). Same transition construction as the matrix query
+    (one user-partitioned lag window, NULL ts/type excluded both sides),
+    then O(types^2) -> O(types) aggregation. Each p = n/total is an IEEE
+    division of identical BIGINT operands; ROUND(6) absorbs the JVM-vs-libm
+    ln() ulp and summation order."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev").alias("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("st"))
+    p = F.col("n") / F.col("st")
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .groupBy("prev_type", "st")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_next_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .select(
+            "prev_type",
+            "n_next_types",
+            F.col("st").alias("n_transitions"),
+            "entropy_nats",
+        )
+        .orderBy("prev_type")
     )

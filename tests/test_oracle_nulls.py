@@ -88,6 +88,8 @@ EDGE_QUERIES = [
     # shard hash is NULL-free (doc_id keyed)
     "dedup_rate_by_source",
     "shard_balance_report",
+    # NULL/empty texts fail the first funnel gate with NULL-free ratios
+    "quality_funnel_attrition",
 ]
 
 ROWS = [

@@ -74,6 +74,8 @@ EDGE_QUERIES = [
     # (user, ts) pairs tie-break on event_id in both windows)
     "twap_user_daily",
     "session_conversion_bounce",
+    # NULL ts/type rows leave the lag chain identically both sides
+    "transition_entropy_by_type",
 ]
 
 
