@@ -84,7 +84,8 @@ def register(name: str, oracle: str | None = None):
 # registrations that post-date this window (pipeline17: twap_user_daily,
 # kfold_assignment, fixed_width_histogram, session_conversion_bounce,
 # dedup_rate_by_source, shard_balance_report, quality_funnel_attrition,
-# transition_entropy_by_type — all oracle-green locally
+# transition_entropy_by_type; pipeline18: xml_roundtrip,
+# mask_pii_columns, array_mutators_35 — all oracle-green locally
 # at sf0.001/0.01 + edge suites + full drive_entry), then the r4 pool.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- (a) oracle-paired, never driver-checked (round-6 registrations)
@@ -182,6 +183,7 @@ def load_all() -> None:
         pipeline15,
         pipeline16,
         pipeline17,
+        pipeline18,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -76,6 +76,9 @@ EDGE_QUERIES = [
     "session_conversion_bounce",
     # NULL ts/type rows leave the lag chain identically both sides
     "transition_entropy_by_type",
+    # XML roundtrip must survive the quote/backslash event_type and the
+    # quoted-k props rows (entity escaping + the json k contract)
+    "xml_roundtrip",
 ]
 
 

@@ -58,6 +58,9 @@ EDGE_QUERIES = [
     "window_global_rank", "window_global_rank_scalable",
     "window_lag_lead_orders", "window_nth_last_value", "window_range_frame",
     "window_rank_customers",
+    # round 7: mask over NULL/empty names identically NULL/'' both sides;
+    # array mutators over single-item and duplicate-part orders
+    "mask_pii_columns", "array_mutators_35", "fixed_width_histogram",
 ]
 
 _D = datetime
