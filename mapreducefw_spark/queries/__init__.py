@@ -85,7 +85,8 @@ def register(name: str, oracle: str | None = None):
 # kfold_assignment, fixed_width_histogram, session_conversion_bounce,
 # dedup_rate_by_source, shard_balance_report, quality_funnel_attrition,
 # transition_entropy_by_type; pipeline18: xml_roundtrip,
-# mask_pii_columns, array_mutators_35 — all oracle-green locally
+# mask_pii_columns, array_mutators_35, regexp_functions_35,
+# bit_aggregates — all oracle-green locally
 # at sf0.001/0.01 + edge suites + full drive_entry), then the r4 pool.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- (a) oracle-paired, never driver-checked (round-6 registrations)

@@ -144,3 +144,77 @@ def array_mutators_35(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos_of_min"),
         F.array_join(F.array_remove(F.col("parts"), last), ",").alias("max_removed"),
     ).orderBy("l_orderkey")
+
+
+@register(
+    "regexp_functions_35",
+    oracle="""
+SELECT event_id,
+       CAST(len(regexp_extract_all(COALESCE(props, ''), '[0-9]+')) AS INT) AS n_digit_runs,
+       COALESCE(array_to_string(regexp_extract_all(COALESCE(props, ''), '([0-9]+)', 1), ','), '') AS digit_runs,
+       NULLIF(regexp_extract(COALESCE(props, ''), '[0-9]+'), '') AS first_run,
+       CAST(CASE WHEN regexp_matches(COALESCE(props, ''), '[0-9]+')
+                 THEN position(regexp_extract(COALESCE(props, ''), '[0-9]+') IN COALESCE(props, ''))
+                 ELSE 0 END AS INT) AS first_pos
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+""",
+)
+def regexp_functions_35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 3.5 regexp family over the props JSON text: regexp_count,
+    regexp_extract_all, regexp_substr, regexp_instr. DuckDB twins need two
+    guards the docwriter should know: regexp_extract returns '' (not NULL)
+    on no match — NULLIF aligns it with regexp_substr's NULL — and there
+    is no regexp_instr, but position(first_match IN s) is exact for this
+    pattern class because the leftmost match of a digit run cannot have an
+    earlier occurrence of itself (any earlier copy would itself contain an
+    earlier digit). NULL props COALESCE to '' so counts are 0, not NULL,
+    and the joined run list COALESCEs the zero-match case (DuckDB
+    array_to_string([]) is NULL where Spark array_join([]) is '' — the
+    same trap the array_mutators_35 oracle pins). Map-only scan."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    s = F.coalesce(F.col("props"), F.lit(""))
+    pat = F.lit("[0-9]+")
+    return ev.select(
+        "event_id",
+        F.regexp_count(s, pat).alias("n_digit_runs"),
+        F.array_join(F.regexp_extract_all(s, F.lit("([0-9]+)"), 1), ",").alias(
+            "digit_runs"
+        ),
+        F.regexp_substr(s, pat).alias("first_run"),
+        F.regexp_instr(s, pat).alias("first_pos"),
+    ).orderBy("event_id")
+
+
+@register(
+    "bit_aggregates",
+    oracle="""
+SELECT l_orderkey,
+       CAST(bit_and(l_linenumber) AS INT) AS lines_and,
+       CAST(bit_or(l_linenumber) AS INT) AS lines_or,
+       CAST(bit_xor(l_linenumber) AS INT) AS lines_xor,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_orderkey < 400
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+def bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (bit_and/bit_or/bit_xor) over line numbers
+    per order — the flag-mask combine pattern (e.g. OR-ing permission or
+    feature bitmasks per entity) that would otherwise need a custom UDAF.
+    Exact integer semantics on both engines; map-side combinable like any
+    algebraic aggregate. One keyed shuffle of int partials."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.bit_and("l_linenumber").cast("int").alias("lines_and"),
+            F.bit_or("l_linenumber").cast("int").alias("lines_or"),
+            F.bit_xor("l_linenumber").cast("int").alias("lines_xor"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )

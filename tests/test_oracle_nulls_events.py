@@ -79,6 +79,8 @@ EDGE_QUERIES = [
     # XML roundtrip must survive the quote/backslash event_type and the
     # quoted-k props rows (entity escaping + the json k contract)
     "xml_roundtrip",
+    # NULL props COALESCE to '' (0 runs, NULL first_run) both sides
+    "regexp_functions_35",
 ]
 
 

@@ -61,6 +61,7 @@ EDGE_QUERIES = [
     # round 7: mask over NULL/empty names identically NULL/'' both sides;
     # array mutators over single-item and duplicate-part orders
     "mask_pii_columns", "array_mutators_35", "fixed_width_histogram",
+    "bit_aggregates",
 ]
 
 _D = datetime
