@@ -86,7 +86,8 @@ def register(name: str, oracle: str | None = None):
 # dedup_rate_by_source, shard_balance_report, quality_funnel_attrition,
 # transition_entropy_by_type; pipeline18: xml_roundtrip,
 # mask_pii_columns, array_mutators_35, regexp_functions_35,
-# bit_aggregates — all oracle-green locally
+# bit_aggregates; pipeline19: chi_square_independence, ks_two_sample —
+# all oracle-green locally
 # at sf0.001/0.01 + edge suites + full drive_entry), then the r4 pool.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- (a) oracle-paired, never driver-checked (round-6 registrations)
@@ -185,6 +186,7 @@ def load_all() -> None:
         pipeline16,
         pipeline17,
         pipeline18,
+        pipeline19,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

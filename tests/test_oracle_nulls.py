@@ -90,6 +90,9 @@ EDGE_QUERIES = [
     "shard_balance_report",
     # NULL/empty texts fail the first funnel gate with NULL-free ratios
     "quality_funnel_attrition",
+    # KS over the src0/src1 slices of the edge table (tiny samples, tied
+    # values; NULL n_chars rows drop out both sides)
+    "ks_two_sample",
 ]
 
 ROWS = [
