@@ -162,3 +162,146 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(gap).alias("d_stat"))
         .select("n0", "n1", "d_stat", crit.alias("d_crit_95"))
     )
+
+
+@register(
+    "mann_whitney_u",
+    oracle="""
+WITH vals AS (
+  SELECT n_chars AS v,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM documents
+  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+  GROUP BY n_chars
+),
+grid AS (
+  SELECT c0, c1, c0 + c1 AS cnt,
+         SUM(c0 + c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (c0 + c1) AS cum_before
+  FROM vals
+),
+s AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+         SUM(c0 * (cum_before + (cnt + 1) / 2.0)) AS r0,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM grid
+)
+SELECT n0, n1,
+       r0 - n0 * (n0 + 1) / 2.0 AS u0,
+       ROUND((r0 - n0 * (n0 + 1) / 2.0 - n0 * n1 / 2.0)
+             / SQRT((CAST(n0 AS DOUBLE) * n1 / 12.0)
+                    * ((n0 + n1 + 1) - CAST(ties AS DOUBLE) / ((n0 + n1) * (n0 + n1 - 1.0)))), 6) AS z_tie_corrected
+FROM s
+""",
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (src0 vs src1 document lengths) with
+    tie-corrected normal approximation — the nonparametric
+    location-shift complement to ks_two_sample's distribution test. Runs
+    on the same distinct-value grid: average ranks for a tied block are
+    cum_before + (cnt+1)/2, so every rank term is an exact multiple of
+    0.5 and the R0/U0 sums are EXACT in double regardless of summation
+    order (no rounding needed); only the sqrt'd z gets ROUND(6). Same
+    O(grid) cumsum frame class as ks_two_sample."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1") & F.col("n_chars").isNotNull()
+    )
+    vals = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    cnt = F.col("c0") + F.col("c1")
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    grid = vals.select(
+        "c0",
+        "c1",
+        cnt.alias("cnt"),
+        (F.sum(cnt).over(w) - cnt).alias("cum_before"),
+    )
+    avg_rank = F.col("cum_before") + (F.col("cnt") + 1) / 2.0
+    s = grid.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c0") * avg_rank).alias("r0"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    u0 = F.col("r0") - n0 * (n0 + 1) / 2.0
+    nn = n0 + n1
+    sigma = F.sqrt(
+        (n0.cast("double") * n1 / 12.0)
+        * ((nn + 1) - F.col("ties").cast("double") / (nn * (nn - 1.0)))
+    )
+    z = F.round((u0 - n0 * n1 / 2.0) / sigma, 6)
+    return s.select("n0", "n1", u0.alias("u0"), z.alias("z_tie_corrected"))
+
+
+@register(
+    "gini_customer_spend",
+    oracle="""
+WITH spend AS (
+  SELECT c_custkey,
+         CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS x
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, c_custkey) AS i FROM spend
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(i * x) AS DOUBLE) AS sixi
+  FROM ranked
+)
+SELECT n,
+       sx AS total_spend,
+       ROUND(2.0 * sixi / (n * sx) - (n + 1.0) / n, 9) AS gini
+FROM s
+""",
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend (orderless customers count as
+    zero-spend — the inequality number is about the whole population):
+    G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n over spend sorted ascending. The rank
+    comes from operators/rank.py's TWO-PHASE range-partitioned
+    global_rank_running — no unpartitioned window over customers — and
+    tie-blocks don't affect the statistic (equal x makes Σ i*x over the
+    block order-invariant). Spend is exact DECIMAL both sides, i*x_i sums
+    stay decimal-exact, and the final doubles divide identical operands;
+    ROUND(9) is belt and braces. Reference contract: the global
+    sort-by-k3 phase (`MRFCore.cpp:252-446`) expressed shuffle-parallel."""
+    from mapreducefw_spark.operators.rank import global_rank_running
+    from mapreducefw_spark.queries._util import dec
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    ranked = global_rank_running(spend, [F.col("x"), F.col("c_custkey")]).select(
+        "x", F.col("global_rank").alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("sixi"),
+    )
+    gini = F.round(
+        2.0 * F.col("sixi") / (F.col("n") * F.col("sx")) - (F.col("n") + 1.0) / F.col("n"),
+        9,
+    )
+    return s.select("n", F.col("sx").alias("total_spend"), gini.alias("gini"))

@@ -93,6 +93,8 @@ EDGE_QUERIES = [
     # KS over the src0/src1 slices of the edge table (tiny samples, tied
     # values; NULL n_chars rows drop out both sides)
     "ks_two_sample",
+    # tie-heavy tiny samples are exactly the MWU average-rank stress case
+    "mann_whitney_u",
 ]
 
 ROWS = [

@@ -62,6 +62,8 @@ EDGE_QUERIES = [
     # array mutators over single-item and duplicate-part orders
     "mask_pii_columns", "array_mutators_35", "fixed_width_histogram",
     "bit_aggregates",
+    # zero-spend (orderless) + NULL-price customers enter the Gini ranking
+    "gini_customer_spend",
 ]
 
 _D = datetime
