@@ -87,7 +87,8 @@ def register(name: str, oracle: str | None = None):
 # transition_entropy_by_type; pipeline18: xml_roundtrip,
 # mask_pii_columns, array_mutators_35, regexp_functions_35,
 # bit_aggregates; pipeline19: chi_square_independence, ks_two_sample,
-# mann_whitney_u, gini_customer_spend — all oracle-green locally
+# mann_whitney_u, gini_customer_spend, acf_daily_revenue,
+# benford_first_digit — all oracle-green locally
 # at sf0.001/0.01 + edge suites + full drive_entry), then the r4 pool.
 CHECK_PRIORITY: tuple[str, ...] = (
     # -- (a) oracle-paired, never driver-checked (round-6 registrations)

@@ -305,3 +305,142 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     )
     return s.select("n", F.col("sx").alias("total_spend"), gini.alias("gini"))
+
+
+@register(
+    "acf_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS x
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(x) / COUNT(*) AS mu,
+         SUM(POW(x - (SELECT SUM(x) / COUNT(*) FROM daily), 2)) AS denom
+  FROM daily
+),
+lagged AS (
+  SELECT k.k AS lag_k, a.x, b.x AS xl
+  FROM daily a
+  CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+  LEFT JOIN daily b ON b.d + TO_DAYS(CAST(k.k AS INT)) = a.d
+)
+SELECT lag_k,
+       CAST(COUNT(xl) AS BIGINT) AS n_pairs,
+       ROUND(SUM(CASE WHEN xl IS NOT NULL THEN (x - mu) * (xl - mu) ELSE 0 END) / denom, 6) AS acf
+FROM lagged, stats
+GROUP BY lag_k, denom
+ORDER BY lag_k
+""",
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1..7 — the
+    seasonality detector (a weekly cycle shows as an ACF(7) spike):
+    acf(k) = sum (x_d - mu)(x_{d-k} - mu) / sum (x_d - mu)^2 with the
+    full-series mean and denominator (the standard estimator). The lag is
+    CALENDAR days (a self-join of the day series on d2 + k = d), not
+    observation-order — on a sparse day grid row-lag would pair
+    non-adjacent dates and a weekly cycle would smear. Daily sums are
+    exact DECIMAL; the 7 lags fan out of one tiny day-grid frame
+    (calendar-bounded, data-independent), so the raw data is scanned
+    once; ROUND(6) absorbs fold-order ulps."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    from mapreducefw_spark.queries._util import dec
+
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("x")
+    )
+    stats = daily.agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu_only = stats.select("mu")
+    denom = (
+        daily.join(F.broadcast(mu_only))
+        .agg(F.sum(F.pow(F.col("x") - F.col("mu"), 2)).alias("denom"))
+    )
+    ks = daily.sparkSession.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    fan = daily.join(F.broadcast(ks))
+    # lag(x, k) with a per-row k isn't expressible; shift by joining the
+    # day series to itself k CALENDAR days back — same tiny frame
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("xl"))
+    pairs = fan.join(
+        b, F.date_add(F.col("d2"), F.col("lag_k")) == F.col("d"), "left"
+    )
+    return (
+        pairs.join(F.broadcast(mu_only))
+        .join(F.broadcast(denom))
+        .groupBy("lag_k", "denom")
+        .agg(
+            F.count("xl").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("xl").isNotNull(),
+                        (F.col("x") - F.col("mu")) * (F.col("xl") - F.col("mu")),
+                    ).otherwise(0.0)
+                )
+                / F.col("denom"),
+                6,
+            ).alias("acf"),
+        )
+        .select("lag_k", "n_pairs", "acf")
+        .orderBy("lag_k")
+    )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+),
+obs AS (
+  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / total AS share,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_expected,
+       ROUND(POW(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit) * total, 6) AS chi2_term
+FROM obs, tot
+ORDER BY digit
+""",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    anomaly/fabrication screen for financial columns: observed first-digit
+    shares vs log10(1 + 1/d), with each digit's chi-square contribution.
+    The first digit comes from the INTEGER-STRING route (substr of the
+    floored value) — log10-based digit extraction hits float edges at
+    exact powers of ten; strings don't. Shares are exact-integer
+    divisions; only the log10 constants and the chi2 terms ROUND(6)
+    (cross-engine libm 1-ulp). One map-combined digit shuffle, 9-row
+    output."""
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") >= 1)
+    )
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            share.alias("share"),
+            F.round(expected, 6).alias("benford_expected"),
+            F.round(F.pow(share - expected, 2) / expected * F.col("total"), 6).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -64,6 +64,8 @@ EDGE_QUERIES = [
     "bit_aggregates",
     # zero-spend (orderless) + NULL-price customers enter the Gini ranking
     "gini_customer_spend",
+    # NULL dates drop out of the day grid; NULL/sub-1 prices out of Benford
+    "acf_daily_revenue", "benford_first_digit",
 ]
 
 _D = datetime
