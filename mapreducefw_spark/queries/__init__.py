@@ -91,12 +91,26 @@ def register(name: str, oracle: str | None = None):
 # benford_first_digit — all oracle-green locally
 # at sf0.001/0.01 + edge suites + full drive_entry), then the r4 pool.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- (a) oracle-paired, never driver-checked (round-6 registrations)
-    "view_click_attribution_full",
-    "group_aware_split",
-    "collation_token_counts",
-    "approx_topk_event_types",
-    "temperature_mix_allocation",
+    # -- (a) oracle-paired, never driver-checked (round-7 pipeline17-19 batch)
+    "twap_user_daily",
+    "kfold_assignment",
+    "fixed_width_histogram",
+    "session_conversion_bounce",
+    "dedup_rate_by_source",
+    "shard_balance_report",
+    "quality_funnel_attrition",
+    "transition_entropy_by_type",
+    "xml_roundtrip",
+    "mask_pii_columns",
+    "array_mutators_35",
+    "regexp_functions_35",
+    "bit_aggregates",
+    "chi_square_independence",
+    "ks_two_sample",
+    "mann_whitney_u",
+    "gini_customer_spend",
+    "acf_daily_revenue",
+    "benford_first_digit",
     # -- (b) permanent canary core
     "mr_search",
     "mr_wordcount",
@@ -108,46 +122,30 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "join_anti_orderless_customers",
     "grouping_sets_explicit",
     "sort_multikey_nulls",
-    # -- (c) displaced-from-r6 scalar batch + window_nth_last_value
-    "conditional_aggregates",
-    "string_functions_2",
-    "null_combinators",
-    "map_higher_order",
-    "to_json_roundtrip",
-    "window_nth_last_value",
-    # -- (d) r2-stale oracle-paired re-verifies (all 12)
-    "topk_parts_per_brand",
-    "window_global_rank",
-    "dedup_exact_keyed",
-    "doc_fingerprint",
-    "text_token_stats",
-    "text_quality_scores",
-    "embedding_label_norms",
-    "dedup_groups_small",
-    "embedding_cosine_dedup",
-    "explode_posexplode_tokens",
-    "catalog_input_file_name",
-    "python_udtf_bigrams",
-    # -- (e) oracle changed this round (quoted-k JSON contract)
+    # -- (c) oracle changed this round (quoted-int ' *' padding; nucleus NULLS LAST)
     "json_extract_events",
-    "events_props_variant",
-    # -- (f) new round-7 registrations
-    "gopher_quality_rules",
-    "zipf_alpha_by_source",
+    "to_json_roundtrip",
     "nucleus_topp_sources",
-    "bitmap_exact_distinct",
-    "union_by_name_evolution",
-    "event_pair_pmi",
-    "inverted_index_postings",
-    # -- (g) r3-vintage re-verifies, category spread
-    "string_functions",
-    "date_functions",
-    "q6_forecast_revenue",
-    "q10_returned_revenue",
-    "subquery_correlated_max",
-    "pivot_flag_status",
-    "array_agg_order_parts",
-    "stats_corr_qty_price",
+    # -- (d) new round-8 registrations
+    "ks_two_sample_bucketed",
+    "mann_whitney_u_bucketed",
+    "corpus_prep_pipeline",
+    # -- (e) r3-vintage re-verifies, stalest-first per tools/stale_report.py
+    "agg_supplier_stats",
+    "benchmark_contamination",
+    "bigram_top_terms",
+    "bpe_token_counts",
+    "count_distinct_parts",
+    "cross_snapshot_jaccard",
+    "cube_lineitem_flags",
+    "except_all_nations",
+    "filter_predicates",
+    "join_broadcast_nation_region",
+    "join_full_outer_nation_presence",
+    "join_range_theta",
+    "pandas_udaf_geomean",
+    "pii_scrub_stats",
+    "q14_promo_share",
 )
 
 
@@ -188,6 +186,7 @@ def load_all() -> None:
         pipeline17,
         pipeline18,
         pipeline19,
+        pipeline20,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

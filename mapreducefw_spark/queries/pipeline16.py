@@ -186,7 +186,7 @@ sh AS (
 ),
 c AS (
   SELECT source, n_docs, share,
-         SUM(share) OVER (ORDER BY share DESC, source
+         SUM(share) OVER (ORDER BY share DESC, source NULLS LAST
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_share
   FROM sh
 )
@@ -214,7 +214,7 @@ def nucleus_topp_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = per.join(F.broadcast(total)).select(
         "source", "n_docs", (F.col("n_docs").cast("double") / F.col("t")).alias("share")
     )
-    w = W.orderBy(F.desc("share"), "source").rowsBetween(
+    w = W.orderBy(F.desc("share"), F.asc_nulls_last("source")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     c = sh.select("source", "n_docs", "share", F.sum("share").over(w).alias("cum_share"))

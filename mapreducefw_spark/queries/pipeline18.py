@@ -25,7 +25,7 @@ from mapreducefw_spark.queries._util import t
     oracle="""
 SELECT event_id,
        event_type AS t_back,
-       TRY_CAST(regexp_extract(props, '"k": ?"? ?(-?\\d+) ?"?\\s*[,}]', 1) AS INT) AS k_back
+       TRY_CAST(regexp_extract(props, '"k": ?"? *(-?\\d+) *"?\\s*[,}]', 1) AS INT) AS k_back
 FROM events
 WHERE event_id < 300
 ORDER BY event_id

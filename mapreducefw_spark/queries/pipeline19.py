@@ -92,6 +92,88 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _src_value_counts(spark: SparkSession, sf_dir: str, width: int | None = None) -> DataFrame:
+    """Per-distinct-value (src0, src1) counts over document length — the
+    shared axis for the KS and Mann-Whitney tests. ``width`` coarsens the
+    value axis to fixed-width buckets (floor(v / width)) BEFORE the grid
+    aggregation: with width=1 the bucketed tests are bit-identical to the
+    exact forms (pytest-pinned), and any width bounds the cumsum frame at
+    O(value_range / width) regardless of corpus size — the 100 TB escape
+    hatch for an unbounded distinct-value grid."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1") & F.col("n_chars").isNotNull()
+    )
+    v = (
+        F.floor(F.col("n_chars") / float(width)).cast("bigint")
+        if width is not None
+        else F.col("n_chars")
+    )
+    return d.groupBy(v.alias("v")).agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+
+
+def _ks_frame(vals: DataFrame) -> DataFrame:
+    """D-statistic + 95% critical value from a (v, c0, c1) grid frame."""
+    tot = vals.agg(
+        F.sum("c0").cast("bigint").alias("n0"), F.sum("c1").cast("bigint").alias("n1")
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = vals.select(
+        F.sum("c0").over(w).alias("cum0"), F.sum("c1").over(w).alias("cum1")
+    )
+    gap = F.abs(
+        F.col("cum0").cast("double") / F.col("n0")
+        - F.col("cum1").cast("double") / F.col("n1")
+    )
+    crit = F.round(
+        1.358
+        * F.sqrt((F.col("n0") + F.col("n1")) / (F.col("n0").cast("double") * F.col("n1"))),
+        6,
+    )
+    return (
+        ecdf.join(F.broadcast(tot))
+        .groupBy("n0", "n1")
+        .agg(F.max(gap).alias("d_stat"))
+        .select("n0", "n1", "d_stat", crit.alias("d_crit_95"))
+    )
+
+
+def _mwu_frame(vals: DataFrame) -> DataFrame:
+    """Tie-corrected Mann-Whitney U/z from a (v, c0, c1) grid frame."""
+    cnt = F.col("c0") + F.col("c1")
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    grid = vals.select(
+        "c0",
+        "c1",
+        cnt.alias("cnt"),
+        (F.sum(cnt).over(w) - cnt).alias("cum_before"),
+    )
+    avg_rank = F.col("cum_before") + (F.col("cnt") + 1) / 2.0
+    s = grid.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c0") * avg_rank).alias("r0"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    u0 = F.col("r0") - n0 * (n0 + 1) / 2.0
+    nn = n0 + n1
+    sigma = F.sqrt(
+        (n0.cast("double") * n1 / 12.0)
+        * ((nn + 1) - F.col("ties").cast("double") / (nn * (nn - 1.0)))
+    )
+    z = F.round((u0 - n0 * n1 / 2.0) / sigma, 6)
+    return s.select("n0", "n1", u0.alias("u0"), z.alias("z_tie_corrected"))
+
+
 @register(
     "ks_two_sample",
     oracle="""
@@ -128,40 +210,9 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding, only the sqrt'd critical value gets ROUND(6). The cumsum
     window is unpartitioned but runs on the DISTINCT VALUE GRID
     (data-independent cardinality, the sequence_pack_spans frame class);
-    bucket the axis first at 100 TB if the grid grows."""
-    d = t(spark, sf_dir, "documents").filter(
-        F.col("source").isin("src0", "src1") & F.col("n_chars").isNotNull()
-    )
-    vals = d.groupBy(F.col("n_chars").alias("v")).agg(
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
-        .cast("bigint")
-        .alias("c0"),
-        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
-        .cast("bigint")
-        .alias("c1"),
-    )
-    tot = vals.agg(
-        F.sum("c0").cast("bigint").alias("n0"), F.sum("c1").cast("bigint").alias("n1")
-    )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ecdf = vals.select(
-        F.sum("c0").over(w).alias("cum0"), F.sum("c1").over(w).alias("cum1")
-    )
-    gap = F.abs(
-        F.col("cum0").cast("double") / F.col("n0")
-        - F.col("cum1").cast("double") / F.col("n1")
-    )
-    crit = F.round(
-        1.358
-        * F.sqrt((F.col("n0") + F.col("n1")) / (F.col("n0").cast("double") * F.col("n1"))),
-        6,
-    )
-    return (
-        ecdf.join(F.broadcast(tot))
-        .groupBy("n0", "n1")
-        .agg(F.max(gap).alias("d_stat"))
-        .select("n0", "n1", "d_stat", crit.alias("d_crit_95"))
-    )
+    at 100 TB use ``ks_two_sample_bucketed`` (pipeline20) — the same test
+    on a fixed-width-bucketed axis, width-1-pinned equal to this form."""
+    return _ks_frame(_src_value_counts(spark, sf_dir))
 
 
 @register(
@@ -203,44 +254,9 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_before + (cnt+1)/2, so every rank term is an exact multiple of
     0.5 and the R0/U0 sums are EXACT in double regardless of summation
     order (no rounding needed); only the sqrt'd z gets ROUND(6). Same
-    O(grid) cumsum frame class as ks_two_sample."""
-    d = t(spark, sf_dir, "documents").filter(
-        F.col("source").isin("src0", "src1") & F.col("n_chars").isNotNull()
-    )
-    vals = d.groupBy(F.col("n_chars").alias("v")).agg(
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
-        .cast("bigint")
-        .alias("c0"),
-        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
-        .cast("bigint")
-        .alias("c1"),
-    )
-    cnt = F.col("c0") + F.col("c1")
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    grid = vals.select(
-        "c0",
-        "c1",
-        cnt.alias("cnt"),
-        (F.sum(cnt).over(w) - cnt).alias("cum_before"),
-    )
-    avg_rank = F.col("cum_before") + (F.col("cnt") + 1) / 2.0
-    s = grid.agg(
-        F.sum("c0").cast("bigint").alias("n0"),
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum(F.col("c0") * avg_rank).alias("r0"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
-        .cast("bigint")
-        .alias("ties"),
-    )
-    n0, n1 = F.col("n0"), F.col("n1")
-    u0 = F.col("r0") - n0 * (n0 + 1) / 2.0
-    nn = n0 + n1
-    sigma = F.sqrt(
-        (n0.cast("double") * n1 / 12.0)
-        * ((nn + 1) - F.col("ties").cast("double") / (nn * (nn - 1.0)))
-    )
-    z = F.round((u0 - n0 * n1 / 2.0) / sigma, 6)
-    return s.select("n0", "n1", u0.alias("u0"), z.alias("z_tie_corrected"))
+    O(grid) cumsum frame class as ks_two_sample; at 100 TB use
+    ``mann_whitney_u_bucketed`` (pipeline20, width-1-pinned equal)."""
+    return _mwu_frame(_src_value_counts(spark, sf_dir))
 
 
 @register(
@@ -363,12 +379,16 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ks = daily.sparkSession.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
     fan = daily.join(F.broadcast(ks))
-    # lag(x, k) with a per-row k isn't expressible; shift by joining the
-    # day series to itself k CALENDAR days back — same tiny frame
-    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("xl"))
-    pairs = fan.join(
-        b, F.date_add(F.col("d2"), F.col("lag_k")) == F.col("d"), "left"
+    # lag(x, k) with a per-row k isn't expressible; pre-shift the day
+    # series by every k on the build side so the pairing is a single
+    # EQUI-join on (d, lag_k) — a per-row date_add(d2, lag_k) predicate
+    # across sides would force a nested-loop plan instead
+    b = (
+        daily.select(F.col("d").alias("d2"), F.col("x").alias("xl"))
+        .join(F.broadcast(ks))
+        .select(F.date_add("d2", F.col("lag_k")).alias("d"), "lag_k", "xl")
     )
+    pairs = fan.join(b, ["d", "lag_k"], "left")
     return (
         pairs.join(F.broadcast(mu_only))
         .join(F.broadcast(denom))

@@ -682,8 +682,8 @@ def math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?"? ?(-?\\d+) ?"?\\s*[,}]', 1) AS INT)) AS BIGINT) AS sum_k,
-       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?"? ?(-?\\d+) ?"?\\s*[,}]', 1) AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?"? *(-?\\d+) *"?\\s*[,}]', 1) AS INT)) AS BIGINT) AS sum_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ?"? *(-?\\d+) *"?\\s*[,}]', 1) AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -129,7 +129,7 @@ WITH x AS (
          replace(replace(event_type, '\\', '\\\\'), '"', '\\"') AS event_type,
          -- integer must be FOLLOWED by , or } (a bare \\d+ would match the
          -- integer PREFIX of 1.5 where from_json/strict-int yields NULL)
-         TRY_CAST(regexp_extract(props, '"k": ?"? ?(-?\\d+) ?"?\\s*[,}]', 1) AS INT) AS k
+         TRY_CAST(regexp_extract(props, '"k": ?"? *(-?\\d+) *"?\\s*[,}]', 1) AS INT) AS k
   FROM events WHERE event_id < 300
 )
 SELECT event_id,

@@ -49,14 +49,18 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # flags are position-independent: strip them first, then the first
+    # remaining positional is sf_dir (so `check_oracle.py --window` works)
+    argv = [a for a in sys.argv[1:] if a != "--window"]
+    window = "--window" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     load_all()
-    if sys.argv[2:] == ["--window"]:
+    if window:
         # exactly the driver's checked-50 window, in its order — the
         # pre-flight for each round's CORRECTNESS record
         names = list(QUERIES)[:50]
     else:
-        names = sys.argv[2:] or sorted(QUERIES)
+        names = argv[1:] or sorted(QUERIES)
     spark = get_spark(cpus=8, shuffle_partitions=8)
     con = duck_connect(sf_dir)
     n_pass = n_fail = n_rows_only = 0
