@@ -126,9 +126,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "json_extract_events",
     "to_json_roundtrip",
     "nucleus_topp_sources",
-    # -- (d) new round-8 registrations
-    "ks_two_sample_bucketed",
-    "mann_whitney_u_bucketed",
+    # -- (d) new round-8 composition (r8 verdict order #4 requires a
+    #        binding CORRECTNESS row; the other 14 r8 registrations are
+    #        check_oracle-verified and queue FIRST for the r9 window so
+    #        every remaining slot drains the r3 pool per order #5)
     "corpus_prep_pipeline",
     # -- (e) r3-vintage re-verifies, stalest-first per tools/stale_report.py
     "agg_supplier_stats",
@@ -146,6 +147,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "pandas_udaf_geomean",
     "pii_scrub_stats",
     "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
 )
 
 
@@ -187,6 +190,7 @@ def load_all() -> None:
         pipeline18,
         pipeline19,
         pipeline20,
+        pipeline21,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -988,6 +988,246 @@ def main() -> None:
             ),
         )
 
+        # round 8: chi-square contingency — (type, dow) cell counts grow
+        # with data only until the vocabulary saturates; the test itself is
+        # O(cells) arithmetic on two broadcast marginal frames. The probe
+        # shows the map-combined shuffle is the whole cost.
+        obs8 = (
+            evk.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+            .groupBy("event_type", (F.weekday("ts") + 1).alias("dow"))
+            .agg(F.count(F.lit(1)).alias("o"))
+        )
+        m8 = obs8.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+        c8 = obs8.groupBy("dow").agg(F.sum("o").alias("col_tot"))
+        n8 = obs8.agg(F.sum("o").alias("total"))
+        e8 = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+        timed(
+            "chi2_contingency",
+            k,
+            obs8.join(F.broadcast(m8), "event_type")
+            .join(F.broadcast(c8), "dow")
+            .join(F.broadcast(n8))
+            .agg(F.sum(F.pow(F.col("o") - e8, 2) / e8).alias("chi2")),
+        )
+
+        # round 8: KS/MWU value-grid cumsum — the exact form's distinct
+        # grid GROWS here (values salted per copy), while the bucketed
+        # escape hatch keeps a bounded axis. Probed as the rank-sum fold
+        # (the MWU shape; KS shares the identical grid + cumsum).
+        vals8 = (
+            docs.filter(F.col("n_chars").isNotNull())
+            .select(
+                (F.col("n_chars") * k + F.col("doc_id") % max(k, 1)).alias("v"),
+                (F.col("doc_id") % 2 == 0).alias("g"),
+            )
+            .groupBy("v")
+            .agg(
+                F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("c0"),
+                F.sum(F.when(~F.col("g"), 1).otherwise(0)).alias("c1"),
+            )
+        )
+        from pyspark.sql import Window as W8
+
+        cw8 = W8.orderBy("v").rowsBetween(W8.unboundedPreceding, W8.currentRow)
+        cnt8 = F.col("c0") + F.col("c1")
+        timed(
+            "mwu_grid_exact",
+            k,
+            vals8.select(
+                "c0", cnt8.alias("cnt"), (F.sum(cnt8).over(cw8) - cnt8).alias("cb")
+            ).agg(
+                F.sum(F.col("c0") * (F.col("cb") + (F.col("cnt") + 1) / 2.0)).alias("r0")
+            ),
+        )
+        vals8b = (
+            docs.filter(F.col("n_chars").isNotNull())
+            .select(
+                F.floor((F.col("n_chars") * k + F.col("doc_id") % max(k, 1)) / 16.0)
+                .alias("v"),
+                (F.col("doc_id") % 2 == 0).alias("g"),
+            )
+            .groupBy("v")
+            .agg(
+                F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("c0"),
+                F.sum(F.when(~F.col("g"), 1).otherwise(0)).alias("c1"),
+            )
+        )
+        timed(
+            "mwu_grid_bucketed",
+            k,
+            vals8b.select(
+                "c0", cnt8.alias("cnt"), (F.sum(cnt8).over(cw8) - cnt8).alias("cb")
+            ).agg(
+                F.sum(F.col("c0") * (F.col("cb") + (F.col("cnt") + 1) / 2.0)).alias("r0")
+            ),
+        )
+
+        # round 8: Gini — two-phase global rank over per-customer spend
+        # (customers re-keyed so the ranked population grows k-fold), then
+        # the Σ i*x fold. No unpartitioned window anywhere.
+        from mapreducefw_spark.operators.rank import global_rank_running as grr8
+
+        cust8 = multiplied(
+            spark.read.parquet(f"{SF_DIR}/customer.parquet"), ["c_custkey"], k
+        )
+        spend8 = (
+            cust8.join(
+                orders.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+                "c_custkey",
+                "left",
+            )
+            .groupBy("c_custkey")
+            .agg(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(12,2)")).alias("x"))
+        )
+        timed(
+            "gini_rank_fold",
+            k,
+            grr8(spend8, [F.col("x"), F.col("c_custkey")])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("global_rank") * F.col("x")).alias("sixi"),
+            ),
+        )
+
+        # round 8: ACF calendar-lag spine — the daily aggregate grows with
+        # data but the day grid is calendar-bounded, so the 7-lag equi-join
+        # runs on a constant-size frame whatever k is. The probe cost is
+        # the daily agg scan, which is the honest 100 TB cost too.
+        daily8 = (
+            orders.filter(F.col("o_orderdate").isNotNull())
+            .groupBy(F.to_date("o_orderdate").alias("d"))
+            .agg(F.sum(dec("o_totalprice")).cast("double").alias("x"))
+        )
+        ks8 = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+        b8 = (
+            daily8.select(F.col("d").alias("d2"), F.col("x").alias("xl"))
+            .join(F.broadcast(ks8))
+            .select(F.date_add("d2", F.col("lag_k")).alias("d"), "lag_k", "xl")
+        )
+        timed(
+            "acf_lag_spine",
+            k,
+            daily8.join(F.broadcast(ks8))
+            .join(b8, ["d", "lag_k"], "left")
+            .groupBy("lag_k")
+            .agg(F.count("xl").alias("n_pairs"), F.sum(F.col("x") * F.col("xl")).alias("sxy")),
+        )
+
+        # round 8: session-conversion window chain — lag flag + running-sum
+        # session id + session reduce, all sharing the user-hash exchange;
+        # users re-keyed per copy so session count grows with data.
+        wsc = W8.partitionBy("user_id").orderBy("ts", "event_id")
+        mic8 = F.unix_micros(F.col("ts"))
+        ns8 = F.when(
+            (mic8 - F.lag(mic8).over(wsc)).isNull()
+            | ((mic8 - F.lag(mic8).over(wsc)) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0)
+        flagged8 = evk.filter(F.col("ts").isNotNull()).select(
+            "user_id", "event_type", "ts", "event_id", ns8.alias("new_session")
+        )
+        sid8 = F.sum("new_session").over(
+            wsc.rowsBetween(W8.unboundedPreceding, W8.currentRow)
+        )
+        timed(
+            "session_conversion_chain",
+            k,
+            flagged8.select("user_id", "event_type", sid8.alias("sess_id"))
+            .groupBy("user_id", "sess_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cv"),
+            )
+            .groupBy("cv")
+            .agg(F.count(F.lit(1)).alias("n_sessions")),
+        )
+
+        # round 8: kfold stratum deal — the lang-partitioned row_number.
+        # Stratum COUNT is constant while rows grow k-fold, so each lang's
+        # window partition grows without bound: single-task-per-stratum by
+        # construction. Honest ratio note below points to the two-phase
+        # per-stratum rank as the real 100 TB path.
+        timed(
+            "kfold_stratum_deal",
+            k,
+            docs.select(
+                "doc_id",
+                "lang",
+                (
+                    (
+                        F.row_number().over(
+                            W8.partitionBy("lang").orderBy(
+                                F.md5(F.col("doc_id").cast("string")), "doc_id"
+                            )
+                        )
+                        - 1
+                    )
+                    % 5
+                ).alias("fold"),
+            )
+            .groupBy("lang", "fold")
+            .agg(F.count(F.lit(1)).alias("n")),
+        )
+
+        # round 8: the corpus-prep composition (gates -> md5 dedup ->
+        # gram decontam -> per-source folds) end-to-end under corpus
+        # growth — the integration probe for corpus_prep_pipeline.
+        from mapreducefw_spark.queries.pipeline20 import (
+            CONTAM_MOD as CM8,
+            DECONTAM_MAX as DM8,
+        )
+
+        toks8 = F.filter(F.split("text", " "), lambda x: x != "")
+        base8 = docs.filter(
+            F.col("text").isNotNull() & F.col("source").isNotNull()
+        ).select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(toks8).cast("bigint").alias("n_words"),
+            (F.col("doc_id") % CM8 == 0).alias("is_bench"),
+            (
+                F.size(toks8).between(20, 1000)
+                & (F.size(F.filter(toks8, lambda x: x.rlike("[a-zA-Z]"))) * 1.0
+                   / F.greatest(F.size(toks8), F.lit(1)) >= 0.8)
+            ).alias("passes"),
+        )
+        q8 = base8.filter(~F.col("is_bench") & F.col("passes"))
+        dw8 = W8.partitionBy(F.md5("text")).orderBy("doc_id")
+        uniq8 = q8.withColumn("rn", F.row_number().over(dw8)).filter(F.col("rn") == 1)
+        gh8 = F.when(
+            F.size(F.split("text", " ")) >= 5,
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 4), "
+                    "i -> xxhash64(array_join(slice(split(text, ' '), i, 5), ' ')))"
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        grams8 = uniq8.select("doc_id", "source", "n_words", gh8.alias("gh"))
+        bench8 = base8.filter("is_bench").select(F.explode(gh8).alias("h")).distinct()
+        hits8 = (
+            grams8.select("doc_id", F.explode("gh").alias("h"))
+            .join(bench8, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        timed(
+            "corpus_prep_chain",
+            k,
+            grams8.join(hits8, "doc_id", "left")
+            .filter(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.greatest(F.size("gh"), F.lit(1))
+                <= DM8
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_clean"),
+                F.sum("n_words").alias("n_tokens"),
+            ),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
@@ -1034,6 +1274,25 @@ def main() -> None:
         "inverted_postings_growth": (
             "fixed vocabulary, postings grow k-fold — gram-instance-linear "
             "by design; the registered form caps/salts head terms at scale"
+        ),
+        "kfold_stratum_deal": (
+            "lang-partitioned row_number: stratum count is CONSTANT while "
+            "rows grow, so each stratum is one ever-growing window task — "
+            "fine at bucket scale, but the 100 TB path is the two-phase "
+            "per-stratum global rank (operators/rank.py) or hash%k folds "
+            "when per-stratum balance-to-±1 isn't required"
+        ),
+        "mwu_grid_exact": (
+            "distinct-value grid salted to grow with k — demonstrates the "
+            "exact form's unbounded axis; compare mwu_grid_bucketed, whose "
+            "bucketed axis holds the cumsum frame near-constant (the "
+            "registered *_bucketed escape hatch)"
+        ),
+        "corpus_prep_chain": (
+            "both the corpus and its benchmark slice grow with k (gram "
+            "join both sides), same pessimistic-vs-deployment caveat as "
+            "ngram_overlap_decontam; stages chain without re-scans via "
+            "Catalyst plan reuse"
         ),
         "ngram_decontam_fixed_bench": (
             "the DEPLOYMENT shape: fixed-size eval-suite gram set "

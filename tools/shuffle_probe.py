@@ -54,6 +54,14 @@ PROBED = {
     "inverted_index_postings": (["documents"], "postings build: (token, doc) partials after map-side combine; text stays map-side"),
     "twap_user_daily": (["events"], "TWAP: one (user, day) exchange reused by window AND aggregation"),
     "dedup_rate_by_source": (["documents"], "dedup KPI: md5(text)-keyed exchange — hashes + ids, never text"),
+    # round 8
+    "chi_square_independence": (["events"], "chi-square: map-combined (type, dow) cell counts — vocabulary-sized, marginals broadcast"),
+    "mann_whitney_u": (["documents"], "MWU: per-distinct-length partials, then an O(grid) cumsum; raw docs never shuffle"),
+    "gini_customer_spend": (["customer", "orders"], "Gini: per-customer spend partials + ONE range exchange for the two-phase rank"),
+    "acf_daily_revenue": (["orders"], "ACF: daily partial-agg exchange; the 7-lag spine join runs on the calendar-bounded day grid"),
+    "session_conversion_bounce": (["events"], "session chain: one user-hash exchange shared by both windows and the session reduce"),
+    "kfold_assignment": (["documents"], "kfold: one lang-keyed exchange of (doc_id, md5) pairs; fold is arithmetic"),
+    "corpus_prep_pipeline": (["documents"], "corpus prep: md5 dedup keys + 8-byte gram hashes + bucket-sized per-source frames; raw text shuffles only in the md5-keyed dedup carry"),
 }
 
 
