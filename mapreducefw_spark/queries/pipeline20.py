@@ -206,13 +206,14 @@ joined AS (
 ),
 tot AS (SELECT SUM(n_tokens) AS tt FROM joined),
 w AS (
-  SELECT joined.*, power(n_tokens / tot.tt, {PREP_ALPHA}) AS raw_w
+  SELECT joined.*,
+         CASE WHEN tot.tt > 0 THEN power(n_tokens / tot.tt, {PREP_ALPHA}) ELSE 0 END AS raw_w
   FROM joined CROSS JOIN tot
 ),
 z AS (SELECT SUM(raw_w) AS z FROM w)
 SELECT source, n_docs, n_quality, n_unique, n_clean, n_tokens,
-       ROUND(raw_w / z.z, 6) AS mix_weight,
-       CAST(floor(raw_w / z.z * {PREP_BUDGET}) AS BIGINT) AS alloc_tokens,
+       ROUND(CASE WHEN z.z > 0 THEN raw_w / z.z ELSE 0 END, 6) AS mix_weight,
+       CAST(floor(CASE WHEN z.z > 0 THEN raw_w / z.z ELSE 0 END * {PREP_BUDGET}) AS BIGINT) AS alloc_tokens,
        n_shards_used, max_shard_docs
 FROM w CROSS JOIN z
 ORDER BY source
@@ -355,10 +356,14 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = joined.agg(F.sum("n_tokens").alias("tt"))
-    w = joined.crossJoin(F.broadcast(tot)).select(
-        "*", F.pow(F.col("n_tokens") / F.col("tt"), F.lit(PREP_ALPHA)).alias("raw_w")
-    )
+    # tt == 0 (every doc gated out) would make n_tokens/tt NaN and poison
+    # pow/floor differently per engine — weight 0 is the defined answer
+    raw_w = F.when(
+        F.col("tt") > 0, F.pow(F.col("n_tokens") / F.col("tt"), F.lit(PREP_ALPHA))
+    ).otherwise(F.lit(0.0))
+    w = joined.crossJoin(F.broadcast(tot)).select("*", raw_w.alias("raw_w"))
     z = w.agg(F.sum("raw_w").alias("z"))
+    mix = F.when(F.col("z") > 0, F.col("raw_w") / F.col("z")).otherwise(F.lit(0.0))
     return (
         w.crossJoin(F.broadcast(z))
         .select(
@@ -368,10 +373,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique",
             "n_clean",
             "n_tokens",
-            F.round(F.col("raw_w") / F.col("z"), 6).alias("mix_weight"),
-            F.floor(F.col("raw_w") / F.col("z") * PREP_BUDGET)
-            .cast("bigint")
-            .alias("alloc_tokens"),
+            F.round(mix, 6).alias("mix_weight"),
+            F.floor(mix * PREP_BUDGET).cast("bigint").alias("alloc_tokens"),
             "n_shards_used",
             "max_shard_docs",
         )

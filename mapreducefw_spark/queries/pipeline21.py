@@ -399,19 +399,22 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = daily.select(F.date_add("d", 1).alias("d"), F.col("x").alias("xb"))
     pairs = daily.join(prev, "d")
+    # GLOBAL aggregate, not groupBy(n_days, ss): with zero consecutive-day
+    # pairs a grouped agg returns 0 rows while the oracle's bare aggregate
+    # returns 1 (COUNT 0, NULL dw) — the empty-group cross-engine trap
+    sums = pairs.join(F.broadcast(mu.select("m"))).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.pow((F.col("x") - F.col("m")) - (F.col("xb") - F.col("m")), 2)
+        ).alias("num"),
+    )
     return (
-        pairs.join(F.broadcast(mu))
-        .join(F.broadcast(den))
-        .groupBy("n_days", "ss")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(
-                F.sum(F.pow((F.col("x") - F.col("m")) - (F.col("xb") - F.col("m")), 2))
-                / F.max("ss"),
-                6,
-            ).alias("dw"),
+        mu.select("n_days")
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "n_days", "n_pairs", F.round(F.col("num") / F.col("ss"), 6).alias("dw")
         )
-        .select("n_days", "n_pairs", "dw")
     )
 
 
@@ -531,9 +534,10 @@ def jsd_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("c0").cast("double") / F.col("n0")
     q = F.col("c1").cast("double") / F.col("n1")
-    return (
-        cnt.join(F.broadcast(tot))
-        .groupBy("n_tokens_union")
+    # GLOBAL aggregate so an empty vocabulary still yields the oracle's
+    # single (0, NULL) row — same empty-group trap as durbin_watson_daily
+    sums = (
+        cnt.join(F.broadcast(tot.select("n0", "n1")))
         .agg(
             F.round(
                 F.sum(F.when(p > 0, 0.5 * p * F.log(2 * p / (p + q))).otherwise(0.0))
@@ -541,7 +545,10 @@ def jsd_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jsd_nats")
         )
-        .select(F.col("n_tokens_union").cast("bigint").alias("n_tokens_union"), "jsd_nats")
+    )
+    return (
+        tot.select(F.col("n_tokens_union").cast("bigint").alias("n_tokens_union"))
+        .crossJoin(F.broadcast(sums))
     )
 
 
@@ -554,7 +561,7 @@ WITH c AS (
 ),
 r AS (
   SELECT o_orderstatus, o_orderpriority, n,
-         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rk
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority NULLS LAST) AS rk
   FROM c
 )
 SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
@@ -575,7 +582,7 @@ def mode_deterministic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     rk = F.row_number().over(
-        W.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+        W.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc_nulls_last("o_orderpriority"))
     )
     return (
         c.withColumn("rk", rk)

@@ -95,6 +95,21 @@ EDGE_QUERIES = [
     "ks_two_sample",
     # tie-heavy tiny samples are exactly the MWU average-rank stress case
     "mann_whitney_u",
+    # round 8: bucketed drift tests collapse the tiny edge grid into 1-2
+    # buckets (maximal coarsening); Welch/JSD run on the same sparse
+    # src0/src1 slices; ROUGE pairs skip NULL-text refs/absent cands;
+    # langid must call NULL-lang rows out (filtered) and empty tokens in;
+    # the corpus-prep composition gates EVERY edge doc out (n_words < 20)
+    # -> all-zero funnels and guarded 0 mix weights, not NaN
+    "ks_two_sample_bucketed",
+    "mann_whitney_u_bucketed",
+    "welch_t_test",
+    "jsd_token_drift",
+    "rouge1_recall_pairs",
+    "hhi_source_concentration",
+    "langid_confusion_matrix",
+    "percentile_cont_by_source",
+    "corpus_prep_pipeline",
 ]
 
 ROWS = [

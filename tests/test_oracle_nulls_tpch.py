@@ -66,6 +66,11 @@ EDGE_QUERIES = [
     "gini_customer_spend",
     # NULL dates drop out of the day grid; NULL/sub-1 prices out of Benford
     "acf_daily_revenue", "benford_first_digit",
+    # round 8: tie-heavy tiny columns stress Spearman's average ranks;
+    # NULL-price days ride the EWMA/DW/seasonal day grids as NULL x both
+    # engines; mode ties break (n desc, priority NULLS LAST) — pinned
+    "spearman_rho_qty_price", "ewma_daily_revenue", "durbin_watson_daily",
+    "mode_deterministic_priority", "seasonal_index_dow",
 ]
 
 _D = datetime
