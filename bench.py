@@ -86,6 +86,10 @@ HEADLINE = [
     "bitmap_exact_distinct",
     "event_pair_pmi",
     "inverted_index_postings",
+    # round 8: one-pass calendar-lag ACF (order #6) + the end-to-end
+    # corpus-prep composition (order #4)
+    "acf_daily_revenue",
+    "corpus_prep_pipeline",
 ]
 
 

@@ -54,6 +54,10 @@ PUSHDOWN_REQUIRED = {
     "zipf_alpha_by_source",
     "event_pair_pmi",
     "inverted_index_postings",
+    # round 8 (corpus_prep_pipeline is NOT here: its gated/grams frames
+    # are localCheckpoint-pinned like minhash — pushdown lives in the
+    # checkpoint subplans, invisible to the final plan string)
+    "acf_daily_revenue",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in
@@ -75,6 +79,12 @@ BNL_ALLOWED = {
     "group_aware_split": 1,
     # the 1-row distinct-user-count broadcast (no join condition -> BNL)
     "event_pair_pmi": 1,
+    # round 8: the 7-row lag-spine broadcasts (x2: fan + pre-shift) and
+    # the 1-row mean/denominator broadcasts — all calendar/O(1) frames
+    "acf_daily_revenue": 5,
+    # the 1-row token-total and weight-normalizer broadcasts + the
+    # no-condition nt/nd-style cross of bucket-sized funnel frames
+    "corpus_prep_pipeline": 3,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'
@@ -97,6 +107,10 @@ MIN_BROADCAST = {
     "bloom_decontaminate": 5,
     # per-type totals broadcast onto the pair frame (ca + cb)
     "event_pair_pmi": 2,
+    # the (d, lag_k) equi-join of the day grid must stay broadcast
+    "acf_daily_revenue": 1,
+    # gram-hit join + funnel-count joins on bucket-sized frames
+    "corpus_prep_pipeline": 5,
 }
 
 
