@@ -191,6 +191,7 @@ def load_all() -> None:
         pipeline19,
         pipeline20,
         pipeline21,
+        pipeline22,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -1,0 +1,623 @@
+"""Round-8 batch 3: ML-prep encodings, sketch-accuracy audit, robust
+trend/changepoint detection, and the scalable band-join pattern.
+
+Semantic contract with the reference engine: each query is the
+map -> shuffle-by-key -> reduce -> sort job shape
+(`/root/reference/MapReduceClient.h:47-51`, `MRFCore.cpp:252-446`).
+
+Scale posture:
+- ``target_encoding_smoothed`` / ``feature_hashing_counts``: one
+  map-combined categorical shuffle each, O(categories/buckets) output.
+- ``minhash_accuracy_report``: the md5-portable signature build is
+  map-only; the pair set is an id-arithmetic equi-join (never a cross
+  join); the report is O(similarity buckets).
+- ``theil_sen_trend`` / ``cusum_changepoint``: the day grid is
+  calendar-bounded, so the O(days²) pair frame and the ordered cumsum
+  are fixed-size whatever the fact volume is (the acf_daily_revenue
+  argument).
+- ``band_join_prices``: bucketed band join — each row joins only its own
+  and adjacent eps-buckets (3 equi-probes), never the O(n²) theta plan
+  the oracle is allowed to use single-node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.queries import register
+from mapreducefw_spark.queries._util import dec, t
+
+ENC_K = 10  # pseudo-count weight of the global prior in target encoding
+
+
+@register(
+    "target_encoding_smoothed",
+    oracle=f"""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DECIMAL(12,2)) AS v
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(v) AS DECIMAL(18,2)) AS s_all
+  FROM j
+),
+per AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS DECIMAL(18,2)) AS s
+  FROM j GROUP BY seg
+)
+SELECT seg,
+       n AS n_orders,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS raw_mean,
+       ROUND((CAST(s AS DOUBLE) + {ENC_K} * (CAST(s_all AS DOUBLE) / n_all))
+             / (n + {ENC_K}), 6) AS encoded_mean
+FROM per, g
+ORDER BY seg NULLS LAST
+""",
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of the customer market segment
+    against order value — the standard high-cardinality categorical
+    encoder: enc = (Σ_cat + k·global_mean) / (n_cat + k), shrinking rare
+    categories toward the prior (k=10 pseudo-counts) so a 2-row category
+    can't memorize its targets. Sums stay exact DECIMAL on both engines;
+    the encoded mean divides identical operands; ROUND(6). One fact join
+    + map-combined per-category partials + a 1-row broadcast prior —
+    the same plan at 10^9 categories. NULL segment is its own category
+    (NULLS LAST pinned both sides)."""
+    j = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull()),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("seg"), dec("o_totalprice").alias("v"))
+    )
+    g = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("v").cast("decimal(18,2)").alias("s_all"),
+    )
+    per = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(18,2)").alias("s"),
+    )
+    prior = F.col("s_all").cast("double") / F.col("n_all")
+    return (
+        per.join(F.broadcast(g))
+        .select(
+            "seg",
+            F.col("n").alias("n_orders"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("raw_mean"),
+            F.round(
+                (F.col("s").cast("double") + ENC_K * prior) / (F.col("n") + ENC_K), 6
+            ).alias("encoded_mean"),
+        )
+        .orderBy(F.asc_nulls_last("seg"))
+    )
+
+
+HASH_BUCKETS = 1024  # feature-hashing trick dimensionality
+
+
+@register(
+    "feature_hashing_counts",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+hashed AS (
+  SELECT tok,
+         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % {HASH_BUCKETS} AS bucket,
+         COUNT(*) AS n
+  FROM toks GROUP BY 1, 2
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM hashed
+GROUP BY bucket
+ORDER BY n_occurrences DESC, bucket
+LIMIT 20
+""",
+)
+def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-hashing trick audited: tokens deal into 1024 buckets
+    by 48-bit md5 prefix (engine/run-deterministic, the group_aware_split
+    idiom), reporting the 20 heaviest buckets with their collision count
+    (distinct tokens sharing the bucket) and total occurrences — what a
+    hashingTF user checks before fixing the dimensionality. Two
+    map-combined shuffles ((tok, bucket) then bucket), O(buckets) frame,
+    top-20 by (occurrences desc, bucket) total order."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint") % HASH_BUCKETS
+    )
+    hashed = toks.groupBy("tok", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+            F.sum("n").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bucket")
+        .limit(20)
+    )
+
+
+def _mh_pair_oracle(num_hashes: int = 8) -> str:
+    hs = ",\n    ".join(
+        "list_aggregate(list_transform(w, t -> CAST(('0x' || substr(md5(t || ':"
+        f"{i}'), 1, 8)) AS BIGINT)), 'min') AS h{i}"
+        for i in range(num_hashes)
+    )
+    eq = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+sig AS (
+  SELECT doc_id, w,
+    {hs}
+  FROM tk
+),
+pairs AS (
+  SELECT a.doc_id AS id_a,
+         CAST(({eq}) AS DOUBLE) / {num_hashes} AS est,
+         CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+           / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS exact
+  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0 AND len(a.w) > 0 AND len(b.w) > 0
+)
+SELECT LEAST(CAST(FLOOR(exact * 10) AS INT), 9) AS exact_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(exact), 6) AS avg_exact,
+       ROUND(AVG(est), 6) AS avg_est,
+       ROUND(AVG(ABS(est - exact)), 6) AS mean_abs_err
+FROM pairs
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("minhash_accuracy_report", oracle=_mh_pair_oracle())
+def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the portable (md5-family) minhash:
+    estimated Jaccard (fraction of equal signature mins, k=8) vs EXACT
+    Jaccard over deterministic (even id, id+1) doc pairs, summarized per
+    exact-similarity decile — the calibration table that justifies (or
+    indicts) the k chosen for minhash_dedup_pairs. Both engines compute
+    identical md5 mins (minhash_signatures_portable contract) and exact
+    int/int set ratios; averages fold ≤ bucket-count terms, ROUND(6).
+    Signature build is map-only; the pair set is an id-arithmetic
+    equi-join; output is O(10) rows."""
+    from mapreducefw_spark.operators.dedup import portable_minhash_signatures
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sig = portable_minhash_signatures(docs).select(
+        "doc_id", *[f"h{i}" for i in range(8)]
+    )
+    w = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("w"))
+    sw = sig.join(w, "doc_id")
+    a = sw.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("w").alias("wa"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(8)],
+    ).filter((F.col("id_a") % 2 == 0) & (F.size("wa") > 0))
+    b = sw.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("w").alias("wb"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(8)],
+    ).filter(F.size("wb") > 0)
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    exact = inter / (F.size("wa") + F.size("wb") - F.size(F.array_intersect("wa", "wb")))
+    est = (
+        sum(
+            F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+            for i in range(8)
+        ).cast("double")
+        / 8
+    )
+    pairs = a.join(b, "id_a").select(est.alias("est"), exact.alias("exact"))
+    bucket = F.least(F.floor(F.col("exact") * 10).cast("int"), F.lit(9))
+    return (
+        pairs.groupBy(bucket.alias("exact_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("exact"), 6).alias("avg_exact"),
+            F.round(F.avg("est"), 6).alias("avg_est"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), 6).alias(
+                "mean_abs_err"
+            ),
+        )
+        .orderBy("exact_bucket")
+    )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS x
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+),
+slopes AS (
+  SELECT (b.x - a.x) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b ON b.d > a.d
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+FROM slopes
+""",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all pairwise
+    day-to-day slopes — the estimator that shrugs off the outlier days
+    that wreck an OLS fit (ols_price_size_by_brand's failure mode).
+    Slopes are identical (double − double) / integer-days expressions per
+    pair; the exact interpolated median over identical multisets matches
+    type-7 on both engines; ROUND(6). The O(days²) pair frame is
+    CALENDAR-BOUNDED (≈3M pairs for 7 years — fixed whatever the fact
+    volume), so the broadcast range self-join never grows with data; the
+    scan cost is one daily exact-DECIMAL aggregate."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("x"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    slopes = daily.join(b, F.col("d2") > F.col("d")).select(
+        ((F.col("x2") - F.col("x")) / F.datediff("d2", "d")).alias("slope")
+    )
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theil_sen_slope"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "theil_sen_slope")
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS x
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+),
+mu AS (SELECT SUM(x) / COUNT(*) AS m, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+cum AS (
+  SELECT d,
+         SUM(x - (SELECT m FROM mu)) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM daily
+),
+mx AS (SELECT MAX(ABS(s)) AS max_abs FROM cum)
+SELECT (SELECT n_days FROM mu) AS n_days,
+       ROUND(max_abs, 6) AS max_abs_cusum,
+       MIN(d) AS changepoint_day
+FROM cum, mx
+WHERE ABS(s) = max_abs
+GROUP BY max_abs
+""",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily revenue: S_t = Σ(x_d − μ) in
+    date order; the day maximizing |S_t| is the classic single-
+    changepoint estimate (where the level shift happened), |S| its
+    evidence. The ordered cumsum folds in the SAME deterministic order on
+    both engines, so the doubles are bit-identical and the argmax
+    equality filter is exact (ties → earliest day). The unpartitioned
+    window runs on the CALENDAR-BOUNDED day grid — the documented
+    sequence_pack_spans frame class, never data-sized."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("x"))
+    )
+    mu = daily.agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    cw = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        daily.join(F.broadcast(mu.select("m")))
+        .select("d", F.sum(F.col("x") - F.col("m")).over(cw).alias("s"))
+    )
+    mx = cum.agg(F.max(F.abs("s")).alias("max_abs"))
+    return (
+        cum.join(F.broadcast(mx))
+        .filter(F.abs("s") == F.col("max_abs"))
+        .groupBy("max_abs")
+        .agg(F.min("d").alias("changepoint_day"))
+        .crossJoin(F.broadcast(mu.select("n_days")))
+        .select(
+            "n_days",
+            F.round("max_abs", 6).alias("max_abs_cusum"),
+            "changepoint_day",
+        )
+    )
+
+
+@register(
+    "dow_adjusted_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, isodow(CAST(o_orderdate AS DATE)) AS dow,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS x
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT dow,
+         (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+           / (SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) FROM daily) AS seasonal
+  FROM daily GROUP BY dow
+),
+adj AS (
+  SELECT d, daily.dow, CAST(x AS DOUBLE) AS x,
+         CAST(x AS DOUBLE) / seasonal AS a
+  FROM daily JOIN idx ON daily.dow = idx.dow
+),
+st AS (
+  SELECT AVG(a) AS m,
+         SQRT((SUM(a * a) - SUM(a) * SUM(a) / COUNT(*)) / (COUNT(*) - 1)) AS sd
+  FROM adj
+)
+SELECT d, dow,
+       ROUND(x, 2) AS revenue,
+       ROUND(a, 4) AS adjusted,
+       ROUND((a - m) / sd, 4) AS z
+FROM adj, st
+WHERE ABS((a - m) / sd) > 2.5
+ORDER BY d
+""",
+)
+def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted revenue anomalies: divide each day by its
+    day-of-week seasonal index (seasonal_index_dow's factor), z-score the
+    adjusted series, flag |z| > 2.5 — the monitor that doesn't page every
+    Sunday just because Sundays are slow, composing the seasonal and
+    zscore operators. Daily sums and the index stay exact-decimal-derived;
+    the adjusted mean/sd fold doubles (engine fold order differs ~1e-12
+    relative — far below both the 2.5 gate and ROUND(4), same exposure
+    class as events_zscore_anomalies). Day-grid frames throughout."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            (F.weekday(F.to_date("o_orderdate")) + 1).alias("dow"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("x"))
+    )
+    overall = daily.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("om")
+    )
+    idx = (
+        daily.groupBy("dow")
+        .agg((F.sum("x").cast("double") / F.count(F.lit(1))).alias("dm"))
+        .join(F.broadcast(overall))
+        .select("dow", (F.col("dm") / F.col("om")).alias("seasonal"))
+    )
+    adj = daily.join(F.broadcast(idx), "dow").select(
+        "d",
+        "dow",
+        F.col("x").cast("double").alias("x"),
+        (F.col("x").cast("double") / F.col("seasonal")).alias("a"),
+    )
+    st = adj.agg(
+        F.avg("a").alias("m"),
+        F.sqrt(
+            (
+                F.sum(F.col("a") * F.col("a"))
+                - F.sum("a") * F.sum("a") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    z = (F.col("a") - F.col("m")) / F.col("sd")
+    return (
+        adj.join(F.broadcast(st))
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "d",
+            "dow",
+            F.round("x", 2).alias("revenue"),
+            F.round("a", 4).alias("adjusted"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "covariance_matrix_lineitem",
+    oracle="""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS spd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sdd
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+)
+SELECT pair, n,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov,
+       ROUND((sxy - sx * sy / n)
+             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
+FROM (
+  SELECT 'qty_price' AS pair, n, sqp AS sxy, sq AS sx, sp AS sy, sqq AS sxx, spp AS syy FROM s
+  UNION ALL
+  SELECT 'qty_discount', n, sqd, sq, sd, sqq, sdd FROM s
+  UNION ALL
+  SELECT 'price_discount', n, spd, sp, sd, spp, sdd FROM s
+)
+ORDER BY pair
+""",
+)
+def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sample covariance/correlation matrix over (quantity,
+    extended price, discount) from ONE pass of exact-DECIMAL Σ statistics:
+    products of DECIMAL(12,2) casts sum exactly (order-independent) on
+    both engines, so the closed-form cov/corr divide identical doubles —
+    native covar_samp/corr would differ in float low bits (the
+    stats_corr_qty_price rule, generalized to the full matrix). One
+    map-combined aggregate row, O(pairs) arithmetic, 3-row output."""
+    q, p, dd = dec("l_quantity"), dec("l_extendedprice"), dec("l_discount")
+    s = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_discount").isNotNull()
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(q).cast("double").alias("sq"),
+            F.sum(p).cast("double").alias("sp"),
+            F.sum(dd).cast("double").alias("sd"),
+            F.sum(q * p).cast("double").alias("sqp"),
+            F.sum(q * dd).cast("double").alias("sqd"),
+            F.sum(p * dd).cast("double").alias("spd"),
+            F.sum(q * q).cast("double").alias("sqq"),
+            F.sum(p * p).cast("double").alias("spp"),
+            F.sum(dd * dd).cast("double").alias("sdd"),
+        )
+    )
+    triples = [
+        ("qty_price", "sqp", "sq", "sp", "sqq", "spp"),
+        ("qty_discount", "sqd", "sq", "sd", "sqq", "sdd"),
+        ("price_discount", "spd", "sp", "sd", "spp", "sdd"),
+    ]
+    parts = []
+    for name, sxy, sx, sy, sxx, syy in triples:
+        num = F.col(sxy) - F.col(sx) * F.col(sy) / F.col("n")
+        parts.append(
+            s.select(
+                F.lit(name).alias("pair"),
+                "n",
+                F.round(num / (F.col("n") - 1), 6).alias("cov"),
+                F.round(
+                    num
+                    / F.sqrt(
+                        (F.col(sxx) - F.col(sx) * F.col(sx) / F.col("n"))
+                        * (F.col(syy) - F.col(sy) * F.col(sy) / F.col("n"))
+                    ),
+                    6,
+                ).alias("corr"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("pair")
+
+
+BAND_EPS = "1.00"  # price band half-width (decimal literal, exact both engines)
+
+
+@register(
+    "band_join_prices",
+    oracle=f"""
+WITH p AS (
+  SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(12,2)) AS price
+  FROM part WHERE p_retailprice IS NOT NULL AND p_partkey < 400
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(ABS(a.price - b.price)) AS DOUBLE) / COUNT(*), 6) AS avg_abs_diff
+FROM p a JOIN p b
+  ON (a.price, a.p_partkey) < (b.price, b.p_partkey)
+     AND ABS(a.price - b.price) <= {BAND_EPS}
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def band_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (ε-distance) join: part pairs whose retail prices sit within
+    ±1.00 of each other, aggregated per brand pair — the numeric twin of
+    the interval/tolerance joins. The ORACLE may use the naive O(n²)
+    theta join (single-node DuckDB); the Spark plan is the SCALABLE
+    bucketed form: each price joins only its floor(price/ε) bucket and
+    the right neighbor (candidate pairs ~ band density, not n²), then the
+    exact DECIMAL |diff| ≤ ε filter — every pair lands in exactly one
+    bucket probe (the min-bucket convention, no dedup pass needed).
+    Exact-decimal diffs sum exactly; one int/int division; ROUND(6).
+    The p_partkey < 400 slice keeps the oracle's quadratic side honest at
+    sf0.1 while the Spark plan shape is the one you'd run unsliced."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & (F.col("p_partkey") < 400))
+        .select("p_partkey", "p_brand", dec("p_retailprice").alias("price"))
+    )
+    eps = F.lit(BAND_EPS).cast("decimal(12,2)")
+    a = p.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("price").alias("pa"),
+        F.floor(F.col("price") / eps).cast("bigint").alias("bucket"),
+    )
+    # probe own bucket + right neighbor from the LOWER-priced side: for
+    # any pair within eps, min(price) falls in the same or left-adjacent
+    # bucket of max(price), so emitting (bucket, bucket+1) from each left
+    # row meets every candidate exactly once per bucket key
+    b = p.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("price").alias("pb"),
+        F.floor(F.col("price") / eps).cast("bigint").alias("bucket"),
+    )
+    fan = a.withColumn("bucket", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)))
+    # orientation is PRICE order (ties by key): with pa <= pb, the higher
+    # price's bucket is always the lower's own or right-adjacent bucket,
+    # so the two probes meet every qualifying pair EXACTLY once (b holds
+    # one bucket; a key-based orientation would miss pairs whose
+    # lower-keyed row has the higher price — caught by the brute-force
+    # equality pin in tests/test_band_join.py, invisible to the fixture
+    # where key order happens to follow price order)
+    lt = (F.col("pa") < F.col("pb")) | (
+        (F.col("pa") == F.col("pb")) & (F.col("ka") < F.col("kb"))
+    )
+    pairs = fan.join(b, "bucket").filter(
+        lt & (F.abs(F.col("pa") - F.col("pb")) <= eps)
+    )
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.abs(F.col("pa") - F.col("pb"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_abs_diff"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

@@ -110,6 +110,10 @@ EDGE_QUERIES = [
     "langid_confusion_matrix",
     "percentile_cont_by_source",
     "corpus_prep_pipeline",
+    # round 8 batch 3: empty-string tokens stay out of the hashing-trick
+    # buckets both sides; NULL-text docs drop their accuracy-report pairs
+    "feature_hashing_counts",
+    "minhash_accuracy_report",
 ]
 
 ROWS = [

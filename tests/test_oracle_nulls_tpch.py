@@ -71,6 +71,13 @@ EDGE_QUERIES = [
     # engines; mode ties break (n desc, priority NULLS LAST) — pinned
     "spearman_rho_qty_price", "ewma_daily_revenue", "durbin_watson_daily",
     "mode_deterministic_priority", "seasonal_index_dow",
+    # round 8 batch 3: NULL segment is its own encoding category; sparse
+    # edge day grids exercise the empty/1-day corners of the trend,
+    # changepoint and anomaly shapes; NULL prices/brands ride the band
+    # join's decimal filter and NULL grouping
+    "target_encoding_smoothed", "theil_sen_trend", "cusum_changepoint",
+    "dow_adjusted_anomalies", "covariance_matrix_lineitem",
+    "band_join_prices",
 ]
 
 _D = datetime
