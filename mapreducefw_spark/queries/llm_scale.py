@@ -224,13 +224,47 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id_heuristic")  # heuristic: rows-only (semantics pinned in pytest)
+def _langid_dist_oracle() -> str:
+    """DuckDB twin of detect_language, generated from the same
+    LANG_MARKERS table (the pipeline21 langid_confusion_matrix idiom) —
+    what upgraded this query from rows-only to oracle-paired in r8."""
+    from mapreducefw_spark.queries.pipeline21 import _langid_struct_sql
+
+    return f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS toks, text FROM documents
+),
+scored AS (
+  SELECT CASE
+           WHEN text IS NULL THEN 'und'
+           ELSE (
+             SELECT CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END
+             FROM (SELECT list_aggregate({_langid_struct_sql()}, 'max') AS best)
+           )
+         END AS detected_lang
+  FROM toks
+)
+SELECT detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM scored
+GROUP BY detected_lang
+ORDER BY detected_lang
+"""
+
+
+@register("lang_id_heuristic", oracle=_langid_dist_oracle())
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language distribution by the marker-word heuristic
+    (operators/text.detect_language): argmax of marker-hit ratios, ties
+    to the lexicographically greatest lang, 'und' when nothing hits or
+    text is NULL. The oracle re-derives the identical score structs from
+    the shared LANG_MARKERS table, so this is oracle-paired as of r8
+    (it was rows-only before the generated-SQL idiom existed). Map-only
+    scoring; one vocabulary-sized count shuffle."""
     docs = t(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", text.detect_language("text").alias("detected_lang"))
         .groupBy("detected_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("detected_lang")
     )
 

@@ -114,6 +114,8 @@ EDGE_QUERIES = [
     # buckets both sides; NULL-text docs drop their accuracy-report pairs
     "feature_hashing_counts",
     "minhash_accuracy_report",
+    # oracle-paired in r8 (generated-SQL langid twin): NULL text -> 'und'
+    "lang_id_heuristic",
 ]
 
 ROWS = [
