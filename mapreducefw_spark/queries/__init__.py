@@ -192,6 +192,7 @@ def load_all() -> None:
         pipeline20,
         pipeline21,
         pipeline22,
+        pipeline23,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

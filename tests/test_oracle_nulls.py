@@ -116,6 +116,9 @@ EDGE_QUERIES = [
     "minhash_accuracy_report",
     # oracle-paired in r8 (generated-SQL langid twin): NULL text -> 'und'
     "lang_id_heuristic",
+    # round 8 batch 4: zero-length token lists ride the BM25 avgdl; query
+    # terms hit the edge stopword docs
+    "bm25_scores",
 ]
 
 ROWS = [

@@ -86,6 +86,10 @@ EDGE_QUERIES = [
     # round 8: Cramér's V shares the chi2 contingency; a single-type edge
     # table would make min(r-1,c-1)=0 -> NaN identically both engines
     "cramers_v_type_dow",
+    # round 8 batch 4: single-day users are 1-day islands; purchases with
+    # no preceding view drop from the latency set identically; zero
+    # conversions degrade to the oracle's single NULL-percentile row
+    "activity_islands_per_user", "conversion_time_percentiles",
 ]
 
 

@@ -78,6 +78,10 @@ EDGE_QUERIES = [
     "target_encoding_smoothed", "theil_sen_trend", "cusum_changepoint",
     "dow_adjusted_anomalies", "covariance_matrix_lineitem",
     "band_join_prices",
+    # round 8 batch 4: NULL quasi-identifiers form their own k-anon
+    # class; all-NULL sensitive column -> l_div 0 both engines; GROUP BY
+    # ALL infers the same grouping set from the edge lineitem
+    "k_anonymity_report", "sql_group_by_all",
 ]
 
 _D = datetime
