@@ -301,14 +301,15 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS x
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS xd
   FROM orders WHERE o_orderdate IS NOT NULL
   GROUP BY 1
 ),
-mu AS (SELECT SUM(x) / COUNT(*) AS m, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+mu AS (SELECT CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS m,
+              CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
 cum AS (
   SELECT d,
-         SUM(x - (SELECT m FROM mu)) OVER (ORDER BY d
+         SUM(CAST(xd AS DOUBLE) - (SELECT m FROM mu)) OVER (ORDER BY d
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
   FROM daily
 ),
@@ -325,8 +326,11 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint scan over daily revenue: S_t = Σ(x_d − μ) in
     date order; the day maximizing |S_t| is the classic single-
     changepoint estimate (where the level shift happened), |S| its
-    evidence. The ordered cumsum folds in the SAME deterministic order on
-    both engines, so the doubles are bit-identical and the argmax
+    evidence. μ divides the EXACT decimal grand total (never a
+    fold-order-dependent double sum — a double-summed μ's error δ
+    amplifies to t·δ down the cumsum, which at day-grid length breaks
+    ROUND(6) agreement), so each x−μ is the same double on both engines
+    and the ordered cumsum folds them in the same date order; the argmax
     equality filter is exact (ties → earliest day). The unpartitioned
     window runs on the CALENDAR-BOUNDED day grid — the documented
     sequence_pack_spans frame class, never data-sized."""
@@ -334,16 +338,19 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum(dec("o_totalprice")).cast("double").alias("x"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("xd"))
     )
     mu = daily.agg(
-        (F.sum("x") / F.count(F.lit(1))).alias("m"),
+        (F.sum("xd").cast("double") / F.count(F.lit(1))).alias("m"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
     cw = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = (
         daily.join(F.broadcast(mu.select("m")))
-        .select("d", F.sum(F.col("x") - F.col("m")).over(cw).alias("s"))
+        .select(
+            "d",
+            F.sum(F.col("xd").cast("double") - F.col("m")).over(cw).alias("s"),
+        )
     )
     mx = cum.agg(F.max(F.abs("s")).alias("max_abs"))
     return (

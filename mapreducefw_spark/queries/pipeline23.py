@@ -122,7 +122,7 @@ scored AS (
 ),
 ranked AS (
   SELECT doc_id, ROUND(score, 6) AS bm25,
-         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+         ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rk
   FROM scored
 )
 SELECT doc_id, bm25, CAST(rk AS INT) AS rk
@@ -137,7 +137,10 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     length normalization b=0.75. Per-term contributions divide identical
     doubles (exact-integer tf/df/dl; avgdl the same division both
     engines); the ≤|query|-term fold takes ROUND(6), and ranking happens
-    on the UNROUNDED score with a doc_id tiebreak. The query-term filter
+    on the ROUNDED score with a doc_id tiebreak — ranking on the raw
+    double would let the engine-specific (and per-run nondeterministic)
+    summation order of the ≤3-term fold swap near-tied docs at the
+    top-20 boundary. The query-term filter
     prunes the explode before any shuffle; df/avgdl ride 1-row/vocab
     broadcasts; the top-20 is a TakeOrdered, not a global sort."""
     toks = (
@@ -179,11 +182,12 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term).alias("score"))
     )
-    rk = F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+    rounded = scored.select("doc_id", F.round("score", 6).alias("bm25"))
+    rk = F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
     return (
-        scored.withColumn("rk", rk)
+        rounded.withColumn("rk", rk)
         .filter(F.col("rk") <= 20)
-        .select("doc_id", F.round("score", 6).alias("bm25"), F.col("rk").cast("int"))
+        .select("doc_id", "bm25", F.col("rk").cast("int"))
         .orderBy("rk")
     )
 
