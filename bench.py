@@ -90,6 +90,11 @@ HEADLINE = [
     # corpus-prep composition (order #4)
     "acf_daily_revenue",
     "corpus_prep_pipeline",
+    # round 8 batch 5/6: unigram-LM token scan (the heaviest new shape),
+    # grid-self-join rank correlation, survival-curve day-grid windows
+    "unigram_logppl_by_source",
+    "kendall_tau_b",
+    "kaplan_meier_retention",
 ]
 
 

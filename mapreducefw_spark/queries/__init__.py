@@ -193,6 +193,8 @@ def load_all() -> None:
         pipeline21,
         pipeline22,
         pipeline23,
+        pipeline24,
+        pipeline25,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

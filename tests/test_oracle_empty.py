@@ -69,6 +69,23 @@ EMPTY_QUERIES = [
     "collation_token_counts",
     "approx_topk_event_types",
     "temperature_mix_allocation",
+    # round 8 batch 5/6: empty corpora yield zero LM/dup/readability rows
+    # (not NULL divisions); the global aggregates (kendall, MI, try_*)
+    # degrade to one all-NULL/zero row identically on both engines; the
+    # interpolation spine is empty when bounds are NULL (sequence(NULL)
+    # == generate_series(NULL) == no rows)
+    "unigram_logppl_by_source",
+    "dsir_importance_weights",
+    "kendall_tau_b",
+    "mutual_information_type_dow",
+    "dup_cluster_size_histogram",
+    "boilerplate_prefix_dup",
+    "kaplan_meier_retention",
+    "weighted_median_price",
+    "linear_interpolation_gaps",
+    "readability_flesch_proxy",
+    "lorenz_curve_deciles",
+    "try_arithmetic_functions",
 ]
 
 

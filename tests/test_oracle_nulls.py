@@ -119,6 +119,16 @@ EDGE_QUERIES = [
     # round 8 batch 4: zero-length token lists ride the BM25 avgdl; query
     # terms hit the edge stopword docs
     "bm25_scores",
+    # round 8 batch 5: NULL/empty texts tokenize to zero rows (logppl/
+    # DSIR sources with no tokens vanish on both engines; NULL source is
+    # its own group, pinned NULLS LAST); the two NULL texts form one
+    # md5(NULL) dup cluster; all-empty sources hit the NULLIF guards in
+    # the readability formula, not a division error
+    "unigram_logppl_by_source",
+    "dsir_importance_weights",
+    "dup_cluster_size_histogram",
+    "boilerplate_prefix_dup",
+    "readability_flesch_proxy",
 ]
 
 ROWS = [

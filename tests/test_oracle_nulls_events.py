@@ -90,6 +90,11 @@ EDGE_QUERIES = [
     # no preceding view drop from the latency set identically; zero
     # conversions degrade to the oracle's single NULL-percentile row
     "activity_islands_per_user", "conversion_time_percentiles",
+    # round 8 batch 5/6: MI shares the chi2/cramers contingency grid (its
+    # NaN corner matches via the same marginals); the purchase-hour
+    # interpolation spine covers the single-purchase (lo==hi) corner and
+    # NULL-value hours (rev NULL -> interpolated both sides)
+    "mutual_information_type_dow", "linear_interpolation_gaps",
 ]
 
 

@@ -82,6 +82,12 @@ EDGE_QUERIES = [
     # class; all-NULL sensitive column -> l_div 0 both engines; GROUP BY
     # ALL infers the same grouping set from the edge lineitem
     "k_anonymity_report", "sql_group_by_all",
+    # round 8 batch 5/6: Kendall runs on the tiny tie-heavy grid (n1/n2
+    # dominate); NULL price/quantity rows drop from the weighted-median
+    # grid both sides; the edge orders table exercises Lorenz's sub-10-
+    # customer deciles, the KM censor boundary, and the try_* NULL paths
+    "kendall_tau_b", "weighted_median_price", "lorenz_curve_deciles",
+    "kaplan_meier_retention", "try_arithmetic_functions",
 ]
 
 _D = datetime

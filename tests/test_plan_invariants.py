@@ -58,6 +58,10 @@ PUSHDOWN_REQUIRED = {
     # are localCheckpoint-pinned like minhash — pushdown lives in the
     # checkpoint subplans, invisible to the final plan string)
     "acf_daily_revenue",
+    # round 8 batch 5/6: NULL-guard filters on the grid columns must
+    # reach the scans (quantity/discount; custkey)
+    "kendall_tau_b",
+    "kaplan_meier_retention",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in
@@ -85,11 +89,23 @@ BNL_ALLOWED = {
     # the 1-row token-total and weight-normalizer broadcasts + the
     # no-condition nt/nd-style cross of bucket-sized funnel frames
     "corpus_prep_pipeline": 3,
+    # round 8 batch 5/6: the 1-row corpus-total broadcast
+    "unigram_logppl_by_source": 1,
+    # the bounded contingency-grid self-join (inequality condition -> BNL
+    # over O(cells) broadcast rows) + the two 1-row marginal broadcasts
+    "kendall_tau_b": 3,
+    # the 1-row censor-horizon broadcast
+    "kaplan_meier_retention": 1,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'
 # per-bucket totals cumsum (N = bucket count, not data size).
-UNPARTITIONED_WINDOW_ALLOWED = {"sequence_pack_spans": 1}
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "sequence_pack_spans": 1,
+    # Kaplan-Meier's risk-set prefix, total frame, and survival cumsum all
+    # run on the lifetime DAY GRID — O(observation span), never O(rows)
+    "kaplan_meier_retention": 3,
+}
 
 # Dimension-join queries: minimum broadcast-join count (a broadcast
 # degrading to shuffle join is the classic silent 100 TB regression).

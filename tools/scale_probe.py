@@ -1228,6 +1228,96 @@ def main() -> None:
             ),
         )
 
+        # round 8 batch 5: unigram-LM scan (logppl shape) — doc copies share
+        # the SAME vocabulary (plain doc_id re-key), so token instances grow
+        # k-fold against a FIXED vocab: the vocab join and the (source,
+        # token) grid stay constant-size while the scans grow — the
+        # operator's honest 100 TB contract.
+        tk8 = docs.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.col("token") != "")
+        vocab8 = tk8.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+        st8 = tk8.groupBy("source", "token").agg(F.count(F.lit(1)).alias("kk"))
+        timed(
+            "unigram_lm_scan",
+            k,
+            st8.join(vocab8, "token")
+            .groupBy("source")
+            .agg(
+                F.sum("kk").alias("n_tokens"),
+                F.sum(F.col("kk") * F.log(F.col("c").cast("double"))).alias("s"),
+            ),
+        )
+
+        # round 8 batch 5: Kendall contingency grid — value vocabularies
+        # (quantity x discount levels) are FIXED while rows grow, so the
+        # map-combined cell shuffle is constant-size and the O(cells^2)
+        # self-join never sees the fact volume.
+        cells8 = (
+            li.filter(
+                F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+            )
+            .groupBy(
+                F.round("l_quantity", 0).cast("int").alias("x"),
+                F.round(F.col("l_discount") * 100, 0).cast("int").alias("y"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        ca8, cb8 = cells8.alias("a"), cells8.alias("b")
+        timed(
+            "kendall_grid_selfjoin",
+            k,
+            ca8.join(F.broadcast(cb8), F.col("a.x") < F.col("b.x")).agg(
+                F.sum(
+                    F.when(
+                        F.col("b.y") > F.col("a.y"), F.col("a.n") * F.col("b.n")
+                    ).otherwise(0)
+                ).alias("p"),
+                F.sum(
+                    F.when(
+                        F.col("b.y") < F.col("a.y"), F.col("a.n") * F.col("b.n")
+                    ).otherwise(0)
+                ).alias("q"),
+            ),
+        )
+
+        # round 8 batch 6: Kaplan-Meier — customers re-keyed so the ranked
+        # population grows k-fold; the lifetime DAY GRID stays calendar-
+        # bounded, so the unpartitioned risk-set/survival windows are
+        # constant-size whatever the fact volume.
+        km_ord = multiplied(ord0, ["o_orderkey", "o_custkey"], k)
+        km_users = km_ord.groupBy("o_custkey").agg(
+            F.min(F.to_date("o_orderdate")).alias("f"),
+            F.max(F.to_date("o_orderdate")).alias("l"),
+        )
+        km_h = km_users.agg(F.max("l").alias("m"))
+        km_grid = (
+            km_users.join(F.broadcast(km_h))
+            .select(
+                F.datediff("l", "f").cast("bigint").alias("t"),
+                F.when(F.col("l") <= F.date_sub("m", 90), 1).otherwise(0).alias("death"),
+            )
+            .groupBy("t")
+            .agg(F.sum("death").alias("d"), F.count(F.lit(1)).alias("tt"))
+        )
+        timed("km_day_grid", k, km_grid)
+
+        # round 8 batch 5: boilerplate prefix dedup — md5(40-char prefix)
+        # distinct per source; doc copies share texts so distincts stay
+        # constant while scans grow (the 32-byte-shuffle dedup contract)
+        timed(
+            "prefix_dup_md5",
+            k,
+            docs.filter(F.col("text").isNotNull())
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct(
+                    F.md5(F.substring(F.regexp_replace("text", r"\s+", " "), 1, 40))
+                ).alias("n_prefixes"),
+            ),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",

@@ -62,6 +62,12 @@ PROBED = {
     "session_conversion_bounce": (["events"], "session chain: one user-hash exchange shared by both windows and the session reduce"),
     "kfold_assignment": (["documents"], "kfold: one lang-keyed exchange of (doc_id, md5) pairs; fold is arithmetic"),
     "corpus_prep_pipeline": (["documents"], "corpus prep: md5 dedup keys + 8-byte gram hashes + bucket-sized per-source frames; raw text shuffles only in the md5-keyed dedup carry"),
+    "unigram_logppl_by_source": (["documents"], "unigram LM: (token) + (source, token) count partials after map-side combine — text never shuffles"),
+    "dsir_importance_weights": (["documents"], "DSIR: fixed 64-bucket hashed-feature partials; bucket table broadcast"),
+    "kendall_tau_b": (["lineitem"], "Kendall: map-combined contingency cells — vocabulary-sized, grid self-join broadcast"),
+    "kaplan_meier_retention": (["orders"], "KM survival: one customer-keyed min/max exchange, then day-grid frames"),
+    "dup_cluster_size_histogram": (["documents"], "dedup audit: 32-byte md5 keys, then integer size rows"),
+    "boilerplate_prefix_dup": (["documents"], "prefix dedup: md5(prefix) 32-byte distinct shuffle, never text"),
 }
 
 
