@@ -95,6 +95,9 @@ HEADLINE = [
     "unigram_logppl_by_source",
     "kendall_tau_b",
     "kaplan_meier_retention",
+    # round 8 batch 7: the oracle-paired simhash twin (48-bit portable
+    # signatures + pigeonhole chunk blocking)
+    "simhash_portable_pairs",
 ]
 
 

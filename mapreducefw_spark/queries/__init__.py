@@ -127,9 +127,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "to_json_roundtrip",
     "nucleus_topp_sources",
     # -- (d) new round-8 composition (r8 verdict order #4 requires a
-    #        binding CORRECTNESS row; the other 14 r8 registrations are
-    #        check_oracle-verified and queue FIRST for the r9 window so
-    #        every remaining slot drains the r3 pool per order #5)
+    #        binding CORRECTNESS row; the other ~50 round-8 registrations
+    #        (pipeline21-27) are check_oracle-verified at sf0.001+0.01 and
+    #        queue FIRST for the r9 window per tools/stale_report.py, so
+    #        every remaining r8 slot drains the r3 pool per order #5)
     "corpus_prep_pipeline",
     # -- (e) r3-vintage re-verifies, stalest-first per tools/stale_report.py
     "agg_supplier_stats",
@@ -195,6 +196,8 @@ def load_all() -> None:
         pipeline23,
         pipeline24,
         pipeline25,
+        pipeline26,
+        pipeline27,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -36,7 +36,9 @@ from mapreducefw_spark.queries._util import dec, t
 WITH users AS (
   SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
          MAX(CAST(o_orderdate AS DATE)) AS l
-  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey
 ),
 horizon AS (SELECT MAX(l) AS m FROM users),
 obs AS (
@@ -78,8 +80,12 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(6) absorbs the 1-ulp libm drift. A d == n final row (everyone
     remaining churns) would hit ln(0): that factor is pinned to exact 0
     on both sides. Shuffle: one customer-keyed min/max exchange, then
-    day-grid frames."""
-    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    day-grid frames. All-NULL-date customers are excluded up front: a
+    NULL lifetime would sort NULLS FIRST in Spark's risk-set prefix but
+    NULLS LAST in DuckDB's (caught by the edge suite)."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
     users = o.groupBy("o_custkey").agg(
         F.min(F.to_date("o_orderdate")).alias("f"),
         F.max(F.to_date("o_orderdate")).alias("l"),
@@ -336,7 +342,7 @@ WITH spend AS (
   FROM orders GROUP BY o_custkey
 ),
 ranked AS (
-  SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS rn,
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s NULLS FIRST, o_custkey NULLS LAST) AS rn,
          COUNT(*) OVER () AS n
   FROM spend
 ),
@@ -369,7 +375,11 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/rank.py) if that dimension ever outgrows one exchange."""
     o = t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("s"))
-    w_rank = W.orderBy("s", "o_custkey")
+    # both rank keys can be NULL on edge data (all-NULL-price spend, the
+    # NULL-custkey bucket): pin NULL spend FIRST (bought nothing priced ==
+    # lowest) and NULL custkey LAST on BOTH engines — their defaults
+    # disagree in opposite directions
+    w_rank = W.orderBy(F.asc_nulls_first("s"), F.asc_nulls_last("o_custkey"))
     ranked = spend.select(
         "s",
         F.row_number().over(w_rank).alias("rn"),

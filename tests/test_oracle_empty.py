@@ -86,6 +86,24 @@ EMPTY_QUERIES = [
     "readability_flesch_proxy",
     "lorenz_curve_deciles",
     "try_arithmetic_functions",
+    # round 8 batch 7: empty corpora/streams yield zero pairs/profiles/
+    # bins/gap rows; the seasonal spine is empty when bounds are NULL;
+    # listagg over an empty dimension join returns zero groups
+    "simhash_portable_pairs",
+    "listagg_within_group",
+    "seasonal_decompose_daily",
+    "interarrival_gap_stats",
+    "char_ngram_lang_profile",
+    "histogram_log_bins",
+    # round 8 batch 8: empty graphs/facts yield zero clusters/joins/
+    # curve rows; PSI degrades to one (NULL, NULL, 0, NULL) row on both
+    # engines (aggregate-over-empty + scalar subqueries over empty)
+    "sql_pipe_syntax",
+    "scd2_point_in_time_join",
+    "simhash_cluster_assignment",
+    "script_mixing_report",
+    "user_growth_curve",
+    "psi_length_drift",
 ]
 
 

@@ -129,6 +129,21 @@ EDGE_QUERIES = [
     "dup_cluster_size_histogram",
     "boilerplate_prefix_dup",
     "readability_flesch_proxy",
+    # round 8 batch 7: the exact-dup fixture texts (docs 5/6) are the
+    # guaranteed hamming-0 simhash pair; zero-token docs are excluded
+    # from signatures on BOTH sides (they'd collapse onto sig 0);
+    # sub-3-char texts yield no trigrams via the length guard; n_chars=0
+    # rows drop out of the log-bin filter
+    "simhash_portable_pairs",
+    "char_ngram_lang_profile",
+    "histogram_log_bins",
+    # round 8 batch 8: the exact-dup docs 5/6 form one cluster, isolated
+    # docs are their own; mixed ascii+NULL-source rows ride the script
+    # report's pinned NULLS LAST; the parity split leaves sparse PSI bins
+    # (add-1 smoothing keeps every term finite)
+    "simhash_cluster_assignment",
+    "script_mixing_report",
+    "psi_length_drift",
 ]
 
 ROWS = [

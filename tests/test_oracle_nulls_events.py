@@ -95,6 +95,14 @@ EDGE_QUERIES = [
     # interpolation spine covers the single-purchase (lo==hi) corner and
     # NULL-value hours (rev NULL -> interpolated both sides)
     "mutual_information_type_dow", "linear_interpolation_gaps",
+    # round 8 batch 7: dup (user, ts) rows exercise the (ts, event_id)
+    # lag tiebreak; single-event streams contribute no gaps; zero gaps
+    # (same-ts pairs) enter the discrete percentiles
+    "interarrival_gap_stats",
+    # round 8 batch 8: NULL user/ts rows leave the first-seen exchange
+    # identically; all users sharing one first day collapse to one
+    # growth-curve row
+    "user_growth_curve",
 ]
 
 

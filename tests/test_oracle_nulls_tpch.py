@@ -88,6 +88,15 @@ EDGE_QUERIES = [
     # customer deciles, the KM censor boundary, and the try_* NULL paths
     "kendall_tau_b", "weighted_median_price", "lorenz_curve_deciles",
     "kaplan_meier_retention", "try_arithmetic_functions",
+    # round 8 batch 7: NULL region/nation names ride listagg's skip-NULL
+    # aggregate contract (n_named counts what aggregated); the sparse
+    # edge day grid leaves the 7-day MA window unfilled -> NULL
+    # trend/seasonal/residual identically on both engines
+    "listagg_within_group", "seasonal_decompose_daily",
+    # round 8 batch 8: NULL order status drops from the pipe filter on
+    # both engines (NULL <> 'F' is NULL); NULL custkeys are excluded
+    # from the synthesized SCD2 dimension and NULL dates from the facts
+    "sql_pipe_syntax", "scd2_point_in_time_join",
 ]
 
 _D = datetime

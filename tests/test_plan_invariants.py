@@ -62,6 +62,8 @@ PUSHDOWN_REQUIRED = {
     # reach the scans (quantity/discount; custkey)
     "kendall_tau_b",
     "kaplan_meier_retention",
+    # text IS NOT NULL must reach the documents scan
+    "simhash_portable_pairs",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in

@@ -68,6 +68,12 @@ PROBED = {
     "kaplan_meier_retention": (["orders"], "KM survival: one customer-keyed min/max exchange, then day-grid frames"),
     "dup_cluster_size_histogram": (["documents"], "dedup audit: 32-byte md5 keys, then integer size rows"),
     "boilerplate_prefix_dup": (["documents"], "prefix dedup: md5(prefix) 32-byte distinct shuffle, never text"),
+    "simhash_portable_pairs": (["documents"], "simhash: map-only 48-bit votes; shuffle = (doc, sig, chunk) rows + verified pairs, never text"),
+    "char_ngram_lang_profile": (["documents"], "trigram profile: (lang, trigram) count partials after map-side combine"),
+    "interarrival_gap_stats": (["events"], "gap stats: one (user, type) exchange for the lag, one type exchange for the rank"),
+    "user_growth_curve": (["events"], "growth curve: user-keyed min exchange, then O(days) integer rows"),
+    "scd2_point_in_time_join": (["orders", "customer"], "point-in-time: broadcast 3-version dim; facts never shuffle"),
+    "psi_length_drift": (["documents"], "PSI: map-combined (snap, bin) counts — O(bins) rows move"),
 }
 
 
