@@ -20,6 +20,8 @@ across runs and partitionings.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under PEP 563)
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -605,3 +607,52 @@ def portable_minhash_signatures(
         # matching DuckDB's || — concat_ws would skip NULLs and hash ""
         bands.append(F.substring(F.md5(F.concat(*row_cols)), 1, 16).alias(f"band{b}"))
     return sigs.select(id_col, *[f"h{i}" for i in range(num_hashes)], *bands)
+
+
+def portable_simhash_signatures(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 48
+) -> DataFrame:
+    """48-bit SimHash from the PORTABLE md5-prefix token hash (the
+    group_aware_split idiom) — the oracle-checkable twin of
+    simhash_signatures (whose xxhash64 DuckDB lacks). Zero-token docs are
+    excluded (they'd all collapse onto signature 0, the
+    simhash_signatures:490 contract).
+
+    The per-bit vote is Arrow-vectorized: an expression-tree form (48
+    F.filter passes over each doc's hash array) runs INTERPRETED at
+    ~1ms/doc — the same per-row-array-scan trap the SemDeDup centroid
+    assignment hit (SCALING.md: 202.9s -> 3.8s after the numpy rewrite);
+    here one numpy broadcast per row computes all 48 votes at once
+    (4.1s -> ~0.6s for the registered pair query at sf0.1). The UDF is
+    pure integer math (shift/compare/sum), so its output is the exact
+    same BIGINT signature on any engine, batch size or partitioning —
+    oracle parity is untouched.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("long")
+    def _sig(th: pd.Series) -> pd.Series:
+        out = np.empty(len(th), dtype=np.int64)
+        for i, arr in enumerate(th):
+            h = np.asarray(arr, dtype=np.int64)
+            votes = ((h[:, None] >> shifts) & 1).sum(axis=0) * 2 > len(h)
+            out[i] = int((votes.astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    toks = F.array_distinct(
+        F.filter(F.split(text_col, " "), lambda x: x != "")
+    )
+    hashed = (
+        ensure_parallelism(df.filter(F.col(text_col).isNotNull()))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(
+                toks,
+                lambda tk: F.conv(F.substring(F.md5(tk), 1, 12), 16, 10).cast("long"),
+            ).alias("th"),
+        )
+        .filter(F.size("th") > 0)
+    )
+    return hashed.select("doc_id", _sig("th").alias("sig"))

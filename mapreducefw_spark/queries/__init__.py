@@ -198,6 +198,7 @@ def load_all() -> None:
         pipeline25,
         pipeline26,
         pipeline27,
+        pipeline28,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -83,38 +83,26 @@ def simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature), and every 10th doc is unioned back as an exact copy
     (+1000000 id) so the driver data always exercises real matches — the
     deterministic-pair idiom of rouge1_recall_pairs/minhash_accuracy.
-    The Spark side runs the PRODUCTION shape: per-bit votes as array
-    filters over the doc's hash array (map-only, no explode), 4x12-bit
-    pigeonhole chunk blocking (a <= 3-bit-distant pair must share a
-    chunk), equi-join on (chunk, value), exact Hamming verify. The
-    oracle is the brute-force O(n²) signature scan — equality PROVES the
-    blocking loses nothing. Zero-token docs are excluded on both sides
-    (they'd all collapse onto signature 0, the dedup.py:490 contract).
-    Shuffles carry (doc, sig, chunk) rows — never text. Cites
-    `operators/dedup.py:480,508` (the xxhash64 form this twin checks)."""
+    The Spark side runs the PRODUCTION shape: Arrow-vectorized per-bit
+    votes (`operators/dedup.py::portable_simhash_signatures` — pure
+    integer math, so the UDF emits the exact same BIGINT on any engine
+    or partitioning), 4x12-bit pigeonhole chunk blocking (a <= 3-bit-
+    distant pair must share a chunk), equi-join on (chunk, value), exact
+    Hamming verify. The oracle is the brute-force O(n²) signature scan —
+    equality PROVES the blocking loses nothing. Zero-token docs are
+    excluded on both sides (they'd all collapse onto signature 0, the
+    dedup.py:490 contract). Shuffles carry (doc, sig, chunk) rows —
+    never text. Cites `operators/dedup.py:480,508` (the xxhash64 form
+    this twin checks)."""
+    from mapreducefw_spark.operators.dedup import portable_simhash_signatures
+
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     corpus = d.select("doc_id", "text").unionByName(
         d.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
-    hashed = corpus.select(
-        "doc_id",
-        F.transform(
-            toks, lambda tk: F.conv(F.substring(F.md5(tk), 1, 12), 16, 10).cast("long")
-        ).alias("th"),
-    ).filter(F.size("th") > 0)
-    n = F.size("th")
-    sig = None
-    for b in range(_SIMHASH_BITS):
-        set_b = F.size(
-            F.filter(F.col("th"), lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit = F.when(set_b * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
-    sigs = hashed.select("doc_id", sig.alias("sig"))
+    sigs = portable_simhash_signatures(corpus, bits=_SIMHASH_BITS)
     width = _SIMHASH_BITS // _CHUNKS
     chunks = F.array(
         *[

@@ -207,28 +207,12 @@ def simhash_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed oracle cost at any sf — the explode_posexplode idiom).
     Equality proves the iterative fixpoint equals the closure's min
     label on every node."""
-    from mapreducefw_spark.operators.dedup import dedup_groups
+    from mapreducefw_spark.operators.dedup import dedup_groups, portable_simhash_signatures
 
     d = t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.col("doc_id") < 400)
     )
-    toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
-    hashed = d.select(
-        "doc_id",
-        F.transform(
-            toks, lambda tk: F.conv(F.substring(F.md5(tk), 1, 12), 16, 10).cast("long")
-        ).alias("th"),
-    ).filter(F.size("th") > 0)
-    n = F.size("th")
-    sig = None
-    for b in range(48):
-        set_b = F.size(
-            F.filter(F.col("th"), lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit = F.when(set_b * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    sigs = hashed.select("doc_id", sig.alias("sig"))
+    sigs = portable_simhash_signatures(d)
     a, b2 = sigs.alias("a"), sigs.alias("b")
     pairs = (
         a.join(F.broadcast(b2), F.col("a.doc_id") < F.col("b.doc_id"))

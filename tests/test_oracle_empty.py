@@ -104,6 +104,14 @@ EMPTY_QUERIES = [
     "script_mixing_report",
     "user_growth_curve",
     "psi_length_drift",
+    # round 8 batch 9: empty embeddings/documents yield zero centroids/
+    # pairs/keywords/bounds rows on both engines
+    "centroid_per_label",
+    "centroid_confusion_matrix",
+    "knn_loo_accuracy",
+    "intra_inter_label_cosine",
+    "doc_keywords_tfidf",
+    "quantization_clip_bounds",
 ]
 
 

@@ -144,6 +144,9 @@ EDGE_QUERIES = [
     "simhash_cluster_assignment",
     "script_mixing_report",
     "psi_length_drift",
+    # round 8 batch 9: df stats scan the whole edge corpus (NULL/empty
+    # texts contribute nothing) while the keyword side is id-bounded
+    "doc_keywords_tfidf",
 ]
 
 ROWS = [

@@ -28,6 +28,16 @@ EDGE_QUERIES = [
     "embedding_label_norms",
     "embedding_quantized_topk",
     "embedding_truncated_topk",
+    # round 8 batch 9: NULL label is its own centroid (pinned NULLS
+    # LAST); the zero vector joins centroids/clip-bounds (no division)
+    # but is excluded by the searchable guard from the cosine queries;
+    # the exact-duplicate pair exercises the sim-tie nid tiebreak; NULL
+    # vec_id / NULL-element vectors drop on both engines
+    "centroid_per_label",
+    "centroid_confusion_matrix",
+    "knn_loo_accuracy",
+    "intra_inter_label_cosine",
+    "quantization_clip_bounds",
 ]
 
 DIM = 16

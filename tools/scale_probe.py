@@ -1303,34 +1303,15 @@ def main() -> None:
         timed("km_day_grid", k, km_grid)
 
         # round 8 batch 7: portable-simhash signature build + chunk
-        # blocking — 48 array-filter bit votes are MAP-ONLY (heavy codegen
-        # per row, zero shuffle until the 4-chunk exchange); doc copies
-        # share texts so chunk buckets grow k-fold (the honest worst case:
-        # mass duplication concentrates buckets — the registered form's
-        # cap_bucket_size is the escape hatch)
-        sh_toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
-        sh_hashed = docs.filter(F.col("text").isNotNull()).select(
-            "doc_id",
-            F.transform(
-                sh_toks,
-                lambda tk: F.conv(F.substring(F.md5(tk), 1, 12), 16, 10).cast("long"),
-            ).alias("th"),
-        ).filter(F.size("th") > 0)
-        sh_n = F.size("th")
-        sh_sig = None
-        for sb in range(48):
-            sh_set = F.size(
-                F.filter(
-                    F.col("th"),
-                    lambda h, _b=sb: F.shiftright(h, _b).bitwiseAND(F.lit(1)) == 1,
-                )
-            )
-            sh_bit = F.when(sh_set * 2 > sh_n, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            sh_term = F.shiftleft(sh_bit, sb)
-            sh_sig = sh_term if sh_sig is None else sh_sig.bitwiseXOR(sh_term)
-        sh_sigs = sh_hashed.select("doc_id", sh_sig.alias("sig"))
+        # blocking — Arrow-vectorized per-bit votes (one numpy broadcast
+        # per row; the expression-tree form ran interpreted at ~1ms/doc,
+        # the SemDeDup-centroid lesson), zero shuffle until the 4-chunk
+        # exchange; doc copies share texts so chunk buckets grow k-fold
+        # (the honest worst case: mass duplication concentrates buckets —
+        # the registered form's cap_bucket_size is the escape hatch)
+        from mapreducefw_spark.operators.dedup import portable_simhash_signatures
+
+        sh_sigs = portable_simhash_signatures(docs)
         sh_chunks = F.array(
             *[
                 F.struct(

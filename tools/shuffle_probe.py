@@ -74,6 +74,9 @@ PROBED = {
     "user_growth_curve": (["events"], "growth curve: user-keyed min exchange, then O(days) integer rows"),
     "scd2_point_in_time_join": (["orders", "customer"], "point-in-time: broadcast 3-version dim; facts never shuffle"),
     "psi_length_drift": (["documents"], "PSI: map-combined (snap, bin) counts — O(bins) rows move"),
+    "centroid_per_label": (["embeddings"], "centroids: (label, dim) partial means — model-sized exchange"),
+    "centroid_confusion_matrix": (["embeddings"], "confusion: per-dim partials + broadcast centroid model; vectors never shuffle whole"),
+    "doc_keywords_tfidf": (["documents"], "keywords: (token) df partials + id-bounded tf side"),
 }
 
 
