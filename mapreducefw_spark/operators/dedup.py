@@ -563,6 +563,7 @@ def portable_minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Cross-engine-reproducible minhash: per-token md5 hash family instead
     of xxhash64, so ANY engine (DuckDB, offline audit tools) recomputes the
@@ -581,8 +582,17 @@ def portable_minhash_signatures(
 
     NULL text propagates: every h_i and band key is NULL (concat/md5 NULL
     semantics match DuckDB's || operator).
+
+    ``shingle_n`` switches the hashed set from distinct raw tokens to
+    distinct word n-gram shingles (the production minhash unit —
+    discriminating where template corpora share most of their word SET
+    but not their word ORDER).
     """
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    toks = (
+        F.array_distinct(F.split(F.col(text_col), " "))
+        if shingle_n is None
+        else shingles(text_col, shingle_n)
+    )
 
     def seeded(i: int):
         # single-parameter lambda on purpose: a two-arg callable is

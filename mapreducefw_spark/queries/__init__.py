@@ -199,6 +199,7 @@ def load_all() -> None:
         pipeline26,
         pipeline27,
         pipeline28,
+        pipeline29,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -112,6 +112,11 @@ EMPTY_QUERIES = [
     "intra_inter_label_cosine",
     "doc_keywords_tfidf",
     "quantization_clip_bounds",
+    # round 8 batch 10: empty corpora yield zero pairs/fingerprints/
+    # novelty rows on both engines
+    "portable_minhash_pairs",
+    "rolling_fingerprint_portable",
+    "ngram_novelty_rate",
 ]
 
 

@@ -147,6 +147,13 @@ EDGE_QUERIES = [
     # round 8 batch 9: df stats scan the whole edge corpus (NULL/empty
     # texts contribute nothing) while the keyword side is id-bounded
     "doc_keywords_tfidf",
+    # round 8 batch 10: the exact-dup docs 5/6 are the guaranteed
+    # jaccard-1.0 minhash pair; token sets KEEP empty split tokens
+    # (signature parity); NULL texts fingerprint to NULL; sub-5-token
+    # docs contribute zero novelty grams
+    "portable_minhash_pairs",
+    "rolling_fingerprint_portable",
+    "ngram_novelty_rate",
 ]
 
 ROWS = [

@@ -68,7 +68,7 @@ PROBED = {
     "kaplan_meier_retention": (["orders"], "KM survival: one customer-keyed min/max exchange, then day-grid frames"),
     "dup_cluster_size_histogram": (["documents"], "dedup audit: 32-byte md5 keys, then integer size rows"),
     "boilerplate_prefix_dup": (["documents"], "prefix dedup: md5(prefix) 32-byte distinct shuffle, never text"),
-    "simhash_portable_pairs": (["documents"], "simhash: map-only 48-bit votes; shuffle = (doc, sig, chunk) rows + verified pairs, never text"),
+    "simhash_portable_pairs": (["documents"], "simhash: map-only 48-bit votes; shuffle is candidate-PAIR-sized (the template-heavy synthetic corpus packs near-identical signatures, so chunk buckets fan out — the edit_distance precedent: pairs ARE the answer); cap_bucket_size (operators/dedup.py:242) is the mass-duplication escape hatch, and text never moves"),
     "char_ngram_lang_profile": (["documents"], "trigram profile: (lang, trigram) count partials after map-side combine"),
     "interarrival_gap_stats": (["events"], "gap stats: one (user, type) exchange for the lag, one type exchange for the rank"),
     "user_growth_curve": (["events"], "growth curve: user-keyed min exchange, then O(days) integer rows"),
@@ -76,7 +76,9 @@ PROBED = {
     "psi_length_drift": (["documents"], "PSI: map-combined (snap, bin) counts — O(bins) rows move"),
     "centroid_per_label": (["embeddings"], "centroids: (label, dim) partial means — model-sized exchange"),
     "centroid_confusion_matrix": (["embeddings"], "confusion: per-dim partials + broadcast centroid model; vectors never shuffle whole"),
-    "doc_keywords_tfidf": (["documents"], "keywords: (token) df partials + id-bounded tf side"),
+    "doc_keywords_tfidf": (["documents"], "keywords: df build shuffles (token, doc) distinct partials — instance-sized vs compressed input (the postings growth mode); the tf/application side is id-bounded"),
+    "portable_minhash_pairs": (["documents"], "portable LSH: id-bounded 400-doc witness — every frame fits a broadcast at this size so NOTHING shuffles; the scale story lives in the production minhash_dedup_pairs row"),
+    "ngram_novelty_rate": (["documents"], "novelty: 8-byte gram-hash anti-join, never gram text — >1 vs COMPRESSED input because distinct gram hashes are instance-sized (the dup_passage growth mode); text itself never moves"),
 }
 
 
@@ -89,7 +91,17 @@ def main() -> None:
     spark = get_spark(
         app_name="shuffle-probe",
         cpus=32,
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4049",
+            # the probe sums shuffleWriteBytes over ALL completed stages:
+            # with 40+ probed queries the default retainedStages=1000
+            # EVICTS early stages mid-run, so the cumulative "after" sum
+            # can drop below "before" (a negative delta appeared in the
+            # portable_minhash_pairs row before this was raised)
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     load_all()
     base = "http://localhost:4049"
