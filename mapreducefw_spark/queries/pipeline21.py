@@ -293,24 +293,51 @@ def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.3  # smoothing factor; weight (1-alpha)^k decays per lag day
 EWMA_WINDOW = 14  # truncation horizon: (0.7)^14 ~ 0.7% residual weight
 
+# (1-alpha)^k as EXACT decimals (0.7^k terminates at k decimal digits, so
+# Decimal is lossless): the weighted fold then runs in DECIMAL end-to-end
+# and is order-independent — the pow()-double form drifted past ROUND(6)
+# at sf0.1's 1e7 daily magnitudes (a few boundary rows in the full-registry
+# sf0.1 sweep), exactly the _util rule about money-scale double sums.
+from decimal import Decimal as _Dec
+
+EWMA_WEIGHTS = [_Dec("0.7") ** k for k in range(EWMA_WINDOW)]
+_EWMA_W_VALUES = ", ".join(
+    f"({k}, CAST({w} AS DECIMAL(16,14)))" for k, w in enumerate(EWMA_WEIGHTS)
+)
+
 
 @register(
     "ewma_daily_revenue",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS x
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS x
   FROM orders WHERE o_orderdate IS NOT NULL
   GROUP BY 1
 ),
 shifted AS (
-  SELECT daily.d + TO_DAYS(CAST(k.k AS INT)) AS d, k.k,
-         POW(1 - {EWMA_ALPHA}, k.k) AS w, x
-  FROM daily CROSS JOIN (SELECT unnest(range(0, {EWMA_WINDOW})) AS k) k
+  SELECT daily.d + TO_DAYS(CAST(k.k AS INT)) AS d, k.k, k.w, x
+  FROM daily CROSS JOIN (VALUES {_EWMA_W_VALUES}) AS k(k, w)
 )
 SELECT t.d,
        CAST(COUNT(*) AS INT) AS n_terms,
-       ROUND(SUM(s.w * s.x) / SUM(s.w), 6) AS ewma
+       -- EXACT half-up rounding at 1e-6, fully in integers: the weighted
+       -- sum and weight sum are exact decimals (w widened to DECIMAL(20,14)
+       -- first — DuckDB multiplies in the operands' physical int width and
+       -- DECIMAL(16,14)*DECIMAL(18,2) overflows int64); lift both to
+       -- integers (num x 1e4 after ROUND 4, den x 1e14), then
+       -- r = (2a*1e16 + b) // (2b) is round-half-up(a*1e16/b) with zero
+       -- float involvement. Every float formulation hit a ROUND(6)
+       -- boundary row at sf0.1's 1e7 magnitudes: the decimal->double cast
+       -- of a >2^53-mantissa value rounds differently per engine, and
+       -- even ROUND(identical double, 6) disagreed once (Spark rounds the
+       -- exact binary expansion, DuckDB the x*1e6 double). r/1e6 as the
+       -- final double is exact (r < 2^53).
+       CAST((2 * CAST(ROUND(SUM(CAST(s.w AS DECIMAL(20,14)) * s.x), 4) * 10000 AS HUGEINT)
+               * 10000000000000000
+             + CAST(SUM(s.w) * 100000000000000 AS HUGEINT))
+            // (2 * CAST(SUM(s.w) * 100000000000000 AS HUGEINT)) AS DOUBLE)
+       / 1000000 AS ewma
 FROM daily t JOIN shifted s ON s.d = t.d
 GROUP BY t.d
 ORDER BY t.d
@@ -325,32 +352,52 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     smear across gaps; same argument as acf_daily_revenue). Plan shape is
     the ACF lag spine: daily exact-DECIMAL sums once, a 14-row broadcast
     spine pre-shifts the series, ONE equi-join on the calendar-bounded
-    day grid. Weights are identical pow() doubles both engines; the ≤14
-    term fold takes ROUND(6)."""
+    day grid. Weights are EXACT decimals (0.7^k terminates), the weighted
+    fold stays DECIMAL end-to-end, and the final 1e-6 rounding is EXACT
+    integer half-up division — (2a·10^16 + b) DIV 2b — because every
+    float formulation (pow weights; decimal->double casts; even
+    ROUND(identical double, 6)) produced at least one boundary row at
+    sf0.1's 1e7 daily magnitudes. The only double in the plan is the
+    exact r/1e6 at the very end."""
     daily = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum(dec("o_totalprice")).cast("double").alias("x"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("x"))
     )
-    ks = daily.sparkSession.range(0, EWMA_WINDOW).select(
-        F.col("id").cast("int").alias("k")
+    ks = daily.sparkSession.createDataFrame(
+        list(enumerate(EWMA_WEIGHTS)), "k int, w decimal(16,14)"
     )
     shifted = daily.join(F.broadcast(ks)).select(
         F.date_add("d", F.col("k")).alias("d"),
-        F.pow(F.lit(1 - EWMA_ALPHA), F.col("k")).alias("w"),
+        "w",
         "x",
     )
-    return (
+    agg = (
         daily.select("d")
         .join(shifted, "d")
         .groupBy("d")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_terms"),
-            F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w"), 6).alias("ewma"),
+            (F.round(F.sum(F.col("w") * F.col("x")), 4) * 10000)
+            .cast("decimal(38,0)")
+            .alias("a"),
+            (F.sum("w").cast("decimal(16,14)") * 100000000000000)
+            .cast("decimal(38,0)")
+            .alias("b"),
         )
-        .orderBy("d")
     )
+    return agg.select(
+        "d",
+        "n_terms",
+        (
+            F.expr(
+                "CAST((2 * a * CAST(10000000000000000 AS DECIMAL(38,0)) + b)"
+                " DIV (2 * b) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("ewma"),
+    ).orderBy("d")
 
 
 @register(
