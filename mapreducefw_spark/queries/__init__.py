@@ -200,6 +200,7 @@ def load_all() -> None:
         pipeline27,
         pipeline28,
         pipeline29,
+        pipeline30,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -117,6 +117,9 @@ EMPTY_QUERIES = [
     "portable_minhash_pairs",
     "rolling_fingerprint_portable",
     "ngram_novelty_rate",
+    # round 8 batch 11: empty streams/facts yield zero rules/cohorts
+    "session_rule_lift",
+    "cohort_conversion_matrix",
 ]
 
 

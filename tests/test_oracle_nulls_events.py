@@ -103,6 +103,9 @@ EDGE_QUERIES = [
     # identically; all users sharing one first day collapse to one
     # growth-curve row
     "user_growth_curve",
+    # round 8 batch 11: dup (user, ts) rows exercise the session-rule
+    # (ts, event_id) tiebreak; single-type sessions emit no rules
+    "session_rule_lift",
 ]
 
 

@@ -97,6 +97,10 @@ EDGE_QUERIES = [
     # both engines (NULL <> 'F' is NULL); NULL custkeys are excluded
     # from the synthesized SCD2 dimension and NULL dates from the facts
     "sql_pipe_syntax", "scd2_point_in_time_join",
+    # round 8 batch 11: single-order customers never convert (NULL
+    # days_to_repeat both sides); same-day repeat orders rank via the
+    # (date, orderkey) tiebreak
+    "cohort_conversion_matrix",
 ]
 
 _D = datetime
