@@ -201,6 +201,7 @@ def load_all() -> None:
         pipeline28,
         pipeline29,
         pipeline30,
+        pipeline31,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

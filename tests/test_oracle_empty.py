@@ -120,6 +120,12 @@ EMPTY_QUERIES = [
     # round 8 batch 11: empty streams/facts yield zero rules/cohorts
     "session_rule_lift",
     "cohort_conversion_matrix",
+    # round 8 batch 12: empty inputs degrade to one all-NULL stat row
+    # (anova/runs/d) or zero rows (kruskal's per-group frame) identically
+    "anova_f_length_by_source",
+    "kruskal_wallis_length",
+    "runs_test_daily",
+    "cohens_d_src_pair",
 ]
 
 

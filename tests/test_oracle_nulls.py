@@ -154,6 +154,13 @@ EDGE_QUERIES = [
     "portable_minhash_pairs",
     "rolling_fingerprint_portable",
     "ngram_novelty_rate",
+    # round 8 batch 12: zero-length and single-doc sources stress the
+    # k-group Σ-statistics (n=1 groups contribute s²/n exactly); the
+    # tie-heavy tiny grid is the Kruskal average-rank stress case;
+    # zero-pooled-variance pairs yield NULL d, not DIVIDE_BY_ZERO
+    "anova_f_length_by_source",
+    "kruskal_wallis_length",
+    "cohens_d_src_pair",
 ]
 
 ROWS = [

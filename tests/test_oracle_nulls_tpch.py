@@ -101,6 +101,9 @@ EDGE_QUERIES = [
     # days_to_repeat both sides); same-day repeat orders rank via the
     # (date, orderkey) tiebreak
     "cohort_conversion_matrix",
+    # round 8 batch 12: the sparse edge day grid exercises the runs
+    # test's tiny-n corners (exactly-median days drop on both engines)
+    "runs_test_daily",
 ]
 
 _D = datetime

@@ -1345,6 +1345,82 @@ def main() -> None:
             ),
         )
 
+        # round 8 batch 11: sessionized rule mining — users re-keyed so the
+        # session population grows k-fold; the per-session state is the
+        # |type-vocab|-bounded grid, so the pair join grows with sessions,
+        # never events^2
+        sr = evk.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        w_sr = W6.partitionBy("user_id").orderBy("ts", "event_id")
+        lag_sr = F.lag("ts").over(w_sr)
+        new_sr = F.when(
+            lag_sr.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(lag_sr) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0)
+        sess_sr = sr.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.sum(new_sr)
+            .over(
+                W6.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(W6.unboundedPreceding, 0)
+            )
+            .alias("sid"),
+        )
+        pt_sr = sess_sr.groupBy("user_id", "sid", "event_type").agg(
+            F.min("ts").alias("f"), F.max("ts").alias("l")
+        )
+        a_sr, b_sr = pt_sr.alias("a"), pt_sr.alias("b")
+        timed(
+            "session_rule_grid",
+            k,
+            a_sr.join(
+                b_sr,
+                (F.col("b.user_id") == F.col("a.user_id"))
+                & (F.col("b.sid") == F.col("a.sid"))
+                & (F.col("b.event_type") != F.col("a.event_type"))
+                & (F.col("a.f") < F.col("b.l")),
+            )
+            .groupBy(F.col("a.event_type"), F.col("b.event_type"))
+            .count(),
+        )
+
+        # round 8 batch 10: n-gram novelty — BOTH snapshots grow with k
+        # (the pessimistic decontam mode: gram anti-join both sides grow;
+        # deployment pins one side fixed, see ngram_decontam_fixed_bench)
+        nv_toks = F.split("text", " ")
+        nv_gh = F.when(
+            F.size(nv_toks) >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(nv_toks) - 4, F.lit(0))),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.concat_ws(" ", F.slice(nv_toks, i, 5))), 1, 12),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        nv = docs.filter(F.col("text").isNotNull()).select(
+            "source", (F.col("doc_id") % 2).alias("snap"), nv_gh.alias("gh")
+        )
+        nv_a = nv.filter(F.col("snap") == 0).select(F.explode("gh").alias("h")).distinct()
+        nv_b = (
+            nv.filter(F.col("snap") == 1)
+            .select("source", F.explode("gh").alias("h"))
+            .distinct()
+        )
+        timed(
+            "ngram_novelty_antijoin",
+            k,
+            nv_b.join(nv_a, "h", "left_anti").groupBy("source").count(),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
@@ -1410,6 +1486,11 @@ def main() -> None:
             "join both sides), same pessimistic-vs-deployment caveat as "
             "ngram_overlap_decontam; stages chain without re-scans via "
             "Catalyst plan reuse"
+        ),
+        "ngram_novelty_antijoin": (
+            "both snapshots grow with k (gram anti-join both sides grow) — "
+            "the same pessimistic-vs-deployment caveat as "
+            "ngram_overlap_decontam; gram-instance-linear, never quadratic"
         ),
         "ngram_decontam_fixed_bench": (
             "the DEPLOYMENT shape: fixed-size eval-suite gram set "
