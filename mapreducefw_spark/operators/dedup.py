@@ -588,10 +588,14 @@ def portable_minhash_signatures(
     discriminating where template corpora share most of their word SET
     but not their word ORDER).
     """
+    # NULL guard on the shingle path: shingles() builds grams via concat_ws,
+    # which swallows the NULL slice and would give a NULL-text doc the same
+    # signature as an empty-text doc — violating the NULL-propagation
+    # contract above. F.when keeps toks NULL so every h_i/band stays NULL.
     toks = (
         F.array_distinct(F.split(F.col(text_col), " "))
         if shingle_n is None
-        else shingles(text_col, shingle_n)
+        else F.when(F.col(text_col).isNotNull(), shingles(text_col, shingle_n))
     )
 
     def seeded(i: int):

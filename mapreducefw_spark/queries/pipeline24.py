@@ -420,8 +420,8 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(COUNT(DISTINCT md5(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 40))) AS BIGINT) AS n_prefixes,
-       ROUND(1 - CAST(COUNT(DISTINCT md5(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 40))) AS DOUBLE)
+       CAST(COUNT(DISTINCT md5(substr(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), 1, 40))) AS BIGINT) AS n_prefixes,
+       ROUND(1 - CAST(COUNT(DISTINCT md5(substr(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), 1, 40))) AS DOUBLE)
                  / COUNT(*), 6) AS prefix_dup_rate
 FROM documents
 WHERE text IS NOT NULL
@@ -435,12 +435,14 @@ def boilerplate_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap first-pass signal for templated/boilerplate content
     (Common Crawl header/footer spam) before any MinHash pass. The
     distinct count runs on md5(prefix) so the shuffle carries 32-byte
-    hashes, not text (the dedup_exact contract). Java and RE2 '\\s' are
-    both ASCII-class here and substr is character-based on both engines,
-    so the prefix is byte-identical cross-engine. Integer counts + one
-    division; ROUND(6)."""
+    hashes, not text (the dedup_exact contract). The whitespace class is
+    the EXPLICIT [ \\t\\n\\r\\f\\x0B]+ on both engines — Java's '\\s'
+    includes vertical tab \\x0B while RE2/DuckDB's does not, so the
+    shorthand would diverge on \\x0B-bearing text; substr is
+    character-based on both engines, so the prefix is byte-identical
+    cross-engine. Integer counts + one division; ROUND(6)."""
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    pre = F.md5(F.substring(F.regexp_replace("text", r"\s+", " "), 1, 40))
+    pre = F.md5(F.substring(F.regexp_replace("text", "[ \\t\\n\\r\\f\\x0B]+", " "), 1, 40))
     return (
         d.groupBy("source")
         .agg(

@@ -104,12 +104,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-only join, broadcast-able dimension, fact scanned once."""
     cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
     v = F.col("v")
+    # Table-independent 3-row version spine (spark.range, matching the
+    # oracle's UNNEST([0,1,2])) — deriving it from an unrelated table
+    # (e.g. region.limit(1)) would silently empty the result whenever
+    # that table is empty while the oracle still returns 3 versions.
     dim = cust.select("c_custkey").join(
-        F.broadcast(
-            t(spark, sf_dir, "region")
-            .limit(1)
-            .select(F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"))
-        )
+        F.broadcast(spark.range(3).select(F.col("id").cast("int").alias("v")))
     )
     f1 = F.date_add(F.lit("1996-01-01").cast("date"), (F.col("c_custkey") % 200).cast("int"))
     f2 = F.date_add(F.lit("1997-06-01").cast("date"), (F.col("c_custkey") % 300).cast("int"))
