@@ -90,66 +90,72 @@ def register(name: str, oracle: str | None = None):
 # mann_whitney_u, gini_customer_spend, acf_daily_revenue,
 # benford_first_digit — all oracle-green locally
 # at sf0.001/0.01 + edge suites + full drive_entry), then the r4 pool.
+# Round-9 window, per the r8 verdict's order #1: spend ALL 50 slots on the
+# never-driver-checked pool (the 66 pipeline20-31 + pipeline21 statistical
+# registrations, every one verified green by the judge's own independent
+# exact sweep in the r8 session AND by this round's full drive_entry run),
+# stalest-first per tools/stale_report.py. No canary slots this round — the
+# explicit order trades them for draining the backlog; the canaries are
+# pinned by pytest + bench every round regardless. The 17-query remainder
+# (user_growth_curve .. cohens_d_src_pair + this round's additions) heads
+# the r10 queue together with the r2/r3 vintage tail (order #6), which fits
+# a single 50-slot window. Changed-this-round queries all sit INSIDE this
+# window: scd2_point_in_time_join (table-independent spine),
+# boilerplate_prefix_dup (explicit whitespace class), simhash_portable_pairs
+# (refactored through portable_simhash_pairs_frame) and its NEW capped twin
+# simhash_portable_pairs_capped (r8 verdict order #4 — cap mirrored in the
+# oracle, so its binding row lands the same round the escape hatch ships).
 CHECK_PRIORITY: tuple[str, ...] = (
-    # -- (a) oracle-paired, never driver-checked (round-7 pipeline17-19 batch)
-    "twap_user_daily",
-    "kfold_assignment",
-    "fixed_width_histogram",
-    "session_conversion_bounce",
-    "dedup_rate_by_source",
-    "shard_balance_report",
-    "quality_funnel_attrition",
-    "transition_entropy_by_type",
-    "xml_roundtrip",
-    "mask_pii_columns",
-    "array_mutators_35",
-    "regexp_functions_35",
-    "bit_aggregates",
-    "chi_square_independence",
-    "ks_two_sample",
-    "mann_whitney_u",
-    "gini_customer_spend",
-    "acf_daily_revenue",
-    "benford_first_digit",
-    # -- (b) permanent canary core
-    "mr_search",
-    "mr_wordcount",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "join_left_outer_order_counts",
-    "join_semi_big_spenders",
-    "join_anti_orderless_customers",
-    "grouping_sets_explicit",
-    "sort_multikey_nulls",
-    # -- (c) oracle changed this round (quoted-int ' *' padding; nucleus NULLS LAST)
-    "json_extract_events",
-    "to_json_roundtrip",
-    "nucleus_topp_sources",
-    # -- (d) new round-8 composition (r8 verdict order #4 requires a
-    #        binding CORRECTNESS row; the other ~50 round-8 registrations
-    #        (pipeline21-27) are check_oracle-verified at sf0.001+0.01 and
-    #        queue FIRST for the r9 window per tools/stale_report.py, so
-    #        every remaining r8 slot drains the r3 pool per order #5)
-    "corpus_prep_pipeline",
-    # -- (e) r3-vintage re-verifies, stalest-first per tools/stale_report.py
-    "agg_supplier_stats",
-    "benchmark_contamination",
-    "bigram_top_terms",
-    "bpe_token_counts",
-    "count_distinct_parts",
-    "cross_snapshot_jaccard",
-    "cube_lineitem_flags",
-    "except_all_nations",
-    "filter_predicates",
-    "join_broadcast_nation_region",
-    "join_full_outer_nation_presence",
-    "join_range_theta",
-    "pandas_udaf_geomean",
-    "pii_scrub_stats",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_pushdown",
+    "welch_t_test",
+    "cramers_v_type_dow",
+    "spearman_rho_qty_price",
+    "ewma_daily_revenue",
+    "durbin_watson_daily",
+    "rouge1_recall_pairs",
+    "jsd_token_drift",
+    "mode_deterministic_priority",
+    "seasonal_index_dow",
+    "hhi_source_concentration",
+    "langid_confusion_matrix",
+    "percentile_cont_by_source",
+    "ks_two_sample_bucketed",
+    "mann_whitney_u_bucketed",
+    "target_encoding_smoothed",
+    "feature_hashing_counts",
+    "minhash_accuracy_report",
+    "theil_sen_trend",
+    "cusum_changepoint",
+    "dow_adjusted_anomalies",
+    "covariance_matrix_lineitem",
+    "band_join_prices",
+    "k_anonymity_report",
+    "bm25_scores",
+    "activity_islands_per_user",
+    "conversion_time_percentiles",
+    "sql_group_by_all",
+    "unigram_logppl_by_source",
+    "dsir_importance_weights",
+    "kendall_tau_b",
+    "mutual_information_type_dow",
+    "dup_cluster_size_histogram",
+    "boilerplate_prefix_dup",
+    "kaplan_meier_retention",
+    "weighted_median_price",
+    "linear_interpolation_gaps",
+    "readability_flesch_proxy",
+    "lorenz_curve_deciles",
+    "try_arithmetic_functions",
+    "simhash_portable_pairs",
+    "simhash_portable_pairs_capped",
+    "listagg_within_group",
+    "seasonal_decompose_daily",
+    "interarrival_gap_stats",
+    "char_ngram_lang_profile",
+    "histogram_log_bins",
+    "sql_pipe_syntax",
+    "scd2_point_in_time_join",
+    "simhash_cluster_assignment",
+    "script_mixing_report",
 )
 
 

@@ -94,14 +94,35 @@ def simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.py:490 contract). Shuffles carry (doc, sig, chunk) rows —
     never text. Cites `operators/dedup.py:480,508` (the xxhash64 form
     this twin checks)."""
-    from mapreducefw_spark.operators.dedup import portable_simhash_signatures
+    return portable_simhash_pairs_frame(_sim_corpus(spark, sf_dir))
 
+
+def _sim_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + every 10th doc re-unioned as an exact copy (+1000000 id)
+    so the fixture always exercises real near-dup matches."""
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    corpus = d.select("doc_id", "text").unionByName(
+    return d.select("doc_id", "text").unionByName(
         d.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
+
+
+def portable_simhash_pairs_frame(
+    corpus: DataFrame, *, max_bucket_size: int | None = None
+) -> DataFrame:
+    """(doc_id, text) -> (doc_a, doc_b, hamming <= 3) via portable 48-bit
+    SimHash + 4x12-bit pigeonhole chunk blocking. ``max_bucket_size`` is
+    the `cap_bucket_size` escape hatch (operators/dedup.py:244): buckets
+    holding more docs are dropped BEFORE the self-join, bounding the
+    quadratic-inside-bucket blowup a boilerplate-heavy corpus causes
+    (at sf0.1 the worst chunk bucket holds 1829 docs = 1.7M candidate
+    pairs on its own). Reused by both registered forms and the pins."""
+    from mapreducefw_spark.operators.dedup import (
+        cap_bucket_size,
+        portable_simhash_signatures,
+    )
+
     sigs = portable_simhash_signatures(corpus, bits=_SIMHASH_BITS)
     width = _SIMHASH_BITS // _CHUNKS
     chunks = F.array(
@@ -118,6 +139,7 @@ def simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = sigs.select(
         "doc_id", "sig", F.explode(chunks).alias("ch")
     ).select("doc_id", "sig", F.col("ch.chunk").alias("chunk"), F.col("ch.v").alias("v"))
+    blocked = cap_bucket_size(blocked, ["chunk", "v"], max_bucket_size)
     a, b2 = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("int")
     return (
@@ -136,6 +158,80 @@ def simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+_CAP = 64  # > P99 bucket size at sf0.1 (154 is P99 over ALL buckets incl.
+# the template clusters; the non-template mass sits well under 64), so the
+# cap removes only the boilerplate mega-buckets exact dedup catches anyway
+
+
+@register(
+    "simhash_portable_pairs_capped",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+),
+tok AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM corpus)
+  WHERE token <> ''
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, b,
+         CAST(SUM((h >> b) & 1) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM th CROSS JOIN (SELECT UNNEST(range(48)) AS b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s * 2 > n THEN (CAST(1 AS BIGINT) << b)
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, c AS chunk, (sig >> CAST(c * 12 AS INT)) & 4095 AS v
+  FROM sigs CROSS JOIN (SELECT UNNEST(range(4)) AS c)
+),
+kept AS (
+  SELECT chunk, v FROM chunks GROUP BY chunk, v HAVING COUNT(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM chunks a
+  JOIN kept k ON k.chunk = a.chunk AND k.v = a.v
+  JOIN chunks b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY doc_a, doc_b
+""",
+)
+def simhash_portable_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of simhash_portable_pairs: identical signature
+    math and blocking, but chunk buckets holding > 64 docs are dropped
+    before the self-join (`cap_bucket_size`, operators/dedup.py:244) — the
+    mass-duplication escape hatch the r8 verdict asked to make code, not
+    prose. On a boilerplate-heavy corpus one degenerate bucket is quadratic
+    (sf0.1: the worst bucket alone is 1.7M of the 4.68M candidate pairs);
+    the cap bounds per-bucket work at 64*63/2 pairs while losing only pairs
+    of mass-duplicated docs, which exact dedup (dedup_exact) removes
+    upstream in every real pipeline. The DuckDB oracle mirrors the cap
+    (HAVING COUNT(*) <= 64 on the same bucket keys), so the capped
+    semantics are value-hash verified end-to-end, and
+    `tests/test_simhash_portable.py` pins capped == uncapped on a
+    cap-unbound fixture. Cites `operators/dedup.py:480,508` (xxhash64
+    production family) and `simhash_portable_pairs` (the lossless-blocking
+    proof twin this variant trades recall-on-mass-dups for boundedness)."""
+    return portable_simhash_pairs_frame(_sim_corpus(spark, sf_dir), max_bucket_size=_CAP)
 
 
 @register(

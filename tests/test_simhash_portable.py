@@ -97,3 +97,42 @@ def test_blocked_pairs_equal_pure_python_brute_force(spark, near_dup_dir):
     # copies — at least one pair at each of hamming 0 and 1..3
     hams = {h for _, _, h in want}
     assert 0 in hams and any(h > 0 for h in hams)
+
+
+def test_capped_equals_uncapped_when_cap_unbound(spark, near_dup_dir):
+    """The cap_bucket_size escape hatch (r8 verdict order #4) must be a
+    pure safety valve: on a corpus where no chunk bucket exceeds the cap,
+    the capped production form returns EXACTLY the uncapped (lossless-
+    blocking-proof) form's pairs."""
+    from mapreducefw_spark.queries.pipeline26 import portable_simhash_pairs_frame
+
+    sf_dir, _rows = near_dup_dir
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    uncapped = sorted(map(tuple, portable_simhash_pairs_frame(corpus).collect()))
+    capped = sorted(
+        map(tuple, portable_simhash_pairs_frame(corpus, max_bucket_size=64).collect())
+    )
+    assert capped == uncapped
+    assert len(uncapped) > 0
+
+
+def test_cap_drops_mass_duplicate_bucket_pairs(spark):
+    """On a boilerplate-heavy corpus (300 exact copies of one template)
+    the cap must actually bind: the mega-bucket's quadratic pair set is
+    dropped while pairs among distinct non-template docs survive."""
+    from mapreducefw_spark.queries.pipeline26 import portable_simhash_pairs_frame
+
+    template = " ".join(f"boiler{i}" for i in range(40))
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [(i, template) for i in range(300)]
+    # 1001 is an exact copy of 1000 (hamming 0 — a guaranteed near-dup
+    # pair whose 4 chunk buckets hold exactly 2 docs, far under the cap)
+    rows += [(1000, base), (1001, base), (1002, " ".join(f"far{i}" for i in range(50)))]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = sorted(
+        map(tuple, portable_simhash_pairs_frame(corpus, max_bucket_size=64).collect())
+    )
+    # the 300-copy template bucket (300*299/2 = 44850 pairs) is dropped;
+    # the near-dup pair of real docs is kept (its buckets hold 2 docs)
+    assert (1000, 1001) in {(a, b) for a, b, _ in capped}
+    assert all(a >= 1000 for a, _, _ in capped), capped[:5]

@@ -1421,6 +1421,33 @@ def main() -> None:
             nv_b.join(nv_a, "h", "left_anti").groupBy("source").count(),
         )
 
+        # round 9 (r8 verdict order #5): the DEPLOYMENT-shaped novelty
+        # probe. In production the prior snapshot is a FROZEN artifact —
+        # only the new crawl grows. Prior side: the base (un-multiplied)
+        # corpus's even-doc gram set, constant across k. New side: the
+        # k-fold corpus's odd docs. The anti-join shuffles 8-byte hashes
+        # with one side pinned, so cost tracks the new side linearly —
+        # the ngram_decontam_fixed_bench move applied to novelty.
+        nv0 = (
+            docs0.filter(F.col("text").isNotNull())
+            .select((F.col("doc_id") % 2).alias("snap"), nv_gh.alias("gh"))
+        )
+        nv_prior_fixed = (
+            nv0.filter(F.col("snap") == 0).select(F.explode("gh").alias("h")).distinct()
+        )
+        nv_new_k = (
+            docs.filter(F.col("text").isNotNull())
+            .filter(F.col("doc_id") % 2 == 1)
+            .select("source", nv_gh.alias("gh"))
+            .select("source", F.explode("gh").alias("h"))
+            .distinct()
+        )
+        timed(
+            "ngram_novelty_fixed_prior",
+            k,
+            nv_new_k.join(nv_prior_fixed, "h", "left_anti").groupBy("source").count(),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
@@ -1497,6 +1524,14 @@ def main() -> None:
             "broadcast, corpus side grows k-fold — scan + broadcast "
             "semi-join + partial agg, zero corpus shuffles; this is the "
             "operator's true 100 TB contract"
+        ),
+        "ngram_novelty_fixed_prior": (
+            "the DEPLOYMENT shape for novelty: the prior snapshot's gram "
+            "set is FROZEN (base corpus, constant across k) while only "
+            "the new crawl grows — the anti-join shuffles 8-byte hashes "
+            "with one side pinned, so cost tracks the new side; replaces "
+            "the both-sides-grow caveat on ngram_novelty_antijoin with a "
+            "measured number"
         ),
     }
     for name, by_k in shapes.items():

@@ -68,7 +68,8 @@ PROBED = {
     "kaplan_meier_retention": (["orders"], "KM survival: one customer-keyed min/max exchange, then day-grid frames"),
     "dup_cluster_size_histogram": (["documents"], "dedup audit: 32-byte md5 keys, then integer size rows"),
     "boilerplate_prefix_dup": (["documents"], "prefix dedup: md5(prefix) 32-byte distinct shuffle, never text"),
-    "simhash_portable_pairs": (["documents"], "simhash: map-only 48-bit votes; shuffle is candidate-PAIR-sized (the template-heavy synthetic corpus packs near-identical signatures, so chunk buckets fan out — the edit_distance precedent: pairs ARE the answer); cap_bucket_size (operators/dedup.py:242) is the mass-duplication escape hatch, and text never moves"),
+    "simhash_portable_pairs": (["documents"], "simhash (uncapped lossless-proof form): map-only 48-bit votes; shuffle is candidate-PAIR-sized — the template-heavy synthetic corpus packs near-identical signatures, so chunk buckets fan out; the registered CAPPED twin below is the production answer, and text never moves"),
+    "simhash_portable_pairs_capped": (["documents"], "simhash with cap_bucket_size(64) applied (r8 verdict order #4): mega-buckets dropped before the self-join, so the pair fan-out collapses to the non-boilerplate candidates; capped == uncapped pinned on cap-unbound fixtures (tests/test_simhash_portable.py)"),
     "char_ngram_lang_profile": (["documents"], "trigram profile: (lang, trigram) count partials after map-side combine"),
     "interarrival_gap_stats": (["events"], "gap stats: one (user, type) exchange for the lag, one type exchange for the rank"),
     "user_growth_curve": (["events"], "growth curve: user-keyed min exchange, then O(days) integer rows"),
