@@ -98,6 +98,10 @@ HEADLINE = [
     # round 8 batch 7: the oracle-paired simhash twin (48-bit portable
     # signatures + pigeonhole chunk blocking)
     "simhash_portable_pairs",
+    # round 9: the production capped form (cap_bucket_size(64) before the
+    # chunk self-join — r8 verdict order #4); its delta vs the uncapped row
+    # above is the measured price of the boilerplate mega-buckets
+    "simhash_portable_pairs_capped",
 ]
 
 

@@ -81,6 +81,11 @@ def unigram_logppl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
+    # Deliberately TWO tokenize passes (vocab and grid as parallel branches
+    # of one job): the re-agg-from-the-grid form (vocab = st.groupBy(token))
+    # chains three sequential shuffle stages and Catalyst materializes the
+    # grid subtree once per reference (3 scans, no exchange reuse pre-AQE),
+    # measuring 1.3x slower at sf0.1 (0.359 vs 0.275 s A/B min-of-7).
     vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     tot = vocab.agg(F.sum("c").alias("t_all"))
     st = tk.groupBy("source", "token").agg(F.count(F.lit(1)).alias("k"))

@@ -35,6 +35,31 @@ def multiplied(df, key_cols: list[str], k: int):
 
 
 BENCH_NOTES = """
+## Round 9 notes: binding idle re-measure of the three r8 flags
+
+**All three r8-flagged regressions re-measured AT or BELOW their
+pre-flag numbers — host/session noise confirmed, zero plan regressions.**
+Protocol per the round-7 notes (r8 verdict order #3): idle host, driver
+settings (sf0.1, local[32]), full untimed warm-up, clearCache between
+reps, min over 5-9 reps, untouched scan-shaped calibrators in-session.
+
+| query | pre-flag | r8 driver | r9 idle re-measure | vs pre-flag |
+|---|---|---|---|---|
+| gopher_quality_rules | 0.844 (r7) | 1.147 | 0.770 | **0.91x** |
+| bitmap_exact_distinct | 0.241 (r7) | 0.365 | 0.228 (min-of-9) | **0.95x** |
+| unigram_logppl_by_source | 0.315 (intra-r8) | 0.440 | 0.275 (min-of-7) | **0.87x** |
+
+Calibration (same sessions): filter_predicates 0.269-0.416 vs r8 0.337,
+text_token_stats 0.294 vs 0.301, json_extract_events 0.429 vs 0.389 —
+scatter in both directions, the r6/r8 drift signature. The driver's bench
+runs concurrently with its own verify machinery; these sub-second queries
+swing 1.3-1.6x with session load, which is why the re-measure discipline
+exists. One plan experiment was run and REJECTED on measurement:
+rebuilding unigram_logppl's vocab from the (source, token) grid (one
+tokenize pass instead of two) chains three sequential shuffle stages and
+loses pre-AQE exchange reuse — 1.3x slower at sf0.1 (0.359 vs 0.275
+A/B min-of-7), so the two-parallel-branch form stays (pipeline24.py).
+
 ## Round 7 notes: binding idle re-measure of the six r6 flags
 
 **All six r6-flagged regressions (q1 1.62x, q3 1.93x, q5 1.50x,
