@@ -208,6 +208,7 @@ def load_all() -> None:
         pipeline29,
         pipeline30,
         pipeline31,
+        pipeline32,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -126,6 +126,15 @@ EMPTY_QUERIES = [
     "kruskal_wallis_length",
     "runs_test_daily",
     "cohens_d_src_pair",
+    # round 9: empty facts degrade MK to one (0, NULL, 0, 0) row on both
+    # engines (aggregate-over-empty + CASE ELSE 0); pettitt's argmax
+    # filter over an empty U frame yields zero rows; empty corpora/
+    # embeddings yield zero pair/gram/lexicon rows
+    "mann_kendall_trend",
+    "pettitt_changepoint",
+    "embedding_near_dup_pairs",
+    "stop_gram_boilerplate",
+    "hapax_legomena_stats",
 ]
 
 

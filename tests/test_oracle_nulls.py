@@ -161,6 +161,11 @@ EDGE_QUERIES = [
     "anova_f_length_by_source",
     "kruskal_wallis_length",
     "cohens_d_src_pair",
+    # round 9: sub-5-token docs contribute zero stop-grams; NULL/empty
+    # texts add no hapax instances; the exact-dup docs 5/6 double their
+    # shared grams' doc frequency on both engines
+    "stop_gram_boilerplate",
+    "hapax_legomena_stats",
 ]
 
 ROWS = [

@@ -38,6 +38,10 @@ EDGE_QUERIES = [
     "knn_loo_accuracy",
     "intra_inter_label_cosine",
     "quantization_clip_bounds",
+    # round 9: the exact-duplicate pair is the guaranteed cos-1.0 match;
+    # the zero vector is excluded by the nonzero-norm guard; NULL vec_id
+    # / NULL-element vectors drop on both engines
+    "embedding_near_dup_pairs",
 ]
 
 DIM = 16

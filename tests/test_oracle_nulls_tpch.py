@@ -104,6 +104,11 @@ EDGE_QUERIES = [
     # round 8 batch 12: the sparse edge day grid exercises the runs
     # test's tiny-n corners (exactly-median days drop on both engines)
     "runs_test_daily",
+    # round 9: the sparse tie-heavy edge day grid stresses MK's tie
+    # correction (t(t-1)(2t+5) over duplicate revenues) and Pettitt's
+    # midrank identity; NULL dates drop from the daily frames both sides
+    "mann_kendall_trend",
+    "pettitt_changepoint",
 ]
 
 _D = datetime
