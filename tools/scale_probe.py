@@ -1138,6 +1138,24 @@ def main() -> None:
             .agg(F.count("xl").alias("n_pairs"), F.sum(F.col("x") * F.col("xl")).alias("sxy")),
         )
 
+        # round 9: Mann-Kendall sign pair grid — same calendar-bounded
+        # contract as acf/theil: the daily aggregate scan grows with k,
+        # the O(days²) sign self-join does NOT (constant day grid)
+        mk9 = (
+            orders.filter(F.col("o_orderdate").isNotNull())
+            .groupBy(F.to_date("o_orderdate").alias("d"))
+            .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("xd"))
+            .filter(F.col("xd").isNotNull())
+        )
+        mk9b = mk9.select(F.col("d").alias("d2"), F.col("xd").alias("xd2"))
+        timed(
+            "mk_sign_pairgrid",
+            k,
+            mk9.join(mk9b, F.col("d2") > F.col("d")).agg(
+                F.sum(F.signum(F.col("xd2") - F.col("xd")).cast("int")).alias("s")
+            ),
+        )
+
         # round 8: session-conversion window chain — lag flag + running-sum
         # session id + session reduce, all sharing the user-hash exchange;
         # users re-keyed per copy so session count grows with data.
@@ -1473,6 +1491,52 @@ def main() -> None:
             nv_new_k.join(nv_prior_fixed, "h", "left_anti").groupBy("source").count(),
         )
 
+        # round 9: stop-gram doc-frequency grid — gram instances grow
+        # k-fold but the distinct (source, gram) vocabulary is constant
+        # (copies add no new grams), so the df aggregate + top-3 window
+        # cost should flatten after the per-doc DISTINCT
+        sg_toks = F.split("text", " ")
+        sg_grams = F.transform(
+            F.sequence(F.lit(1), F.size(sg_toks) - 4),
+            lambda i: F.array_join(F.slice(sg_toks, i, 5), " "),
+        )
+        sg_dg = (
+            docs.filter(F.col("text").isNotNull())
+            .filter(F.size(sg_toks) >= 5)
+            .select("source", "doc_id", F.explode(F.array_distinct(sg_grams)).alias("g"))
+            .distinct()
+        )
+        from pyspark.sql import Window as W9
+
+        sg_w = W9.partitionBy("source").orderBy(F.desc("df"), F.asc("g"))
+        timed(
+            "stopgram_df_topk",
+            k,
+            sg_dg.groupBy("source", "g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= 2)
+            .select("source", "g", "df", F.row_number().over(sg_w).alias("rnk"))
+            .filter(F.col("rnk") <= 3),
+        )
+
+        # round 9: hapax (source, token) grid — instances grow k-fold,
+        # distinct grid constant; map-side combine should keep growth
+        # near the scan cost
+        timed(
+            "hapax_token_grid",
+            k,
+            docs.select("source", F.explode(F.split("text", " ")).alias("tk"))
+            .filter(F.col("tk") != "")
+            .groupBy("source", "tk")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source")
+            .agg(
+                F.sum("c").alias("n_instances"),
+                F.count(F.lit(1)).alias("n_types"),
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            ),
+        )
+
     rows_base = li0.count()
     lines = [
         "# SCALING — synthetic N-fold scale-up of sf0.1 facts (tools/scale_probe.py)",
@@ -1557,6 +1621,11 @@ def main() -> None:
             "with one side pinned, so cost tracks the new side; replaces "
             "the both-sides-grow caveat on ngram_novelty_antijoin with a "
             "measured number"
+        ),
+        "stopgram_df_topk": (
+            "gram instances grow k-fold but copies add no NEW grams, so "
+            "the per-doc DISTINCT and df grid stay vocabulary-sized — "
+            "cost is the explode scan, the honest 100 TB cost too"
         ),
     }
     for name, by_k in shapes.items():
