@@ -1,13 +1,17 @@
 """Round-9 batch (pipeline32): trend/changepoint completions, embedding
-cosine near-dup pairs, stop-gram boilerplate mining, lexical hapax stats.
+cosine near-dup pairs, stop-gram boilerplate mining, lexical hapax stats,
+Cochran-Armitage ordered trend, cross-source duplication matrix.
 
-Five additions, deliberately few (the r8 verdict capped round-9 growth
+Seven additions, deliberately few (the r8 verdict capped round-9 growth
 below the 50-row/round verification budget): the two rank-based
 time-series tests that complete the Theil-Sen/CUSUM family
 (Mann-Kendall significance for the slope, Pettitt for the changepoint),
 the embedding-cosine near-duplicate pair scan the LLM-dedup tier listed
-only as rows-only forms until now, and two corpus-lexicon signals
-(frequent-5-gram boilerplate mining, hapax/type-token ratios).
+only as rows-only forms until now, two corpus-lexicon signals
+(frequent-5-gram boilerplate mining, hapax/type-token ratios), the
+ordered-alternative chi-square (Cochran-Armitage), and the source-level
+contamination matrix (which feeds mirror each other, before doc-level
+dedup).
 
 Semantic contract with the reference engine: every query is the
 map -> shuffle-by-key -> reduce -> sort job shape
@@ -23,6 +27,8 @@ Scale posture:
 - stop-gram df counts and hapax stats shuffle (source, gram)/(source,
   token) count partials after map-side combine — vocabulary/instance
   sized, never documents (the inverted_index_postings growth mode).
+- cochran-armitage folds exact BIGINT Σ's over the 7-row dow grid; the
+  cross-source matrix shuffles 32-byte md5 digests, never text.
 - cross-engine determinism: MK's S and Pettitt's U/K are exact integers
   (DECIMAL sign comparisons, integer rank sums); z/p take one sqrt/exp
   over bit-identical doubles, then ROUND(6); cosines fold identical
@@ -300,14 +306,16 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stop_gram_boilerplate",
     oracle="""
-WITH dg AS (
-  SELECT DISTINCT source, doc_id,
-         array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ') AS gram
-  FROM documents
-  CROSS JOIN UNNEST(range(1, 10000)) AS t(i)
-  WHERE text IS NOT NULL
-    AND len(string_split(text, ' ')) >= 5
-    AND i <= len(string_split(text, ' ')) - 4
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS tk FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5
+),
+dg AS (
+  SELECT source,
+         UNNEST(list_distinct(list_transform(
+           range(1, len(tk) - 3),
+           i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS gram
+  FROM toks
 ),
 df AS (
   SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
@@ -330,23 +338,31 @@ def stop_gram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripping, complementing `boilerplate_prefix_dup` (which only sees
     shared prefixes). Grams are raw split-on-space windows (the
     ngram_overlap_decontam contract, so both engines slice identical
-    positions); per-doc DISTINCT collapses within-doc repetition so a
-    single spammy doc can't fake a source-wide template. Shuffles carry
-    (source, gram) count partials after map-side combine — instance-
-    sized like inverted_index_postings, never documents; the top-3 is a
-    per-source window over the df grid (vocabulary-sized, partitioned).
-    ROW_NUMBER ties break on the ASCII gram text identically on both
-    engines."""
+    positions); doc frequency counts document RECORDS, with within-record
+    repetition collapsed MAP-SIDE by array_distinct (DuckDB mirrors via
+    list_distinct + UNNEST) — so a single spammy doc can't fake a
+    source-wide template and the shuffle carries (source, gram) COUNT
+    PARTIALS after map-side combine — the mr_wordcount shape. Measured
+    honestly (SHUFFLE.md): on the high-entropy synthetic corpus most
+    5-grams are unique, so the distinct vocabulary IS instance-sized and
+    the ratio floors at ~11x COMPRESSED input — the dup_passage /
+    doc_keywords growth mode, linear never quadratic; on a real
+    boilerplate-heavy corpus the combine collapses exactly the repeated
+    grams that matter. Three drafts were measured before settling here:
+    a (source, doc_id, gram) pre-aggregation DISTINCT shuffled text per
+    instance at 24x and defeated the combine entirely; hash-keyed
+    counting + winner join-back halved bytes (12.7x) but re-exploded the
+    corpus twice and ran 1.6x slower; this one-pass form is the fastest
+    (2.6s vs 3.4/5.3 at sf0.1) and combine-eligible. Top-3 per source by
+    (df DESC, gram ASC), a source-partitioned window over the df grid."""
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 4),
         lambda i: F.array_join(F.slice(toks, i, 5), " "),
     )
-    dg = (
-        d.filter(F.size(toks) >= 5)
-        .select("source", "doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
-        .distinct()
+    dg = d.filter(F.size(toks) >= 5).select(
+        "source", F.explode(F.array_distinct(grams)).alias("gram")
     )
     df = dg.groupBy("source", "gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("doc_freq")
@@ -425,4 +441,159 @@ def hapax_legomena_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hapax_share"),
         )
         .orderBy(F.asc_nulls_last("source"))
+    )
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle="""
+WITH g AS (
+  SELECT isodow(CAST(o_orderdate AS DATE)) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r_i
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(r_i) AS BIGINT) AS r,
+         CAST(SUM(w * r_i) AS BIGINT) AS swr,
+         CAST(SUM(w * n_i) AS BIGINT) AS swn,
+         CAST(SUM(w * w * n_i) AS BIGINT) AS sw2n
+  FROM g
+),
+q AS (
+  SELECT n, r, swr, swn,
+         (CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n)
+           * (sw2n - CAST(swn AS DOUBLE) * swn / n) AS vr
+  FROM s
+)
+SELECT n AS n_total, r AS n_urgent,
+       CASE WHEN vr > 0
+            THEN ROUND((swr - CAST(r AS DOUBLE) * swn / n) / SQRT(vr), 6)
+       END AS z
+FROM q
+""",
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the urgent-order RATE monotone in
+    the ISO day-of-week score (1=Mon..7=Sun)? The ordered-alternative
+    complement to `chi_square_independence` (which only detects ANY
+    association) — the standard dose-response test for a binary outcome
+    across ordered categories. T = Σw·r − (R/N)Σw·n with
+    Var = (R/N)(1−R/N)(Σw²n − (Σwn)²/N); every Σ is an exact BIGINT over
+    the 7-row dow grid (map-combined cell counts, the chi² shuffle
+    shape), so both engines evaluate the identical double expression for
+    z — one sqrt, ROUND(6). One scan, vocabulary-sized shuffle, 1-row
+    output."""
+    g = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy((F.weekday(F.to_date("o_orderdate")) + 1).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("r_i"),
+        )
+    )
+    s = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("w") * F.col("r_i")).cast("bigint").alias("swr"),
+        F.sum(F.col("w") * F.col("n_i")).cast("bigint").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i")).cast("bigint").alias("sw2n"),
+    )
+    rd = F.col("r").cast("double")
+    # degenerate inputs (one group, all-urgent or no-urgent) make Var = 0;
+    # z is undefined there — NULL on both engines, never DIVIDE_BY_ZERO
+    vr = (
+        (rd / F.col("n"))
+        * (1 - rd / F.col("n"))
+        * (F.col("sw2n") - F.col("swn").cast("double") * F.col("swn") / F.col("n"))
+    )
+    z = F.when(
+        vr > 0,
+        (F.col("swr") - rd * F.col("swn") / F.col("n")) / F.sqrt(vr),
+    )
+    return s.select(
+        F.col("n").alias("n_total"),
+        F.col("r").alias("n_urgent"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle="""
+WITH corpus AS (
+  SELECT source, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT 'mirror' AS source, text
+  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+),
+sh AS (
+  SELECT DISTINCT source, md5(text) AS h FROM corpus
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hashes FROM sh GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_hashes), 6)
+         AS share_of_a
+FROM sh a
+JOIN sh b ON b.h = a.h AND b.source IS DISTINCT FROM a.source
+JOIN tot ON tot.source IS NOT DISTINCT FROM a.source
+GROUP BY a.source, b.source
+ORDER BY src_a NULLS LAST, src_b NULLS LAST
+""",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair
+    (A, B), how many of A's distinct document hashes also appear in B,
+    and what share of A's corpus that is — the source-level copy/mirror
+    detector that tells a curation pipeline WHICH feeds duplicate each
+    other before doc-level dedup runs (`dedup_rate_by_source` is the
+    within-source complement). Shuffles carry 32-byte md5 digests and
+    source keys, never text (the dedup_exact contract); the join is
+    hash-keyed distinct-pair counting; output is O(sources²). NULL-safe
+    source comparison keeps a NULL source as its own feed on both
+    engines; integer counts + one division, ROUND(6)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # every 7th doc re-unioned under a synthetic 'mirror' feed (7 is
+    # coprime with the 20-source round-robin, so the mirror overlaps every
+    # source): the
+    # synthetic corpus has no natural cross-source copies, so the fixture
+    # always exercises real matrix rows (the simhash exact-copy idiom)
+    corpus = d.select("source", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            F.lit("mirror").alias("source"), "text"
+        )
+    )
+    sh = corpus.select("source", F.md5("text").alias("h")).distinct()
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_hashes"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(~F.col("src_b").eqNullSafe(F.col("src_a")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("src_a"), "n_hashes")),
+            ["src_a"],
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("n_hashes"), 6).alias(
+                "share_of_a"
+            ),
+        )
+        .orderBy(F.asc_nulls_last("src_a"), F.asc_nulls_last("src_b"))
     )

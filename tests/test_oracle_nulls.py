@@ -166,6 +166,9 @@ EDGE_QUERIES = [
     # shared grams' doc frequency on both engines
     "stop_gram_boilerplate",
     "hapax_legomena_stats",
+    # the exact-dup docs 5/6 share one md5 ACROSS the fixture's sources
+    # iff their sources differ; the mirror feed injects guaranteed rows
+    "cross_source_dup_matrix",
 ]
 
 ROWS = [

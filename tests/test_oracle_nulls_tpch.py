@@ -109,6 +109,9 @@ EDGE_QUERIES = [
     # midrank identity; NULL dates drop from the daily frames both sides
     "mann_kendall_trend",
     "pettitt_changepoint",
+    # round 9: NULL dates/priorities drop from the dow grid; the edge
+    # table's tiny urgent counts stress the 0-variance corner
+    "cochran_armitage_trend",
 ]
 
 _D = datetime

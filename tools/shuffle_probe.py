@@ -81,7 +81,7 @@ PROBED = {
     "portable_minhash_pairs": (["documents"], "portable LSH: id-bounded 400-doc witness — every frame fits a broadcast at this size so NOTHING shuffles; the scale story lives in the production minhash_dedup_pairs row"),
     "ngram_novelty_rate": (["documents"], "novelty: 8-byte gram-hash anti-join, never gram text — >1 vs COMPRESSED input because distinct gram hashes are instance-sized (the dup_passage growth mode); text itself never moves"),
     # round 9
-    "stop_gram_boilerplate": (["documents"], "stop-gram mining: (source, gram) doc-frequency partials after per-doc DISTINCT and map-side combine — instance-sized like inverted_index_postings; the top-3 window runs on the df grid"),
+    "stop_gram_boilerplate": (["documents"], "stop-gram mining: per-record dedup is MAP-SIDE (array_distinct), so the shuffle is (source, gram) count partials after combine — on this high-entropy synthetic corpus most grams are unique so the vocabulary is instance-sized (the dup_passage growth mode; ~11x vs 24x for the naive per-instance distinct draft); real boilerplate corpora combine down"),
     "hapax_legomena_stats": (["documents"], "lexicon stats: one (source, token) grid of count partials after map-side combine, then an O(vocabulary) re-agg — text never shuffles"),
     "mann_kendall_trend": (["orders"], "MK test: one exact-decimal daily aggregate; the sign pair frame is a CALENDAR-BOUNDED broadcast self-join, so shuffle is day-grid partials only"),
     "embedding_near_dup_pairs": (["embeddings"], "cosine near-dup witness: id-bounded subset broadcast against itself — shuffle is the output sort of qualifying pairs; the 100 TB path is the LSH/SemDeDup/IVF tier"),
