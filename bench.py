@@ -102,6 +102,11 @@ HEADLINE = [
     # chunk self-join — r8 verdict order #4); its delta vs the uncapped row
     # above is the measured price of the boilerplate mega-buckets
     "simhash_portable_pairs_capped",
+    # round 9 batch 2: the calendar-bounded sign pair grid, the
+    # vocabulary-combined gram df scan, and the flat (source, token) grid
+    "mann_kendall_trend",
+    "stop_gram_boilerplate",
+    "hapax_legomena_stats",
 ]
 
 

@@ -64,6 +64,10 @@ PUSHDOWN_REQUIRED = {
     "kaplan_meier_retention",
     # text IS NOT NULL must reach the documents scan
     "simhash_portable_pairs",
+    # round 9: orderdate/text NULL guards must reach the scans
+    "simhash_portable_pairs_capped",
+    "mann_kendall_trend",
+    "stop_gram_boilerplate",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in
@@ -98,6 +102,10 @@ BNL_ALLOWED = {
     "kendall_tau_b": 3,
     # the 1-row censor-horizon broadcast
     "kaplan_meier_retention": 1,
+    # round 9: the calendar-bounded day-grid sign self-join (inequality
+    # condition -> BNL over the broadcast day grid, the theil_sen shape)
+    # + the two 1-row s/ties broadcasts
+    "mann_kendall_trend": 3,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'

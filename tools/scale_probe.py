@@ -1500,11 +1500,13 @@ def main() -> None:
             F.sequence(F.lit(1), F.size(sg_toks) - 4),
             lambda i: F.array_join(F.slice(sg_toks, i, 5), " "),
         )
+        # (registered final shape: per-record dedup is map-side via
+        # array_distinct, so the exchange is (source, gram) count partials
+        # after combine — no per-instance distinct, no doc_id carried)
         sg_dg = (
             docs.filter(F.col("text").isNotNull())
             .filter(F.size(sg_toks) >= 5)
-            .select("source", "doc_id", F.explode(F.array_distinct(sg_grams)).alias("g"))
-            .distinct()
+            .select("source", F.explode(F.array_distinct(sg_grams)).alias("g"))
         )
         from pyspark.sql import Window as W9
 
