@@ -1625,9 +1625,10 @@ def main() -> None:
             "measured number"
         ),
         "stopgram_df_topk": (
-            "gram instances grow k-fold but copies add no NEW grams, so "
-            "the per-doc DISTINCT and df grid stay vocabulary-sized — "
-            "cost is the explode scan, the honest 100 TB cost too"
+            "gram instances grow k-fold but copies add no NEW grams "
+            "(per-record dedup is map-side array_distinct), so growth "
+            "tracks the explode scan near-linearly — the honest 100 TB "
+            "cost of gram-df counting"
         ),
     }
     for name, by_k in shapes.items():
