@@ -139,6 +139,8 @@ EMPTY_QUERIES = [
     # engines under the CASE-free expression); the matrix yields 0 rows
     "cochran_armitage_trend",
     "cross_source_dup_matrix",
+    # empty embeddings -> zero LSH candidates on both engines
+    "embedding_lsh_topk_portable",
 ]
 
 

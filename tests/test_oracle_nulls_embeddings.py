@@ -40,7 +40,14 @@ EDGE_QUERIES = [
     "quantization_clip_bounds",
     # round 9: the exact-duplicate pair is the guaranteed cos-1.0 match;
     # the zero vector is excluded by the nonzero-norm guard; NULL vec_id
-    # / NULL-element vectors drop on both engines
+    # / NULL-element vectors drop on both engines.
+    # embedding_lsh_topk_portable is EXCLUDED by contract: its hyperplane
+    # literals are dim=64 table metadata (random_hyperplane_topk's
+    # caller-supplied dim), so the 16-dim edge fixture violates the
+    # query's input contract rather than stressing it — DuckDB raises on
+    # the length mismatch where Spark's zip_with would NULL-pad. The
+    # operator's edge-vector robustness is pinned dim-correctly below in
+    # test_ann_rows_only_paths_survive_edge_vectors.
     "embedding_near_dup_pairs",
 ]
 
