@@ -97,12 +97,13 @@ def register(name: str, oracle: str | None = None):
 # stalest-first per tools/stale_report.py. No canary slots this round — the
 # explicit order trades them for draining the backlog; the canaries are
 # pinned by pytest + bench every round regardless. The remainder — 17
-# r8-vintage (user_growth_curve .. cohens_d_src_pair) + the 8 round-9
+# r8-vintage (user_growth_curve .. cohens_d_src_pair) + the 9 round-9
 # pipeline32 additions (MK, Pettitt, near-dup pairs, stop-grams, hapax,
-# Cochran-Armitage, cross-source matrix, portable LSH ANN; the simhash
-# capped twin already landed a slot in THIS window) — heads the r10
-# queue together with the 15-query r2/r3 vintage tail (order #6):
-# 25 + 15 = 40 fits a single 50-slot window with 10 canary slots left. Changed-this-round queries all sit INSIDE this
+# Cochran-Armitage, cross-source matrix, portable LSH ANN search + dedup
+# modes; the simhash capped twin already landed a slot in THIS window)
+# — heads the r10 queue together with the 15-query r2/r3 vintage tail
+# (order #6): 26 + 15 = 41 fits a single 50-slot window with 9 canary
+# slots left. Changed-this-round queries all sit INSIDE this
 # window: scd2_point_in_time_join (table-independent spine),
 # boilerplate_prefix_dup (explicit whitespace class), simhash_portable_pairs
 # (refactored through portable_simhash_pairs_frame) and its NEW capped twin

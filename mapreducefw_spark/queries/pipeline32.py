@@ -601,7 +601,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_plane_sql() -> str:
+def _lsh_plane_sql(n_tables: int = 8, n_planes: int = 4, dim: int = 64) -> str:
     """The production hyperplane family as SQL literals: identical ±1
     components to `operators/similarity.py::random_hyperplane_topk`'s
     driver-side sha256 derivation (table t, plane p, dim i), so DuckDB
@@ -610,7 +610,6 @@ def _lsh_plane_sql() -> str:
     them as literals is the honest oracle form."""
     import hashlib
 
-    n_tables, n_planes, dim = 8, 4, 64
     rows = []
     for tab in range(n_tables):
         for p in range(n_planes):
@@ -699,3 +698,72 @@ def embedding_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_hyperplane_topk(
         emb, q, k=5, dim=64, n_planes=4, n_tables=8
     ).orderBy("qid", "rk")
+
+
+@register(
+    "embedding_lsh_dedup_portable",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 0) > 0
+),
+planes(tbl, p, comp) AS (VALUES
+{_lsh_plane_sql(n_tables=3, n_planes=4)}
+),
+sig AS (
+  SELECT v.vec_id AS vid, planes.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(v.e, planes.comp) > 0
+                       THEN (1 << planes.p) ELSE 0 END) AS BIGINT) AS sig
+  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.tbl
+),
+cand AS (
+  SELECT DISTINCT a.vid AS qid, b.vid AS nid
+  FROM sig a JOIN sig b ON b.tbl = a.tbl AND b.sig = a.sig
+  WHERE a.vid <> b.vid
+),
+rr AS (
+  SELECT cand.qid, cand.nid,
+         ROUND(list_dot_product(qe.e, ne.e)
+               / (SQRT(list_dot_product(qe.e, qe.e))
+                  * SQRT(list_dot_product(ne.e, ne.e))), 6) AS sim
+  FROM cand
+  JOIN v ne ON ne.vec_id = cand.nid
+  JOIN v qe ON qe.vec_id = cand.qid
+),
+rk AS (
+  SELECT qid, nid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+  FROM rr
+)
+SELECT qid AS id_a, nid AS id_b, sim
+FROM rk WHERE rk <= 50 AND sim >= 0.4 AND qid < nid
+ORDER BY id_a, id_b
+""",
+)
+def embedding_lsh_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup over the FULL corpus — the dedup
+    mode of the production operator (queries == corpus,
+    `embedding_lsh_dedup`'s exact 3-table x 4-plane config including its
+    per-query top-50 truncation and the sim >= 0.4 / id_a < id_b
+    post-filter), value-hash verified end-to-end from the same sha256
+    plane literals as `embedding_lsh_topk_portable`. The quadratic
+    compare runs ONLY inside shared buckets; candidates dedup as bare id
+    pairs before vectors join back; queries == corpus so the rerank join
+    is NOT force-broadcast (`broadcast_queries=False` — the 8 GB
+    broadcast-limit contract in `operators/similarity.py:330`). Completes
+    the similarity family's oracle coverage: brute witness
+    (embedding_near_dup_pairs), search mode (lsh_topk_portable), dedup
+    mode (this)."""
+    from mapreducefw_spark.operators import similarity
+
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    pairs = similarity.random_hyperplane_topk(
+        emb, emb, k=50, dim=64, n_planes=4, n_tables=3, broadcast_queries=False
+    )
+    return (
+        pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
+        .select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "sim")
+        .orderBy("id_a", "id_b")
+    )

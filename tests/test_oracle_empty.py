@@ -141,6 +141,7 @@ EMPTY_QUERIES = [
     "cross_source_dup_matrix",
     # empty embeddings -> zero LSH candidates on both engines
     "embedding_lsh_topk_portable",
+    "embedding_lsh_dedup_portable",
 ]
 
 
