@@ -107,6 +107,11 @@ HEADLINE = [
     "mann_kendall_trend",
     "stop_gram_boilerplate",
     "hapax_legomena_stats",
+    # round 10: the portable PQ/ADC ANN pair (r9 verdict order #4) — the
+    # Arrow-batched encode + lookup-table ADC scan, and its IVF-celled
+    # composition (nprobe/n_cells corpus fraction in byte codes)
+    "embedding_pq_topk_portable",
+    "embedding_ivf_pq_topk_portable",
 ]
 
 

@@ -309,6 +309,14 @@ def minhash_candidate_pairs(
     )
 
 
+# Broadcast gate for the candidate-id semi-join: 10M long ids is ~160 MB
+# serialized — comfortably inside executor broadcast budgets and far under
+# the 8 GB hard ceiling. Above it (a boilerplate-heavy crawl where banding
+# still yields a huge candidate set) the prune falls back to a plain
+# shuffle semi-join: same semantics, no driver/executor memory cliff.
+_CAND_BROADCAST_MAX_IDS = 10_000_000
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     *,
@@ -319,6 +327,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    cand_broadcast: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash/LSH candidates verified by exact shingle
     Jaccard (computed only for candidates — the expensive step stays small).
@@ -352,14 +361,24 @@ def minhash_dedup_pairs(
     # appear in a candidate pair — at near-dup rates that is a small fraction
     # of the corpus, and shuffling every doc's full hash array was the
     # dominant shuffle of this pipeline (measured 3.2 MB vs 0.6 MB input at
-    # sf0.1; SHUFFLE.md). The candidate-id set is bounded by banding + the
-    # bucket cap, so it broadcasts; the semi-join prunes map-side.
+    # sf0.1; SHUFFLE.md). The candidate-id set is USUALLY bounded by banding
+    # + the bucket cap, so it broadcasts — but "usually" is not a 100 TB
+    # guarantee, so the broadcast is SIZE-GATED (r9 verdict order #5):
+    # cand_broadcast=None counts the id set (one job over the already-
+    # checkpointed candidate frame) and broadcasts only under
+    # _CAND_BROADCAST_MAX_IDS; above it the prune is a plain shuffle
+    # semi-join — same semantics (pinned in tests/test_dedup.py), no
+    # broadcast-ceiling cliff. True/False force a path.
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc"))
         .union(cands.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    hs_c = hs.join(F.broadcast(cand_ids), "doc", "left_semi")
+    if cand_broadcast is None:
+        cand_broadcast = cand_ids.count() <= _CAND_BROADCAST_MAX_IDS
+    hs_c = hs.join(
+        F.broadcast(cand_ids) if cand_broadcast else cand_ids, "doc", "left_semi"
+    )
     sa = hs_c.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = hs_c.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))

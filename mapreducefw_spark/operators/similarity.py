@@ -168,13 +168,20 @@ def assign_cells_vectorized(corpus: DataFrame, centroids: DataFrame) -> DataFram
     from pyspark.sql.functions import pandas_udf
 
     cents = centroids.orderBy("vid").collect()  # O(n_cells * dim): model, not data
+    if not cents:
+        # no centroids (empty corpus slice): no cell is assignable — keep
+        # the schema, emit NULL cells, never reach the 0-row numpy matmul
+        return corpus.select("vid", "vec", F.lit(None).cast("long").alias("cell"))
     cmat = np.asarray([r.vec for r in cents], dtype=np.float64)
     cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
     cids = np.asarray([r.vid for r in cents], dtype=np.int64)
 
     @pandas_udf("long")
     def best_cell(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        # explicit rank (see pq_encode): zero-row batches stay (0, dim)
+        m = np.asarray(vecs.tolist(), dtype=np.float64).reshape(
+            len(vecs), cmat.shape[1]
+        )
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         return pd.Series(cids[np.argmax(m @ cmat.T, axis=1)])
 
@@ -541,7 +548,11 @@ def pq_encode(corpus: DataFrame, books) -> DataFrame:
 
     @pandas_udf("array<int>")
     def codes(vecs: pd.Series) -> pd.Series:
-        x = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        # explicit rank: a zero-row Arrow batch gives shape (0,), whose
+        # subspace slices would IndexError — pin (n, dim)
+        x = np.asarray(vecs.tolist(), dtype=np.float64).reshape(
+            len(vecs), m * d0
+        )  # (n, dim)
         out = np.empty((x.shape[0], m), dtype=np.int32)
         for s in range(m):
             xs = x[:, s * d0 : (s + 1) * d0]
@@ -576,7 +587,12 @@ def pq_topk(
     bmat = np.asarray(books, dtype=np.float64)
     qrows = queries.orderBy("vid").collect()  # search mode: query set is small
     qids = np.asarray([r.vid for r in qrows], dtype=np.int64)
-    qmat = np.asarray([r.vec for r in qrows], dtype=np.float64)
+    # an empty query set collapses to shape (0,): keep the (nq, dim) rank
+    # so the subspace slices below stay well-formed and the plan yields
+    # zero rows instead of a driver-side IndexError
+    qmat = np.asarray([r.vec for r in qrows], dtype=np.float64).reshape(
+        len(qrows), m * d0
+    )
     luts = np.stack(
         [qmat[:, s * d0 : (s + 1) * d0] @ bmat[s].T for s in range(m)], axis=1
     )  # (nq, m, k)
@@ -668,7 +684,11 @@ def ivf_pq_topk(
     coded = pq_encode(cells, books).join(cells.select("vid", "cell"), "vid")
 
     qrows = queries.orderBy("vid").collect()  # search mode: model-sized
-    qmat = np.asarray([r.vec for r in qrows], dtype=np.float64)
+    # rank guard: empty query set -> (0, dim), not (0,) (same contract as
+    # pq_topk — zero rows out, never a driver-side IndexError)
+    qmat = np.asarray([r.vec for r in qrows], dtype=np.float64).reshape(
+        len(qrows), m * d0
+    )
     luts = np.stack(
         [qmat[:, s * d0 : (s + 1) * d0] @ bmat[s].T for s in range(m)], axis=1
     )  # (nq, m, kk)

@@ -90,76 +90,105 @@ def register(name: str, oracle: str | None = None):
 # mann_whitney_u, gini_customer_spend, acf_daily_revenue,
 # benford_first_digit — all oracle-green locally
 # at sf0.001/0.01 + edge suites + full drive_entry), then the r4 pool.
-# Round-9 window, per the r8 verdict's order #1: spend ALL 50 slots on the
-# never-driver-checked pool (the 66 pipeline20-31 + pipeline21 statistical
-# registrations, every one verified green by the judge's own independent
-# exact sweep in the r8 session AND by this round's full drive_entry run),
-# stalest-first per tools/stale_report.py. No canary slots this round — the
-# explicit order trades them for draining the backlog; the canaries are
-# pinned by pytest + bench every round regardless. The remainder — 17
-# r8-vintage (user_growth_curve .. cohens_d_src_pair) + the 9 round-9
-# pipeline32 additions (MK, Pettitt, near-dup pairs, stop-grams, hapax,
-# Cochran-Armitage, cross-source matrix, portable LSH ANN search + dedup
-# modes; the simhash capped twin already landed a slot in THIS window)
-# — heads the r10 queue together with the 15-query r2/r3 vintage tail
-# (order #6): 26 + 15 = 41 fits a single 50-slot window with 9 canary
-# slots left. Changed-this-round queries all sit INSIDE this
-# window: scd2_point_in_time_join (table-independent spine),
-# boilerplate_prefix_dup (explicit whitespace class), simhash_portable_pairs
-# (refactored through portable_simhash_pairs_frame) and its NEW capped twin
-# simhash_portable_pairs_capped (r8 verdict order #4 — cap mirrored in the
-# oracle, so its binding row lands the same round the escape hatch ships).
+# Round-10 window, per the r9 verdict's orders #1 and #4 — zero the
+# verification ledger:
+#   (a) slots 1-26: the 26 oracle-paired registrations that have NEVER
+#       held a driver slot (the 17 r8-vintage leftovers + the 9 round-9
+#       pipeline32 additions), stalest-first per tools/stale_report.py —
+#       all judge-verified green in the r9 session under exact
+#       comparison, the binding record is what's missing;
+#   (b) slots 27-37: the r2/r3-vintage oracle-paired tail
+#       (lang_id_heuristic first — its only driver row predates its
+#       oracle);
+#   (c) slots 38-39: the 2 NEW round-10 registrations — the PQ/IVF-PQ
+#       portable twins (order #4: codebook emitted as oracle literals,
+#       the LSH-plane pattern), oracle-green locally at sf0.01 + the
+#       empty suite, landing their binding rows the round they ship;
+#   (d) slots 40-45: the 6 rows-only-by-design queries that have never
+#       held ANY driver record (order #4 names them): bpe_learned_merges,
+#       bpe_fertility_by_source, embedding_pq_topk, embedding_ivf_pq_topk,
+#       hll_mergeable_distinct, semantic_dedup_cells — deliberately
+#       spending 6 slots on the weaker rows-only check because the
+#       durable artifact is the driver ledger (their accuracy pins stay
+#       in pytest; the PQ pair's VALUE verification rides the twins in
+#       (c));
+#   (e) slots 46-50: r4-stalest oracle-paired re-verifies.
+# Changed-this-round queries all sit INSIDE this window:
+# cross_source_dup_matrix (ADVICE r9 null-safe totals join),
+# embedding_pq_topk / embedding_ivf_pq_topk (empty-input rank guards in
+# pq_topk/ivf_pq_topk/assign_cells_vectorized). After this window every
+# oracle-paired query holds a binding driver row and nothing is older
+# than r4; the r11 queue is the remaining r4 pool.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "welch_t_test",
-    "cramers_v_type_dow",
-    "spearman_rho_qty_price",
-    "ewma_daily_revenue",
-    "durbin_watson_daily",
-    "rouge1_recall_pairs",
-    "jsd_token_drift",
-    "mode_deterministic_priority",
-    "seasonal_index_dow",
-    "hhi_source_concentration",
-    "langid_confusion_matrix",
-    "percentile_cont_by_source",
-    "ks_two_sample_bucketed",
-    "mann_whitney_u_bucketed",
-    "target_encoding_smoothed",
-    "feature_hashing_counts",
-    "minhash_accuracy_report",
-    "theil_sen_trend",
-    "cusum_changepoint",
-    "dow_adjusted_anomalies",
-    "covariance_matrix_lineitem",
-    "band_join_prices",
-    "k_anonymity_report",
-    "bm25_scores",
-    "activity_islands_per_user",
-    "conversion_time_percentiles",
-    "sql_group_by_all",
-    "unigram_logppl_by_source",
-    "dsir_importance_weights",
-    "kendall_tau_b",
-    "mutual_information_type_dow",
-    "dup_cluster_size_histogram",
-    "boilerplate_prefix_dup",
-    "kaplan_meier_retention",
-    "weighted_median_price",
-    "linear_interpolation_gaps",
-    "readability_flesch_proxy",
-    "lorenz_curve_deciles",
-    "try_arithmetic_functions",
-    "simhash_portable_pairs",
-    "simhash_portable_pairs_capped",
-    "listagg_within_group",
-    "seasonal_decompose_daily",
-    "interarrival_gap_stats",
-    "char_ngram_lang_profile",
-    "histogram_log_bins",
-    "sql_pipe_syntax",
-    "scd2_point_in_time_join",
-    "simhash_cluster_assignment",
-    "script_mixing_report",
+    # (a) never-checked, stalest-first
+    "user_growth_curve",
+    "psi_length_drift",
+    "centroid_per_label",
+    "centroid_confusion_matrix",
+    "knn_loo_accuracy",
+    "intra_inter_label_cosine",
+    "doc_keywords_tfidf",
+    "quantization_clip_bounds",
+    "portable_minhash_pairs",
+    "rolling_fingerprint_portable",
+    "ngram_novelty_rate",
+    "session_rule_lift",
+    "cohort_conversion_matrix",
+    "anova_f_length_by_source",
+    "kruskal_wallis_length",
+    "runs_test_daily",
+    "cohens_d_src_pair",
+    "mann_kendall_trend",
+    "pettitt_changepoint",
+    "embedding_near_dup_pairs",
+    "stop_gram_boilerplate",
+    "hapax_legomena_stats",
+    "cochran_armitage_trend",
+    "cross_source_dup_matrix",
+    "embedding_lsh_topk_portable",
+    "embedding_lsh_dedup_portable",
+    # (b) r2/r3-vintage re-verifies
+    "lang_id_heuristic",
+    "repetition_scores",
+    "rollup_order_priority",
+    "source_mix_weights",
+    "stopword_candidates",
+    "stratified_split_counts",
+    "string_agg_nation_names",
+    "subquery_above_avg_orders",
+    "training_prep_pipeline",
+    "unpivot_supplier_metrics",
+    "view_click_attribution",
+    # (c) new round-10 oracle-paired registrations
+    "embedding_pq_topk_portable",
+    "embedding_ivf_pq_topk_portable",
+    # (d) never-recorded rows-only-by-design (driver records rows-only)
+    "bpe_learned_merges",
+    "bpe_fertility_by_source",
+    "embedding_pq_topk",
+    "embedding_ivf_pq_topk",
+    "hll_mergeable_distinct",
+    "semantic_dedup_cells",
+    # (e) r4-stalest fills
+    "asof_join_latest_order",
+    "cdc_apply_changelog",
+    "dedup_canonical_selection",
+    "doc_chunking",
+    "embedding_cosine_topk",
+)
+
+# The 6 rows-only queries deliberately holding r10 window slots (see (d)
+# above) — the explicit allowlist the window CI pin checks against, so a
+# rows-only query can never drift into the window by accident.
+WINDOW_ROWS_ONLY: frozenset[str] = frozenset(
+    {
+        "bpe_learned_merges",
+        "bpe_fertility_by_source",
+        "embedding_pq_topk",
+        "embedding_ivf_pq_topk",
+        "hll_mergeable_distinct",
+        "semantic_dedup_cells",
+    }
 )
 
 
@@ -213,6 +242,7 @@ def load_all() -> None:
         pipeline30,
         pipeline31,
         pipeline32,
+        pipeline33,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

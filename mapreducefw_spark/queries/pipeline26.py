@@ -160,8 +160,8 @@ def portable_simhash_pairs_frame(
     )
 
 
-_CAP = 64  # > P99 bucket size at sf0.1 (154 is P99 over ALL buckets incl.
-# the template clusters; the non-template mass sits well under 64), so the
+_CAP = 64  # above the P99 of NON-template buckets at sf0.1 (overall P99 is
+# 154, inflated by the template mega-buckets the cap exists to drop), so the
 # cap removes only the boilerplate mega-buckets exact dedup catches anyway
 
 

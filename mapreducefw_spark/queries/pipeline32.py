@@ -3,7 +3,7 @@ cosine near-dup pairs, stop-gram boilerplate mining, lexical hapax stats,
 Cochran-Armitage ordered trend, cross-source duplication matrix, and the
 oracle-paired twin of the random-hyperplane LSH ANN.
 
-Eight additions, deliberately few (the r8 verdict capped round-9 growth
+Nine additions, deliberately few (the r8 verdict capped round-9 growth
 below the 50-row/round verification budget): the two rank-based
 time-series tests that complete the Theil-Sen/CUSUM family
 (Mann-Kendall significance for the slope, Pettitt for the changepoint),
@@ -12,8 +12,11 @@ only as rows-only forms until now, two corpus-lexicon signals
 (frequent-5-gram boilerplate mining, hapax/type-token ratios), the
 ordered-alternative chi-square (Cochran-Armitage), the source-level
 contamination matrix (which feeds mirror each other, before doc-level
-dedup), and `embedding_lsh_topk_portable` — the production LSH operator
-value-hash checked end-to-end from its own sha256 plane literals.
+dedup), and the portable LSH pair `embedding_lsh_topk_portable` /
+`embedding_lsh_dedup_portable` — the production random-hyperplane LSH
+operator value-hash checked end-to-end from its own sha256 plane
+literals, in both search (query×corpus top-k) and dedup (corpus
+self-join) modes.
 
 Semantic contract with the reference engine: every query is the
 map -> shuffle-by-key -> reduce -> sort job shape
@@ -585,10 +588,15 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("src_b").eqNullSafe(F.col("src_a")))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        # null-SAFE totals join: the oracle uses IS NOT DISTINCT FROM, so a
+        # NULL-source feed whose hashes appear elsewhere must keep its
+        # (NULL, other) matrix row here too — a plain ["src_a"] equi-join
+        # would silently drop it
         .join(
-            F.broadcast(tot.select(F.col("source").alias("src_a"), "n_hashes")),
-            ["src_a"],
+            F.broadcast(tot.select(F.col("source").alias("tot_src"), "n_hashes")),
+            F.col("src_a").eqNullSafe(F.col("tot_src")),
         )
+        .drop("tot_src")
         .select(
             "src_a",
             "src_b",
@@ -755,7 +763,9 @@ def embedding_lsh_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-limit contract in `operators/similarity.py:330`). Completes
     the similarity family's oracle coverage: brute witness
     (embedding_near_dup_pairs), search mode (lsh_topk_portable), dedup
-    mode (this)."""
+    mode (this). The 3x4 config is the VERIFICATION WITNESS (0.51
+    measured pair-recall@0.4) — deployment runs 16 tables (0.93
+    measured, >=0.85 pinned in tests/test_accuracy_pins.py)."""
     from mapreducefw_spark.operators import similarity
 
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))

@@ -1,0 +1,292 @@
+"""Round-10 batch (pipeline33): portable-twin conversion of the PQ/ADC
+ANN family — the r8/r9 portable-twin move (MinHash → SimHash → LSH)
+applied to the last rows-only similarity forms.
+
+Two additions, deliberately few (the r9 verdict capped round-10 growth at
+<=9 oracle-paired queries so the 41-query verification backlog fits one
+driver window):
+
+- `embedding_pq_topk_portable` — the PRODUCTION product-quantization
+  pipeline (`operators/similarity.py::pq_encode` / `pq_topk` /
+  `exact_rerank`, the same code path as the rows-only
+  `embedding_pq_topk`) run with a deterministic sha256-derived codebook
+  instead of the k-means-trained one. The codebook is a MODEL constant —
+  exactly what the LSH planes were — so the oracle reproduces the
+  IDENTICAL m-byte codes from the same literals and the whole pipeline
+  (per-subspace argmin encode, ADC lookup-table scoring, top-50
+  shortlist, exact-cosine rerank to top-5) is compared value-by-value.
+- `embedding_ivf_pq_topk_portable` — the IVF-ADC composition
+  (`similarity.py::ivf_pq_topk`: deterministic lowest-vid cell
+  centroids, nprobe=6 probe set, ADC scoring inside probed cells,
+  exact rerank) under the same sha256 codebook, value-hash checked
+  end-to-end.
+
+Why the trained forms stay rows-only: `pq_train`'s Lloyd means are
+float aggregations whose low-order bits depend on summation order, so a
+cross-engine oracle would have to re-train bit-identically — the honest
+split is: the rows-only trained forms keep their recall pins
+(tests/test_accuracy_pins.py), the portable twins prove the ENCODE/ADC
+machinery itself against an independent engine.
+
+Semantic contract with the reference engine: map (encode to codes) ->
+shuffle by bucket/cell -> reduce (per-query top-k) -> sort, the job shape
+of `/root/reference/MapReduceClient.h:47-51`, `MRFCore.cpp:252-446`.
+
+Scale posture:
+- the codebook is m*k*d0 doubles (1 KiB here) riding the UDF closure —
+  the broadcast-variable class, never data;
+- corpus vectors stream once through Arrow batches to become m int8-class
+  codes (the 16x shuffle/RAM cut that makes billion-scale ANN fit);
+- ADC is numpy fancy-indexing per batch, no float vector math per pair;
+- the IVF form scans nprobe/n_cells of the corpus in BYTE CODES;
+- per-query top-k windows are bounded by the candidate sets, and the
+  rerank join touches `retrieve` float rows per query.
+
+Cross-engine determinism: codebook components are (byte-128)/512 with
+byte = sha256(f"pq:{s}:{j}:{i}")[0] — dyadic rationals, so the decimal
+literals the oracle embeds parse to bit-identical doubles; argmin /
+rank tiebreaks are pinned (lowest code index, lowest nid) on both
+engines; ADC sums and cosines are ROUND(6)-ed BEFORE ranking so both
+engines order identical values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.queries import register
+from mapreducefw_spark.queries._util import t
+
+_PQ_M, _PQ_K, _PQ_DIM = 16, 16, 64
+_D0 = _PQ_DIM // _PQ_M
+
+
+def _pq_component(s: int, j: int, i: int) -> float:
+    """Deterministic codebook component: sha256-derived byte mapped to a
+    dyadic rational in [-0.25, 0.248] — the magnitude band of unit-norm
+    64-dim vector components, so per-subspace argmin codes actually
+    spread over the k centroids instead of collapsing to one."""
+    b = hashlib.sha256(f"pq:{s}:{j}:{i}".encode()).digest()[0]
+    return (b - 128) / 512.0
+
+
+def _pq_books():
+    """The (m, k, d0) model-constant codebook as float64 numpy — same
+    shape/contract as `similarity.pq_train`'s output, minus the data
+    dependence."""
+    import numpy as np
+
+    return np.asarray(
+        [
+            [[_pq_component(s, j, i) for i in range(_D0)] for j in range(_PQ_K)]
+            for s in range(_PQ_M)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _pq_book_sql() -> str:
+    """The codebook as DuckDB VALUES literals (s, j, comp DOUBLE[]).
+    Components are dyadic rationals so `repr()`'s exact shortest decimal
+    parses back to the bit-identical double on both engines (the
+    `_lsh_plane_sql` contract)."""
+    rows = []
+    for s in range(_PQ_M):
+        for j in range(_PQ_K):
+            comps = ", ".join(repr(_pq_component(s, j, i)) for i in range(_D0))
+            rows.append(f"({s}, {j}, [{comps}]::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+# shared oracle scaffolding: searchable vectors -> l2-normalized corpus,
+# sha256 codebook, per-subspace argmin codes (ties to the lowest code
+# index, numpy argmin's first-min), ADC = sum of query-subvector x
+# assigned-centroid inner products
+_PQ_COMMON_SQL = f"""
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 0) > 0
+),
+n AS (
+  SELECT vec_id,
+         list_transform(e0, x -> x / SQRT(list_dot_product(e0, e0))) AS e
+  FROM v
+),
+books(s, j, comp) AS (VALUES
+{_pq_book_sql()}
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT n.vec_id, b.s, b.j AS code,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id, b.s
+             ORDER BY list_dot_product(b.comp, b.comp)
+                      - 2 * list_dot_product(
+                          list_slice(n.e, b.s * {_D0} + 1, (b.s + 1) * {_D0}),
+                          b.comp) ASC,
+                      b.j ASC) AS r
+    FROM n CROSS JOIN books b
+  ) WHERE r = 1
+),
+q AS (SELECT * FROM n WHERE vec_id < 10)
+"""
+
+_PQ_RERANK_SQL = """
+rr AS (
+  SELECT short.qid, short.nid,
+         ROUND(list_dot_product(qe.e, ne.e)
+               / (SQRT(list_dot_product(qe.e, qe.e))
+                  * SQRT(list_dot_product(ne.e, ne.e))), 6) AS sim
+  FROM short
+  JOIN n ne ON ne.vec_id = short.nid
+  JOIN q qe ON qe.vec_id = short.qid
+),
+rk AS (
+  SELECT qid, nid, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY sim DESC, nid ASC) AS INT) AS rk
+  FROM rr
+)
+SELECT qid, nid, sim, rk FROM rk WHERE rk <= 5
+ORDER BY qid, rk
+"""
+
+
+@register(
+    "embedding_pq_topk_portable",
+    oracle=f"""
+WITH {_PQ_COMMON_SQL},
+adc AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         ROUND(SUM(list_dot_product(
+             list_slice(q.e, b.s * {_D0} + 1, (b.s + 1) * {_D0}), b.comp)), 6)
+           AS sim
+  FROM q
+  CROSS JOIN codes c
+  JOIN books b ON b.s = c.s AND b.j = c.code
+  WHERE c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+short AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+    FROM adc
+  ) WHERE rk <= 50
+),
+{_PQ_RERANK_SQL}
+""",
+)
+def embedding_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN — value-hash verified END TO END. Runs
+    the PRODUCTION operators (`similarity.py::pq_encode` → `pq_topk` →
+    `exact_rerank`, the exact code path of the rows-only
+    `embedding_pq_topk` at its m=16 x k=16 production config) with the
+    sha256 model-constant codebook, so the oracle reproduces the
+    IDENTICAL 16-byte codes from the same literals and the whole
+    pipeline — per-subspace argmin encode, ADC lookup-table top-50,
+    exact-cosine rerank to top-5 with the (sim DESC, nid ASC) tiebreak —
+    is compared value-by-value. The r9 LSH-portable move applied to the
+    PQ family (r9 verdict order #4): ADC stops being a pytest-only
+    recall claim and becomes an exact function of the corpus the driver
+    hashes. Scale posture: the codebook is 1 KiB riding the UDF closure;
+    the corpus streams once into 16-byte codes (the 16x memory cut);
+    ADC is numpy fancy-indexing per Arrow batch; rerank touches 50
+    float rows per query."""
+    from mapreducefw_spark.operators import similarity
+
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    nrm = similarity.l2_normalize(emb)
+    books = _pq_books()
+    coded = similarity.pq_encode(nrm, books)
+    q = nrm.filter(F.col("vid") < 10)
+    cand = similarity.pq_topk(coded, q, books, k=50)
+    return similarity.exact_rerank(cand, nrm, q, k=5).orderBy("qid", "rk")
+
+
+@register(
+    "embedding_ivf_pq_topk_portable",
+    oracle=f"""
+WITH {_PQ_COMMON_SQL},
+cents AS (
+  SELECT vec_id AS cid, e AS ce FROM n ORDER BY vec_id LIMIT 16
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.e, c.ce)
+                      / (SQRT(list_dot_product(n.e, n.e))
+                         * SQRT(list_dot_product(c.ce, c.ce))) DESC,
+                      c.cid ASC) AS r
+    FROM n CROSS JOIN cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.vec_id AS qid, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.e, c.ce)
+                      / (SQRT(list_dot_product(q.e, q.e))
+                         * SQRT(list_dot_product(c.ce, c.ce))) DESC,
+                      c.cid ASC) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= 6
+),
+cand AS (
+  SELECT probes.qid, cells.vec_id AS nid
+  FROM probes JOIN cells ON cells.cell = probes.cell
+  WHERE cells.vec_id <> probes.qid
+),
+adc AS (
+  SELECT cand.qid, cand.nid,
+         ROUND(SUM(list_dot_product(
+             list_slice(qe.e, b.s * {_D0} + 1, (b.s + 1) * {_D0}), b.comp)), 6)
+           AS adcsim
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.nid
+  JOIN books b ON b.s = c.s AND b.j = c.code
+  JOIN q qe ON qe.vec_id = cand.qid
+  GROUP BY cand.qid, cand.nid
+),
+short AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adcsim DESC, nid ASC) AS rk
+    FROM adc
+  ) WHERE rk <= 50
+),
+{_PQ_RERANK_SQL}
+""",
+)
+def embedding_ivf_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC ANN (the billion-scale composition from the PQ paper) —
+    value-hash verified END TO END. Runs the PRODUCTION operator
+    (`similarity.py::ivf_pq_topk`, the exact code path of the rows-only
+    `embedding_ivf_pq_topk` at its n_cells=16 / nprobe=6 / retrieve=50
+    production config) with the sha256 model-constant codebook: the
+    deterministic lowest-vid cell centroids, the cosine-argmax cell
+    assignment (ties to the lowest centroid id), the nprobe=6 probe set
+    (sim DESC, cid ASC), ADC lookup-table scoring INSIDE probed cells
+    only, and the exact-cosine rerank of the top-50 to the final top-5 —
+    every stage reproduced by the oracle from the same literals and
+    compared value-by-value. Completes the r9 verdict's order #4: with
+    this and `embedding_pq_topk_portable`, every ANN family (brute, LSH,
+    PQ, IVF-PQ) has an end-to-end value-hash-checked form. Scale
+    posture: a query touches nprobe/n_cells of the corpus in BYTE CODES
+    (IVF's scan cut x PQ's 16x memory cut); centroids and codebook are
+    model-sized closure constants; candidates stay id-keyed until the
+    bounded rerank."""
+    from mapreducefw_spark.operators import similarity
+
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    nrm = similarity.l2_normalize(emb)
+    books = _pq_books()
+    q = nrm.filter(F.col("vid") < 10)
+    return similarity.ivf_pq_topk(
+        nrm, q, books, k=5, n_cells=16, nprobe=6, retrieve=50
+    ).orderBy("qid", "rk")

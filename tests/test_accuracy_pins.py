@@ -231,6 +231,40 @@ def test_lsh_portable_config_recall_pinned(vecs_01):
     assert hits / len(exact) >= 0.5, f"recall@5 {hits / len(exact)}"
 
 
+def test_lsh_dedup_deployment_config_recall_pinned(vecs_01):
+    """DEDUP-mode recall story (r9 verdict order #6). The 3-table x
+    4-plane config the oracle pairs (`embedding_lsh_dedup` /
+    `embedding_lsh_dedup_portable`) is the VERIFICATION WITNESS — it
+    measured 0.51 pair-recall at the operator's own cosine>=0.4
+    threshold on this corpus, which would leave half the near-dups in a
+    production corpus. The DEPLOYMENT config is 16 tables x 4 planes:
+    measured 0.93 pair-recall@0.4 here (14 tables ~ 0.90, 24 tables =
+    1.00 — matching the OR-construction theory 1-(1-0.158)^n at
+    cosine 0.4). This pin holds the deployment config >= 0.85 so a user
+    has a measured table count to ship, not the demo config."""
+    pairs_all = similarity.brute_force_topk(
+        vecs_01, vecs_01, k=500, exclude_self=True
+    )
+    truth = {
+        (r.qid, r.nid)
+        for r in pairs_all.filter(
+            (F.col("qid") < F.col("nid")) & (F.col("sim") >= 0.4)
+        ).collect()
+    }
+    assert truth  # non-vacuous: the corpus has real >=0.4 pairs
+    got = {
+        (r.qid, r.nid)
+        for r in similarity.random_hyperplane_topk(
+            vecs_01, vecs_01, k=50, dim=64, n_planes=4, n_tables=16,
+            broadcast_queries=False,
+        )
+        .filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
+        .collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, f"dedup pair recall@0.4 {recall}"
+
+
 def test_hll_sketch_merge_is_lossless_and_bounded(spark, sf_dir):
     """Mergeable-sketch law: hll_union_agg over per-partition sketches gives
     EXACTLY the single-pass sketch's estimate (register union is lossless),

@@ -8,7 +8,13 @@ single most expensive class of bookkeeping bug, so it gets a CI pin.
 
 from __future__ import annotations
 
-from mapreducefw_spark.queries import CHECK_PRIORITY, ORACLES, QUERIES, load_all
+from mapreducefw_spark.queries import (
+    CHECK_PRIORITY,
+    ORACLES,
+    QUERIES,
+    WINDOW_ROWS_ONLY,
+    load_all,
+)
 
 load_all()
 
@@ -20,13 +26,21 @@ def test_priority_is_exactly_the_checked_window():
 
 
 def test_every_windowed_query_is_oracle_paired():
-    # a rows-only query in the window wastes a slot on the weaker check
-    missing = [n for n in CHECK_PRIORITY if n not in ORACLES]
+    # a rows-only query in the window spends a slot on the weaker check —
+    # allowed ONLY for the explicit r10 allowlist (the 6 never-recorded
+    # rows-only queries the r9 verdict ordered driver records for); any
+    # other rows-only name in the window is a drifted slot
+    missing = [
+        n for n in CHECK_PRIORITY if n not in ORACLES and n not in WINDOW_ROWS_ONLY
+    ]
     assert not missing, missing
+    # and the allowlist itself must be window-resident rows-only names
+    assert WINDOW_ROWS_ONLY <= set(CHECK_PRIORITY)
+    assert not (WINDOW_ROWS_ONLY & set(ORACLES))
 
 
 def test_registry_counts_match_docs():
     # the README/SURVEY/COVERAGE counts are synced by hand each round;
     # this pin makes a drift loud at commit time instead of judge time
-    assert len(QUERIES) == 306, len(QUERIES)
-    assert len(ORACLES) == 286, len(ORACLES)
+    assert len(QUERIES) == 308, len(QUERIES)
+    assert len(ORACLES) == 288, len(ORACLES)

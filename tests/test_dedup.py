@@ -57,6 +57,30 @@ def test_minhash_deterministic(docs):
     assert a == b
 
 
+def test_minhash_broadcast_and_shuffle_prune_agree(docs):
+    """The size-gated candidate-id prune (r9 verdict order #5): the
+    broadcast semi-join and the plain shuffle semi-join are the same
+    FILTER, so forcing either path must yield identical pairs — the pin
+    that makes the 100 TB fallback a semantics-free switch."""
+    bcast = sorted(
+        map(
+            tuple,
+            dedup.minhash_dedup_pairs(docs, threshold=0.4, cand_broadcast=True).collect(),
+        )
+    )
+    shuffle = sorted(
+        map(
+            tuple,
+            dedup.minhash_dedup_pairs(docs, threshold=0.4, cand_broadcast=False).collect(),
+        )
+    )
+    auto = sorted(
+        map(tuple, dedup.minhash_dedup_pairs(docs, threshold=0.4).collect())
+    )
+    assert bcast == shuffle == auto
+    assert bcast  # non-vacuous: the fixture has real near-dup pairs
+
+
 def test_dedup_groups_connected_components(spark):
     # two chains and a singleton edge: {1,2,3,4} via 1-2,2-3,3-4 and {10,11}
     pairs = spark.createDataFrame(

@@ -142,6 +142,10 @@ EMPTY_QUERIES = [
     # empty embeddings -> zero LSH candidates on both engines
     "embedding_lsh_topk_portable",
     "embedding_lsh_dedup_portable",
+    # round 10: empty embeddings -> zero PQ codes / ADC candidates on both
+    # engines (the pq_topk/ivf_pq_topk empty-query rank guards)
+    "embedding_pq_topk_portable",
+    "embedding_ivf_pq_topk_portable",
 ]
 
 

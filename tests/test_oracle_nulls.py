@@ -188,6 +188,14 @@ ROWS = [
     (21, "another multiple of seven lands in the contamination set", "en", "src0", 56),
     # round 6: NULL source + NULL lang (grouping / salt keys go NULL)
     (22, "null source document with enough words to gram", None, None, 46),
+    # round 10 (ADVICE r9): a NULL-source doc that IS mirrored
+    # (doc_id % 7 == 0) — its text lands under the synthetic 'mirror' feed,
+    # so cross_source_dup_matrix must emit a (NULL, mirror) row; a plain
+    # equi-join on src_a would silently drop it vs the IS NOT DISTINCT FROM
+    # oracle. Doc 35 duplicates it under a named source so the natural
+    # (NULL, src1) / (src1, NULL) cross-source path is exercised too.
+    (28, "mirrored null source text shared with a named feed", None, None, 50),
+    (35, "mirrored null source text shared with a named feed", "en", "src1", 50),
 ]
 
 

@@ -68,6 +68,10 @@ PUSHDOWN_REQUIRED = {
     "simhash_portable_pairs_capped",
     "mann_kendall_trend",
     "stop_gram_boilerplate",
+    # round 10: vec_id IS NOT NULL (+ the vec_id < 10 query-side cut)
+    # must reach the embeddings scans
+    "embedding_pq_topk_portable",
+    "embedding_ivf_pq_topk_portable",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in
@@ -106,6 +110,9 @@ BNL_ALLOWED = {
     # condition -> BNL over the broadcast day grid, the theil_sen shape)
     # + the two 1-row s/ties broadcasts
     "mann_kendall_trend": 3,
+    # round 10: assign_probe_cells' no-condition cross with the 1-row
+    # collected centroid-struct frame (model-sized broadcast)
+    "embedding_ivf_pq_topk_portable": 1,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'
@@ -120,6 +127,10 @@ UNPARTITIONED_WINDOW_ALLOWED = {
 # Dimension-join queries: minimum broadcast-join count (a broadcast
 # degrading to shuffle join is the classic silent 100 TB regression).
 MIN_BROADCAST = {
+    # round 10: the ADC shortlist/rerank joins against the 10-query side
+    # (and for IVF the probe/cell joins) must stay broadcast
+    "embedding_pq_topk_portable": 2,
+    "embedding_ivf_pq_topk_portable": 4,
     "q3_top_revenue_orders": 2,
     "q5_region_revenue": 4,
     "q10_returned_revenue": 3,
