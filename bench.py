@@ -112,6 +112,8 @@ HEADLINE = [
     # composition (nprobe/n_cells corpus fraction in byte codes)
     "embedding_pq_topk_portable",
     "embedding_ivf_pq_topk_portable",
+    # the production SemDeDup path (cell-bucketed within-cell compare)
+    "semantic_dedup_portable",
 ]
 
 

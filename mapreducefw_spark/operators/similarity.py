@@ -167,7 +167,8 @@ def assign_cells_vectorized(corpus: DataFrame, centroids: DataFrame) -> DataFram
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    cents = centroids.orderBy("vid").collect()  # O(n_cells * dim): model, not data
+    # O(n_cells * dim): model, not data — driver-side sort (see pq_topk)
+    cents = sorted(centroids.collect(), key=lambda r: r.vid)
     if not cents:
         # no centroids (empty corpus slice): no cell is assignable — keep
         # the schema, emit NULL cells, never reach the 0-row numpy matmul
@@ -535,9 +536,11 @@ def pq_encode(corpus: DataFrame, books) -> DataFrame:
     """Encode each vector to ``m`` byte codes (argmin L2 per subspace) via
     an Arrow-batched pandas UDF — one (batch x d0) @ (d0 x k) matmul per
     subspace per batch; the codebook rides the closure as a model-sized
-    broadcast. Output: ``vid, vec, codes array<int>`` (dim floats -> m
-    bytes is the 8-32x memory/shuffle win that makes billion-scale ANN
-    fit in RAM)."""
+    broadcast. Output: the input columns plus ``codes array<int>`` (dim
+    floats -> m bytes is the 8-32x memory/shuffle win that makes
+    billion-scale ANN fit in RAM). Carried columns (e.g. an IVF cell id)
+    ride along so callers never need a self-join to re-attach them —
+    the join form evaluated the encode UDF twice (r10 plan audit)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -560,7 +563,7 @@ def pq_encode(corpus: DataFrame, books) -> DataFrame:
             out[:, s] = np.argmin(sq[s] - 2.0 * (xs @ bmat[s].T), axis=1)
         return pd.Series(list(out))
 
-    return corpus.select("vid", "vec", codes("vec").alias("codes"))
+    return corpus.withColumn("codes", codes("vec"))
 
 
 def pq_topk(
@@ -585,7 +588,10 @@ def pq_topk(
 
     m, kk, d0 = books.shape
     bmat = np.asarray(books, dtype=np.float64)
-    qrows = queries.orderBy("vid").collect()  # search mode: query set is small
+    # search mode: query set is small — collect unordered and sort
+    # driver-side (a distributed orderBy pays a range-partition sampling
+    # job just to order rows the driver is about to hold anyway)
+    qrows = sorted(queries.collect(), key=lambda r: r.vid)
     qids = np.asarray([r.vid for r in qrows], dtype=np.int64)
     # an empty query set collapses to shape (0,): keep the (nq, dim) rank
     # so the subspace slices below stay well-formed and the plan yields
@@ -681,9 +687,13 @@ def ivf_pq_topk(
     bmat = np.asarray(books, dtype=np.float64)
     centroids = corpus.orderBy("vid").limit(n_cells)
     cells = assign_cells_vectorized(corpus, centroids)
-    coded = pq_encode(cells, books).join(cells.select("vid", "cell"), "vid")
+    # cell rides through the encode (pq_encode preserves carried columns):
+    # the former join-back form evaluated the cell-assignment UDF twice —
+    # once per join side — and paid a vid shuffle for the re-attach
+    coded = pq_encode(cells, books)
 
-    qrows = queries.orderBy("vid").collect()  # search mode: model-sized
+    # search mode: model-sized — driver-side sort (see pq_topk)
+    qrows = sorted(queries.collect(), key=lambda r: r.vid)
     # rank guard: empty query set -> (0, dim), not (0,) (same contract as
     # pq_topk — zero rows out, never a driver-side IndexError)
     qmat = np.asarray([r.vec for r in qrows], dtype=np.float64).reshape(

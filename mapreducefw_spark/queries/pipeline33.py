@@ -2,9 +2,9 @@
 ANN family — the r8/r9 portable-twin move (MinHash → SimHash → LSH)
 applied to the last rows-only similarity forms.
 
-Two additions, deliberately few (the r9 verdict capped round-10 growth at
-<=9 oracle-paired queries so the 41-query verification backlog fits one
-driver window):
+Three additions, deliberately few (the r9 verdict capped round-10 growth
+at <=9 oracle-paired queries so the 41-query verification backlog fits
+one driver window):
 
 - `embedding_pq_topk_portable` — the PRODUCTION product-quantization
   pipeline (`operators/similarity.py::pq_encode` / `pq_topk` /
@@ -20,6 +20,10 @@ driver window):
   centroids, nprobe=6 probe set, ADC scoring inside probed cells,
   exact rerank) under the same sha256 codebook, value-hash checked
   end-to-end.
+- `semantic_dedup_portable` — the PRODUCTION SemDeDup operator
+  (`similarity.py::semantic_dedup`) in its deterministic seed-centroid
+  configuration (kmeans_iters=0): cosine-argmax cells, within-cell
+  near-dup compare, keep-lowest-id dup_of — per-doc value-hash checked.
 
 Why the trained forms stay rows-only: `pq_train`'s Lloyd means are
 float aggregations whose low-order bits depend on summation order, so a
@@ -290,3 +294,77 @@ def embedding_ivf_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFram
     return similarity.ivf_pq_topk(
         nrm, q, books, k=5, n_cells=16, nprobe=6, retrieve=50
     ).orderBy("qid", "rk")
+
+
+@register(
+    "semantic_dedup_portable",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 0) > 0
+),
+cents AS (
+  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16
+),
+cells AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.ce)
+                      / (SQRT(list_dot_product(v.e, v.e))
+                         * SQRT(list_dot_product(c.ce, c.ce))) DESC,
+                      c.cid ASC) AS r
+    FROM v CROSS JOIN cents c
+  ) WHERE r = 1
+),
+comp AS (
+  -- max_cell_size=100000 pair-generation truncation (lowest-vid members
+  -- compared; extras never dropped from the output) — a no-op on these
+  -- fixtures but mirrored so the cap can never diverge the engines
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+    FROM cells
+  ) WHERE rn <= 100000
+),
+dup AS (
+  SELECT b.vec_id AS b_id, MIN(a.vec_id) AS dup_of
+  FROM comp a JOIN comp b ON b.cell = a.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+        / (SQRT(list_dot_product(a.e, a.e))
+           * SQRT(list_dot_product(b.e, b.e))) >= 0.4
+  GROUP BY b.vec_id
+)
+SELECT cells.vec_id AS vid, cells.cell, dup.dup_of
+FROM cells LEFT JOIN dup ON dup.b_id = cells.vec_id
+ORDER BY vid
+""",
+)
+def semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — value-hash verified END TO END.
+    Runs the PRODUCTION operator (`similarity.py::semantic_dedup`, the
+    exact code path of the rows-only `semantic_dedup_cells`) in its
+    deterministic seed-centroid configuration (`kmeans_iters=0` — the
+    lowest-vid centroids `ivf_topk` documents as its kmeans_iters=0
+    form), so every stage is SQL-replayable: the cosine-argmax cell
+    assignment (ties to the lowest centroid id — the
+    assign_cells_vectorized contract), the within-cell a<b near-dup
+    compare at cosine >= 0.4, and the keep-lowest-id `dup_of` rule
+    shared with the exact-hash dedup tier. The Lloyd-refined form stays
+    rows-only (float k-means means are engine-specific); its
+    no-false-pairs and clustered-corpus recall pins stand in
+    tests/test_similarity.py. Scale posture: the quadratic compare runs
+    only inside cells (sum of |cell|^2 ~ n^2/k); centroids are a
+    model-sized collect; per-doc output, never pair-materialized beyond
+    the threshold survivors. Both engines fold the same doubles in
+    index order, so the unrounded >= 0.4 cut compares identical values
+    (the embedding_lsh sign-bit contract)."""
+    from mapreducefw_spark.operators import similarity
+
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    sd = similarity.semantic_dedup(
+        emb, n_cells=16, threshold=0.4, kmeans_iters=0, max_cell_size=100_000
+    )
+    return sd.orderBy("vid")

@@ -146,6 +146,9 @@ EMPTY_QUERIES = [
     # engines (the pq_topk/ivf_pq_topk empty-query rank guards)
     "embedding_pq_topk_portable",
     "embedding_ivf_pq_topk_portable",
+    # empty corpus -> no centroids -> NULL cells, zero dedup rows (the
+    # assign_cells_vectorized empty-centroid guard)
+    "semantic_dedup_portable",
 ]
 
 

@@ -54,6 +54,12 @@ EDGE_QUERIES = [
     # fixture violates the input contract rather than stressing it; their
     # edge-vector robustness rides the same dim-correct pin below.
     "embedding_near_dup_pairs",
+    # round 10: semantic_dedup_portable is dim-agnostic (cosine cells +
+    # within-cell compare carry no model metadata), so the 16-dim fixture
+    # stresses it directly: the zero vector and NULL-element vectors drop
+    # via the searchable guard, the exact-duplicate pair must dedup with
+    # the keep-lowest-id rule, NULL vec_id drops on both engines
+    "semantic_dedup_portable",
 ]
 
 DIM = 16

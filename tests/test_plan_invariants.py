@@ -70,6 +70,9 @@ PUSHDOWN_REQUIRED = {
     "stop_gram_boilerplate",
     # round 10: vec_id IS NOT NULL (+ the vec_id < 10 query-side cut)
     # must reach the embeddings scans
+    # (semantic_dedup_portable is NOT here: its cell frame is
+    # localCheckpoint-pinned like minhash — pushdown lives in the
+    # checkpoint subplan, invisible to the final plan string)
     "embedding_pq_topk_portable",
     "embedding_ivf_pq_topk_portable",
 }
@@ -130,7 +133,9 @@ MIN_BROADCAST = {
     # round 10: the ADC shortlist/rerank joins against the 10-query side
     # (and for IVF the probe/cell joins) must stay broadcast
     "embedding_pq_topk_portable": 2,
-    "embedding_ivf_pq_topk_portable": 4,
+    # 3 after the r10 encode-carry fix removed the cell join-back
+    "embedding_ivf_pq_topk_portable": 3,
+    "semantic_dedup_portable": 2,
     "q3_top_revenue_orders": 2,
     "q5_region_revenue": 4,
     "q10_returned_revenue": 3,

@@ -85,6 +85,10 @@ PROBED = {
     "hapax_legomena_stats": (["documents"], "lexicon stats: one (source, token) grid of count partials after map-side combine, then an O(vocabulary) re-agg — text never shuffles"),
     "mann_kendall_trend": (["orders"], "MK test: one exact-decimal daily aggregate; the sign pair frame is a CALENDAR-BOUNDED broadcast self-join, so shuffle is day-grid partials only"),
     "embedding_near_dup_pairs": (["embeddings"], "cosine near-dup witness: id-bounded subset broadcast against itself — shuffle is the output sort of qualifying pairs; the 100 TB path is the LSH/SemDeDup/IVF tier"),
+    # round 10
+    "embedding_pq_topk_portable": (["embeddings"], "PQ/ADC: the corpus moves as m=16 BYTE-CODE rows into the per-query top-k window — float vectors stay map-side; codebook and query LUTs are model-sized closure constants; the rerank join touches 50 float rows per query"),
+    "embedding_ivf_pq_topk_portable": (["embeddings"], "IVF-ADC: only nprobe/n_cells of the corpus shuffles, as (cell, codes) byte-code candidates — IVF's scan cut times PQ's 16x byte cut; centroids/codebook ride closures; rerank is retrieve-bounded"),
+    "semantic_dedup_portable": (["embeddings"], "SemDeDup: ONE cell-keyed exchange of (vid, vec); the quadratic compare runs within cells only and survivors leave as bare id pairs"),
 }
 
 
