@@ -42,7 +42,16 @@ def main() -> None:
     print(f"\nnever driver-checked, oracle-paired ({len(never)}):")
     for n in never:
         print(f"  {n}")
-    print(f"\nnever driver-checked, rows-only-by-design ({len(never_rows_only)}): stay out of the window")
+    # rows-only queries normally stay out of the window (the no-oracle
+    # rule); the r10 window spent 6 explicit slots on the never-recorded
+    # ones (WINDOW_ROWS_ONLY allowlist) so every query holds SOME driver
+    # record — after r10 this list should stay empty
+    print(
+        f"\nnever driver-checked, rows-only-by-design ({len(never_rows_only)}):"
+        + (" none" if not never_rows_only else "")
+    )
+    for n in never_rows_only:
+        print(f"  {n}")
     vintages = Counter(latest[n] for n in latest if n in QUERIES)
     print("\nvintage histogram (latest driver row -> count):")
     for rnd in sorted(vintages):
