@@ -2,9 +2,9 @@
 ANN family — the r8/r9 portable-twin move (MinHash → SimHash → LSH)
 applied to the last rows-only similarity forms.
 
-Three additions, deliberately few (the r9 verdict capped round-10 growth
-at <=9 oracle-paired queries so the 41-query verification backlog fits
-one driver window):
+Six additions, inside the cap (the r9 verdict capped round-10 growth at
+<=9 oracle-paired queries so the 41-query verification backlog fits one
+driver window):
 
 - `embedding_pq_topk_portable` — the PRODUCTION product-quantization
   pipeline (`operators/similarity.py::pq_encode` / `pq_topk` /
@@ -24,6 +24,17 @@ one driver window):
   (`similarity.py::semantic_dedup`) in its deterministic seed-centroid
   configuration (kmeans_iters=0): cosine-argmax cells, within-cell
   near-dup compare, keep-lowest-id dup_of — per-doc value-hash checked.
+- `padding_waste_report` — power-of-2 length-bucket padding-efficiency
+  KPI for batched training (the number that motivates sequence packing);
+  binary-string-length cap, never libm log2.
+- `hard_negative_pairs` — contrastive-pair mining: per anchor the
+  strongest same-label positive, the hardest cross-label negative, and
+  the margin-0.1 hard-negative count; id-bounded witness, production
+  mines inside ANN candidates.
+- `embedding_dedup_clusters` — connected components over the LSH
+  embedding near-dup graph (exactly embedding_lsh_dedup_portable's edge
+  set): Spark runs iterative min-label propagation, the oracle replays
+  the edges from the shared plane literals and closes them recursively.
 
 Why the trained forms stay rows-only: `pq_train`'s Lloyd means are
 float aggregations whose low-order bits depend on summation order, so a
@@ -368,3 +379,334 @@ def semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_cells=16, threshold=0.4, kmeans_iters=0, max_cell_size=100_000
     )
     return sd.orderBy("vid")
+
+
+@register(
+    "padding_waste_report",
+    oracle="""
+WITH toks AS (
+  SELECT LEN(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+capped AS (
+  SELECT n_tok,
+         CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << LEN(bin(n_tok - 1)) END AS bucket_cap
+  FROM toks
+)
+SELECT bucket_cap,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(bucket_cap * COUNT(*) AS BIGINT) AS padded_slots,
+       ROUND(1.0 - CAST(SUM(n_tok) AS DOUBLE) / (bucket_cap * COUNT(*)), 6)
+         AS waste_frac
+FROM capped
+GROUP BY bucket_cap
+ORDER BY bucket_cap
+""",
+)
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste KPI for length-bucketed training batches: every doc
+    pads to the next power-of-2 token length (cap = 2^ceil(log2(n)),
+    the standard bucketed-batching rule), and the report shows, per
+    bucket, how many token SLOTS the padding burns — the number that
+    decides whether a pipeline needs sequence packing
+    (`sequence_pack_spans`) or finer buckets before a training run. The
+    cap is computed from the BINARY-STRING length of n_tok - 1 (exact
+    integer on both engines, the histogram_log_bins idiom) — never
+    ceil(log2(x)), whose libm boundary at exact powers of two is a
+    cross-engine coin flip. One map-side projection + an O(buckets)
+    count shuffle; whitespace token counts per the text_token_stats
+    contract (split(' ') counts empty fragments identically on both
+    engines)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    # POW(2, int) is exact in double far past 2^52 (the histogram_log_bins
+    # contract), so the cast back to bigint is lossless at any real length
+    cap = (
+        F.when(n_tok <= 1, F.lit(1).cast("bigint"))
+        .otherwise(
+            F.pow(
+                F.lit(2.0),
+                F.length(F.conv((n_tok - 1).cast("string"), 10, 2)).cast("double"),
+            ).cast("bigint")
+        )
+        .alias("bucket_cap")
+    )
+    return (
+        d.select(n_tok.alias("n_tok"), cap)
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_tokens",
+            (F.col("bucket_cap") * F.col("n_docs")).cast("bigint").alias("padded_slots"),
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double")
+                / (F.col("bucket_cap") * F.col("n_docs")),
+                6,
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+@register(
+    "hard_negative_pairs",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id IS NOT NULL AND vec_id < 200 AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 0) > 0
+),
+pairs AS (
+  SELECT a.vec_id AS anchor, a.label AS alabel,
+         b.vec_id AS nid, b.label AS nlabel,
+         ROUND(list_dot_product(a.e, b.e)
+               / (SQRT(list_dot_product(a.e, a.e))
+                  * SQRT(list_dot_product(b.e, b.e))), 6) AS sim
+  FROM v a JOIN v b ON b.vec_id <> a.vec_id
+),
+pos AS (
+  SELECT anchor, nid AS pos_id, sim AS pos_sim FROM (
+    SELECT anchor, nid, sim,
+           ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY sim DESC, nid ASC) AS r
+    FROM pairs WHERE nlabel IS NOT DISTINCT FROM alabel
+  ) WHERE r = 1
+),
+negs AS (
+  SELECT anchor, nid, sim FROM pairs WHERE nlabel IS DISTINCT FROM alabel
+),
+hardest AS (
+  SELECT anchor, nid AS hard_neg_id, sim AS hard_neg_sim FROM (
+    SELECT anchor, nid, sim,
+           ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY sim DESC, nid ASC) AS r
+    FROM negs
+  ) WHERE r = 1
+),
+nhard AS (
+  SELECT pos.anchor,
+         CAST(COUNT(*) FILTER (WHERE negs.sim >= pos.pos_sim - 0.1) AS BIGINT)
+           AS n_hard
+  FROM pos JOIN negs ON negs.anchor = pos.anchor
+  GROUP BY pos.anchor
+)
+SELECT pos.anchor AS anchor, pos.pos_id, pos.pos_sim,
+       hardest.hard_neg_id, hardest.hard_neg_sim,
+       COALESCE(nhard.n_hard, 0) AS n_hard
+FROM pos
+LEFT JOIN hardest ON hardest.anchor = pos.anchor
+LEFT JOIN nhard ON nhard.anchor = pos.anchor
+ORDER BY pos.anchor
+""",
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: per anchor,
+    the strongest SAME-label neighbor (the positive) and the strongest
+    CROSS-label neighbor (the hardest negative), plus how many
+    cross-label neighbors fall inside the 0.1 hard-negative margin of
+    the positive — the standard triplet/contrastive curation step that
+    decides whether a label slice even has trainable signal. NULL
+    labels are their own class (IS NOT DISTINCT FROM, the
+    centroid_per_label contract); anchors with no same-label neighbor
+    drop (no positive to contrast), anchors with no cross-label
+    neighbor keep NULL hardest columns and n_hard 0. Cosines ROUND(6)
+    before every rank/margin compare so both engines cut identical
+    values. The id-bounded vec_id < 200 witness keeps the O(n^2) pair
+    frame fixed at any sf (the knn_loo_accuracy idiom); production
+    mines inside ANN candidates (the LSH/IVF tier), same downstream
+    algebra."""
+    from mapreducefw_spark.operators.similarity import cosine
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+    from pyspark.sql import Window as W
+
+    v = (
+        ensure_parallelism(t(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id").isNotNull() & (F.col("vec_id") < 200))
+        .select(
+            F.col("vec_id").alias("vid"),
+            "label",
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+    )
+    from mapreducefw_spark.operators.similarity import _norm
+
+    v = v.filter(_norm(F.col("vec")) > 0)
+    a = v.select(
+        F.col("vid").alias("anchor"), F.col("label").alias("alabel"), F.col("vec").alias("avec")
+    )
+    b = v.select(
+        F.col("vid").alias("nid"), F.col("label").alias("nlabel"), F.col("vec").alias("nvec")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("nid") != F.col("anchor"))
+        .select(
+            "anchor",
+            "alabel",
+            "nid",
+            "nlabel",
+            F.round(cosine(F.col("avec"), F.col("nvec")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(F.desc("sim"), F.asc("nid"))
+    pos = (
+        pairs.filter(F.col("nlabel").eqNullSafe(F.col("alabel")))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("anchor", F.col("nid").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    negs = pairs.filter(~F.col("nlabel").eqNullSafe(F.col("alabel"))).select(
+        "anchor", "nid", "sim"
+    )
+    hardest = (
+        negs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor",
+            F.col("nid").alias("hard_neg_id"),
+            F.col("sim").alias("hard_neg_sim"),
+        )
+    )
+    nhard = (
+        pos.join(negs, "anchor")
+        .groupBy("anchor", "pos_sim")
+        .agg(
+            F.sum(
+                F.when(F.col("sim") >= F.col("pos_sim") - 0.1, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hard")
+        )
+        .select("anchor", "n_hard")
+    )
+    return (
+        pos.join(hardest, "anchor", "left")
+        .join(nhard, "anchor", "left")
+        .select(
+            "anchor",
+            "pos_id",
+            "pos_sim",
+            "hard_neg_id",
+            "hard_neg_sim",
+            F.coalesce("n_hard", F.lit(0).cast("bigint")).alias("n_hard"),
+        )
+        .orderBy("anchor")
+    )
+
+
+def _lsh_dedup_edges_sql() -> str:
+    """The `embedding_lsh_dedup_portable` pair pipeline as an oracle CTE
+    block (same sha256 plane literals via pipeline32._lsh_plane_sql), so
+    the components query below replays the EXACT edge set the Spark side
+    generates."""
+    from mapreducefw_spark.queries.pipeline32 import _lsh_plane_sql
+
+    return f"""
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 0) > 0
+),
+planes(tbl, p, comp) AS (VALUES
+{_lsh_plane_sql(n_tables=3, n_planes=4)}
+),
+sig AS (
+  SELECT v.vec_id AS vid, planes.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(v.e, planes.comp) > 0
+                       THEN (1 << planes.p) ELSE 0 END) AS BIGINT) AS sig
+  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.tbl
+),
+cand AS (
+  SELECT DISTINCT a.vid AS qid, b.vid AS nid
+  FROM sig a JOIN sig b ON b.tbl = a.tbl AND b.sig = a.sig
+  WHERE a.vid <> b.vid
+),
+rr AS (
+  SELECT cand.qid, cand.nid,
+         ROUND(list_dot_product(qe.e, ne.e)
+               / (SQRT(list_dot_product(qe.e, qe.e))
+                  * SQRT(list_dot_product(ne.e, ne.e))), 6) AS sim
+  FROM cand
+  JOIN v ne ON ne.vec_id = cand.nid
+  JOIN v qe ON qe.vec_id = cand.qid
+),
+rkk AS (
+  SELECT qid, nid, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+  FROM rr
+),
+edges AS (
+  SELECT qid AS src, nid AS dst
+  FROM rkk WHERE rk <= 50 AND sim >= 0.4 AND qid < nid
+)"""
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=f"""
+WITH {_lsh_dedup_edges_sql()},
+undirected AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+labels AS (
+  SELECT node, MIN(lbl) AS cluster_id
+  FROM (WITH RECURSIVE closure(node, lbl) AS (
+          SELECT vec_id, vec_id FROM v
+          UNION
+          SELECT u.dst, c.lbl
+          FROM closure c JOIN undirected u ON u.src = c.node
+        ) SELECT node, lbl FROM closure)
+  GROUP BY node
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM labels
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EMBEDDING near-duplicate graph — the
+    cluster/canonicalization step after LSH pair generation, completing
+    the embedding dedup story the way `simhash_cluster_assignment`
+    completed the text-hash one: (cluster_id = min reachable vec_id,
+    cluster_size) for every searchable vector, isolated vectors their
+    own cluster. The edge set is EXACTLY `embedding_lsh_dedup_portable`'s
+    pair output (3-table x 4-plane production witness config, top-50,
+    cosine >= 0.4, id_a < id_b), so the oracle replays pairs from the
+    shared sha256 plane literals and closes them with a recursive-CTE
+    transitive closure (O(component^2), correct-but-quadratic — which is
+    why it lives only in the oracle); Spark runs the production
+    fixpoint, iterative min-label propagation in O(graph diameter)
+    rounds of edge-sized equi-joins (`operators/dedup.py::dedup_groups`).
+    Scale posture: edges are bare id pairs; propagation shuffles
+    (node, label) longs; the output is cluster-count-sized."""
+    from mapreducefw_spark.operators import similarity
+    from mapreducefw_spark.operators.dedup import dedup_groups
+
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    pairs = similarity.random_hyperplane_topk(
+        emb, emb, k=50, dim=64, n_planes=4, n_tables=3, broadcast_queries=False
+    )
+    edges = (
+        pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
+        .select(F.col("qid").alias("doc_a"), F.col("nid").alias("doc_b"))
+    )
+    groups = dedup_groups(edges)
+    labels = (
+        emb.select(F.col("vid").alias("doc"))
+        .join(groups, "doc", "left")
+        .select("doc", F.coalesce("group_id", F.col("doc")).alias("cluster_id"))
+    )
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+        .orderBy("cluster_id")
+    )

@@ -149,6 +149,11 @@ EMPTY_QUERIES = [
     # empty corpus -> no centroids -> NULL cells, zero dedup rows (the
     # assign_cells_vectorized empty-centroid guard)
     "semantic_dedup_portable",
+    # round 10 batch 2: empty docs -> zero padding buckets; empty
+    # embeddings -> zero anchors / zero clusters on both engines
+    "padding_waste_report",
+    "hard_negative_pairs",
+    "embedding_dedup_clusters",
 ]
 
 

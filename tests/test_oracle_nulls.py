@@ -169,6 +169,9 @@ EDGE_QUERIES = [
     # the exact-dup docs 5/6 share one md5 ACROSS the fixture's sources
     # iff their sources differ; the mirror feed injects guaranteed rows
     "cross_source_dup_matrix",
+    # round 10: NULL texts drop; empty/whitespace texts still produce a
+    # token count (split counts empty fragments) and land in bucket 1/2
+    "padding_waste_report",
 ]
 
 ROWS = [

@@ -60,6 +60,13 @@ EDGE_QUERIES = [
     # via the searchable guard, the exact-duplicate pair must dedup with
     # the keep-lowest-id rule, NULL vec_id drops on both engines
     "semantic_dedup_portable",
+    # round 10 batch 2: hard_negative_pairs is dim-agnostic (raw-vector
+    # cosines); the fixture's NULL label is its own class (null-safe
+    # same-label), the exact-duplicate pair is a guaranteed sim-1.0
+    # positive, zero/NULL-element vectors drop via the searchable guard.
+    # embedding_dedup_clusters is EXCLUDED by the dim=64 plane-literal
+    # contract (same as the lsh twins above).
+    "hard_negative_pairs",
 ]
 
 DIM = 16
