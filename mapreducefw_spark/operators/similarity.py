@@ -509,7 +509,8 @@ def pq_train(
     )  # (m, k, d0)
 
     for _ in range(iters):
-        coded = pq_encode(corpus, books)
+        # corpus passed the searchable guard at the top of this function
+        coded = pq_encode(corpus, books, assume_searchable=True)
         comp = coded.select(
             F.posexplode("codes").alias("s", "code"),
             F.col("vec"),
@@ -532,7 +533,7 @@ def pq_train(
     return books
 
 
-def pq_encode(corpus: DataFrame, books) -> DataFrame:
+def pq_encode(corpus: DataFrame, books, *, assume_searchable: bool = False) -> DataFrame:
     """Encode each vector to ``m`` byte codes (argmin L2 per subspace) via
     an Arrow-batched pandas UDF — one (batch x d0) @ (d0 x k) matmul per
     subspace per batch; the codebook rides the closure as a model-sized
@@ -540,11 +541,20 @@ def pq_encode(corpus: DataFrame, books) -> DataFrame:
     floats -> m bytes is the 8-32x memory/shuffle win that makes
     billion-scale ANN fit in RAM). Carried columns (e.g. an IVF cell id)
     ride along so callers never need a self-join to re-attach them —
-    the join form evaluated the encode UDF twice (r10 plan audit)."""
+    the join form evaluated the encode UDF twice (r10 plan audit).
+
+    ``assume_searchable=True`` skips the searchable guard for callers
+    whose input already passed it (l2_normalize output, an
+    assign_cells_vectorized chain): the redundant guard is an O(dim)
+    interpreted fold per row AND a Filter between UDF projections that
+    blocks Catalyst from fusing this encode with an upstream pandas UDF
+    into one ArrowEvalPython pass (r10 plan audit: the IVF chain ran 3
+    Arrow roundtrips where 2 suffice)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    corpus = filter_searchable(corpus)
+    if not assume_searchable:
+        corpus = filter_searchable(corpus)
     m, k, d0 = books.shape
     bmat = np.asarray(books, dtype=np.float64)
     sq = (bmat**2).sum(axis=2)  # (m, k)
@@ -689,8 +699,11 @@ def ivf_pq_topk(
     cells = assign_cells_vectorized(corpus, centroids)
     # cell rides through the encode (pq_encode preserves carried columns):
     # the former join-back form evaluated the cell-assignment UDF twice —
-    # once per join side — and paid a vid shuffle for the re-attach
-    coded = pq_encode(cells, books)
+    # once per join side — and paid a vid shuffle for the re-attach.
+    # assume_searchable: cells derive from the guarded corpus above, and
+    # skipping the redundant guard lets Catalyst fuse the cell-assignment
+    # and encode UDFs into ONE ArrowEvalPython pass (3 -> 2 roundtrips)
+    coded = pq_encode(cells, books, assume_searchable=True)
 
     # search mode: model-sized — driver-side sort (see pq_topk)
     qrows = sorted(queries.collect(), key=lambda r: r.vid)

@@ -362,7 +362,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
     nrm = similarity.l2_normalize(emb)
     books = similarity.pq_train(nrm, m=16, k=16, iters=2, dim=EMBEDDING_DIM)
-    coded = similarity.pq_encode(nrm, books)
+    coded = similarity.pq_encode(nrm, books, assume_searchable=True)  # nrm is guarded
     q = nrm.filter(F.col("vid") < 10)
     cand = similarity.pq_topk(coded, q, books, k=50)
     return similarity.exact_rerank(cand, nrm, q, k=5).orderBy("qid", "rk")
