@@ -118,7 +118,11 @@ def register(name: str, oracle: str | None = None):
 # embedding_pq_topk / embedding_ivf_pq_topk (empty-input rank guards in
 # pq_topk/ivf_pq_topk/assign_cells_vectorized). After this window every
 # oracle-paired query holds a binding driver row and nothing is older
-# than r4; the r11 queue is the remaining r4 pool.
+# than r4; the r11 queue is the 4 round-10 registrations that post-date
+# this window (semantic_dedup_portable, padding_waste_report,
+# hard_negative_pairs, embedding_dedup_clusters — all green at
+# sf0.001/0.01/0.1 + edge suites this session), then the remaining r4
+# pool.
 CHECK_PRIORITY: tuple[str, ...] = (
     # (a) never-checked, stalest-first
     "user_growth_curve",
