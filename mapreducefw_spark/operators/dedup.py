@@ -342,7 +342,14 @@ def minhash_dedup_pairs(
     recomputed — a map-only pass. No persist(): caching it would pin
     corpus-sized state in executor memory for the session (round-1 bench
     logged cache-thrash warnings); a 100 TB run that wants reuse should
-    checkpoint hs to storage between the two jobs instead."""
+    checkpoint hs to storage between the two jobs instead.
+
+    NOTE: ``cand_broadcast=None`` (the default) makes construction EAGER —
+    it runs one Spark job (a count over the localCheckpoint'ed candidate
+    frame, whose materialization the main job reuses) to size-gate the
+    candidate-id broadcast. Callers that only want the plan (explain,
+    composition without execution) should pass an explicit True/False to
+    stay fully lazy."""
     rows_per_band = num_hashes // bands
     # ONE materialization of the shingle hashes: the frame feeds the
     # signature path AND the verification join, and without the pin each

@@ -615,7 +615,8 @@ def pq_topk(
 
     @pandas_udf("array<double>")
     def adc(codes: pd.Series) -> pd.Series:
-        c = np.asarray(codes.tolist(), dtype=np.int64)  # (n, m)
+        # explicit rank (the pq_encode zero-row contract): (n, m), never (0,)
+        c = np.asarray(codes.tolist(), dtype=np.int64).reshape(len(codes), m)
         sims = np.zeros((luts.shape[0], c.shape[0]))  # (nq, n)
         for s in range(m):  # m is small; each step is one fancy-index gather
             sims += luts[:, s, :][:, c[:, s]]
@@ -727,7 +728,8 @@ def ivf_pq_topk(
     @pandas_udf("double")
     def adc_pair(qid: pd.Series, codes: pd.Series) -> pd.Series:
         qi = qid.map(qidx).to_numpy(dtype=np.int64)
-        c = np.asarray(codes.tolist(), dtype=np.int64)  # (n, m)
+        # explicit rank (the pq_encode zero-row contract): (n, m), never (0,)
+        c = np.asarray(codes.tolist(), dtype=np.int64).reshape(len(codes), m)
         sims = np.zeros(len(qi))
         for s in range(m):
             sims += luts[qi, s, c[:, s]]

@@ -708,17 +708,43 @@ def embedding_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rk")
 
 
-@register(
-    "embedding_lsh_dedup_portable",
-    oracle=f"""
-WITH v AS (
+# The dedup-mode LSH config shared by `embedding_lsh_dedup_portable` and
+# pipeline33's `embedding_dedup_clusters` (whose edge set is defined as
+# EXACTLY the pair query's output — one constant, one SQL builder, so the
+# two can never drift; r10 self-review finding).
+LSH_DEDUP_CONF = {"k": 50, "dim": 64, "n_planes": 4, "n_tables": 3}
+
+
+def lsh_dedup_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup-mode pair pipeline at LSH_DEDUP_CONF — the
+    single Spark-side source of the (id_a, id_b, sim) edge set both
+    registered queries consume."""
+    from mapreducefw_spark.operators import similarity
+
+    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
+    pairs = similarity.random_hyperplane_topk(
+        emb, emb, broadcast_queries=False, **LSH_DEDUP_CONF
+    )
+    return (
+        pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
+        .select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "sim")
+    )
+
+
+def lsh_dedup_edges_sql() -> str:
+    """The same pipeline as oracle CTEs (searchable `v`, plane literals at
+    LSH_DEDUP_CONF, per-table signatures, bucket candidates, ROUND(6)
+    rerank, top-k + sim >= 0.4 + a < b), ending in an
+    ``edges(src, dst, sim)`` CTE consumers select from."""
+    return f"""
+v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
     AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 0) > 0
 ),
 planes(tbl, p, comp) AS (VALUES
-{_lsh_plane_sql(n_tables=3, n_planes=4)}
+{_lsh_plane_sql(n_tables=LSH_DEDUP_CONF["n_tables"], n_planes=LSH_DEDUP_CONF["n_planes"], dim=LSH_DEDUP_CONF["dim"])}
 ),
 sig AS (
   SELECT v.vec_id AS vid, planes.tbl,
@@ -740,13 +766,24 @@ rr AS (
   JOIN v ne ON ne.vec_id = cand.nid
   JOIN v qe ON qe.vec_id = cand.qid
 ),
-rk AS (
+rkk AS (
   SELECT qid, nid, sim,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
   FROM rr
-)
-SELECT qid AS id_a, nid AS id_b, sim
-FROM rk WHERE rk <= 50 AND sim >= 0.4 AND qid < nid
+),
+edges AS (
+  SELECT qid AS src, nid AS dst, sim
+  FROM rkk
+  WHERE rk <= {LSH_DEDUP_CONF["k"]} AND sim >= 0.4 AND qid < nid
+)"""
+
+
+@register(
+    "embedding_lsh_dedup_portable",
+    oracle=f"""
+WITH {lsh_dedup_edges_sql()}
+SELECT src AS id_a, dst AS id_b, sim
+FROM edges
 ORDER BY id_a, id_b
 """,
 )
@@ -766,14 +803,4 @@ def embedding_lsh_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode (this). The 3x4 config is the VERIFICATION WITNESS (0.51
     measured pair-recall@0.4) — deployment runs 16 tables (0.93
     measured, >=0.85 pinned in tests/test_accuracy_pins.py)."""
-    from mapreducefw_spark.operators import similarity
-
-    emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    pairs = similarity.random_hyperplane_topk(
-        emb, emb, k=50, dim=64, n_planes=4, n_tables=3, broadcast_queries=False
-    )
-    return (
-        pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
-        .select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "sim")
-        .orderBy("id_a", "id_b")
-    )
+    return lsh_dedup_pairs_frame(spark, sf_dir).orderBy("id_a", "id_b")

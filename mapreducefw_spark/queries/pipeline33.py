@@ -62,7 +62,16 @@ byte = sha256(f"pq:{s}:{j}:{i}")[0] — dyadic rationals, so the decimal
 literals the oracle embeds parse to bit-identical doubles; argmin /
 rank tiebreaks are pinned (lowest code index, lowest nid) on both
 engines; ADC sums and cosines are ROUND(6)-ed BEFORE ranking so both
-engines order identical values.
+engines order identical values. The per-subspace argmin ENCODE and the
+cell-assignment argmax compare UNROUNDED distances on both engines
+(numpy matmul vs DuckDB's index-order fold — summation algebra may
+differ in the last ulp): this is the same accepted risk class as the
+LSH twins' sign bits (`dot > 0`), real only when the two nearest
+codewords/centroids sit within ~1 ulp of each other — measure-zero on
+continuous embeddings, and any future flip surfaces as a loud
+driver-hash mismatch, not silent corruption. Rounding inside the
+PRODUCTION encode purely for oracle convenience would be the tail
+wagging the dog.
 """
 
 from __future__ import annotations
@@ -522,11 +531,11 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame fixed at any sf (the knn_loo_accuracy idiom); production
     mines inside ANN candidates (the LSH/IVF tier), same downstream
     algebra."""
-    from mapreducefw_spark.operators.similarity import cosine
+    from mapreducefw_spark.operators.similarity import cosine, filter_searchable
     from mapreducefw_spark.operators.textprep import ensure_parallelism
     from pyspark.sql import Window as W
 
-    v = (
+    v = filter_searchable(
         ensure_parallelism(t(spark, sf_dir, "embeddings"))
         .filter(F.col("vec_id").isNotNull() & (F.col("vec_id") < 200))
         .select(
@@ -535,9 +544,6 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("vec"),
         )
     )
-    from mapreducefw_spark.operators.similarity import _norm
-
-    v = v.filter(_norm(F.col("vec")) > 0)
     a = v.select(
         F.col("vid").alias("anchor"), F.col("label").alias("alabel"), F.col("vec").alias("avec")
     )
@@ -600,58 +606,20 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_dedup_edges_sql() -> str:
-    """The `embedding_lsh_dedup_portable` pair pipeline as an oracle CTE
-    block (same sha256 plane literals via pipeline32._lsh_plane_sql), so
-    the components query below replays the EXACT edge set the Spark side
-    generates."""
-    from mapreducefw_spark.queries.pipeline32 import _lsh_plane_sql
-
-    return f"""
-v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
-    AND COALESCE(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 0) > 0
-),
-planes(tbl, p, comp) AS (VALUES
-{_lsh_plane_sql(n_tables=3, n_planes=4)}
-),
-sig AS (
-  SELECT v.vec_id AS vid, planes.tbl,
-         CAST(SUM(CASE WHEN list_dot_product(v.e, planes.comp) > 0
-                       THEN (1 << planes.p) ELSE 0 END) AS BIGINT) AS sig
-  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.tbl
-),
-cand AS (
-  SELECT DISTINCT a.vid AS qid, b.vid AS nid
-  FROM sig a JOIN sig b ON b.tbl = a.tbl AND b.sig = a.sig
-  WHERE a.vid <> b.vid
-),
-rr AS (
-  SELECT cand.qid, cand.nid,
-         ROUND(list_dot_product(qe.e, ne.e)
-               / (SQRT(list_dot_product(qe.e, qe.e))
-                  * SQRT(list_dot_product(ne.e, ne.e))), 6) AS sim
-  FROM cand
-  JOIN v ne ON ne.vec_id = cand.nid
-  JOIN v qe ON qe.vec_id = cand.qid
-),
-rkk AS (
-  SELECT qid, nid, sim,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
-  FROM rr
-),
-edges AS (
-  SELECT qid AS src, nid AS dst
-  FROM rkk WHERE rk <= 50 AND sim >= 0.4 AND qid < nid
-)"""
+# the edge pipeline is pipeline32's shared builder — ONE config constant
+# (LSH_DEDUP_CONF) and ONE SQL block feed both the pair query and this
+# components query, so the "edges == pair output" contract is structural,
+# not copy-paste (r10 self-review finding)
+from mapreducefw_spark.queries.pipeline32 import (  # noqa: E402
+    lsh_dedup_edges_sql,
+    lsh_dedup_pairs_frame,
+)
 
 
 @register(
     "embedding_dedup_clusters",
     oracle=f"""
-WITH {_lsh_dedup_edges_sql()},
+WITH {lsh_dedup_edges_sql()},
 undirected AS (
   SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
 ),
@@ -692,16 +660,17 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducefw_spark.operators.dedup import dedup_groups
 
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    pairs = similarity.random_hyperplane_topk(
-        emb, emb, k=50, dim=64, n_planes=4, n_tables=3, broadcast_queries=False
-    )
-    edges = (
-        pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
-        .select(F.col("qid").alias("doc_a"), F.col("nid").alias("doc_b"))
+    edges = lsh_dedup_pairs_frame(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     groups = dedup_groups(edges)
+    # node seed must be the SEARCHABLE set — the same guard the pair
+    # pipeline applies — or an unsearchable vector (zero / NULL-element)
+    # would appear as a singleton cluster here while the oracle's guarded
+    # `v` seed never emits it (r10 self-review finding)
     labels = (
-        emb.select(F.col("vid").alias("doc"))
+        similarity.filter_searchable(emb)
+        .select(F.col("vid").alias("doc"))
         .join(groups, "doc", "left")
         .select("doc", F.coalesce("group_id", F.col("doc")).alias("cluster_id"))
     )

@@ -217,11 +217,6 @@ def test_dedup_clusters_match_union_find_over_lsh_pairs(spark, sf_dir):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    # min-id canonical label per component
-    label = {}
-    for n in nodes:
-        r = find(n)
-        label.setdefault(r, n)
     # path-compressed find gives the ROOT; roots are min-ids because unions
     # always parent the larger root under the smaller
     hist = {}
@@ -233,3 +228,35 @@ def test_dedup_clusters_match_union_find_over_lsh_pairs(spark, sf_dir):
     }
     assert got == hist
     assert pairs  # non-vacuous: the corpus has real LSH near-dup pairs
+
+
+def test_dedup_clusters_drop_unsearchable_vectors(spark, tmp_path_factory):
+    """Regression pin (r10 self-review finding): the node seed must be the
+    SEARCHABLE set — an unsearchable vector (zero norm / NULL element)
+    never enters the LSH pipeline, so it must not surface as a singleton
+    cluster either (the oracle's guarded `v` seed never emits it)."""
+    d = tmp_path_factory.mktemp("r10cl") / "db"
+    d.mkdir()
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)], 1) for i in range(6)]
+    rows.append((97, [0.0] * 64, 1))  # zero vector: unsearchable
+    rows.append((98, [1.0] * 63 + [None], 1))  # NULL element: unsearchable
+    rows.append((None, [1.0] * 64, 1))  # NULL id: dropped by the loader
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    clusters = {
+        r["cluster_id"]: r["cluster_size"]
+        for r in QUERIES["embedding_dedup_clusters"](spark, str(d)).collect()
+    }
+    assert 97 not in clusters and 98 not in clusters
+    assert sum(clusters.values()) == 6  # exactly the searchable vectors
