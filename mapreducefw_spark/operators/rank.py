@@ -115,3 +115,43 @@ def global_rank_running(
         )
         drop += ["_lsum", "_sum_off"]
     return out.drop(*drop)
+
+
+def topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-KEY top-k without the single-task-per-key funnel.
+
+    ``Window.partitionBy(key)`` sorts each key's ENTIRE row set in one
+    task — fine when keys are many and small, fatal when a handful of hot
+    keys each carry a corpus-sized candidate set (the ANN search shape:
+    10 query ids x the whole scored corpus at 100 TB). Classic two-phase
+    fix: (1) rank per (key, physical input partition) and keep each
+    local top-k — under a TOTAL order every globally-top-k row is also
+    top-k of whatever partition holds it, so the prune is lossless for
+    ANY row placement (spark_partition_id's nondeterminism cannot change
+    the result); (2) re-rank the <= k * n_partitions survivors per key.
+    The big frame shuffles once either way — phase 1's exchange hashes on
+    (key, pid) instead of key, restoring parallelism; phase 2 exchanges
+    survivors only. ``order_cols`` MUST be a total order per key (all
+    call sites tiebreak on the neighbor id), or ranks at the k boundary
+    would be placement-dependent.
+    """
+    tag = "_tk_pid"
+    while tag in df.columns:
+        tag += "_"
+    w_local = W.partitionBy(*key_cols, tag).orderBy(*order_cols)
+    survivors = (
+        df.withColumn(tag, F.spark_partition_id())
+        .withColumn(rank_col, F.row_number().over(w_local))
+        .filter(F.col(rank_col) <= k)
+        .drop(tag, rank_col)
+    )
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return survivors.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

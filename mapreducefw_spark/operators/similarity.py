@@ -116,11 +116,15 @@ def brute_force_topk(
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("nid"))
     sim = F.round(_dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6)
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
-    return (
-        pairs.select("qid", "nid", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    # two-phase per-query top-k: a plain qid window sorts each query's
+    # ENTIRE scored corpus in one task (operators/rank.py::topk_per_key)
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    return topk_per_key(
+        pairs.select("qid", "nid", sim.alias("sim")),
+        ["qid"],
+        [F.desc("sim"), F.col("nid")],
+        k,
     )
 
 
@@ -237,11 +241,13 @@ def ivf_topk(
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("nid"))
     sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
-    return (
-        pairs.select("qid", "nid", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    return topk_per_key(
+        pairs.select("qid", "nid", sim.alias("sim")),
+        ["qid"],
+        [F.desc("sim"), F.col("nid")],
+        k,
     )
 
 
@@ -347,11 +353,13 @@ def random_hyperplane_topk(
         corpus.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec")), "nid"
     ).join(qside, "qid")
     sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
-    return (
-        pairs.select("qid", "nid", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    return topk_per_key(
+        pairs.select("qid", "nid", sim.alias("sim")),
+        ["qid"],
+        [F.desc("sim"), F.col("nid")],
+        k,
     )
 
 
@@ -460,11 +468,13 @@ def quantized_topk(
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("nid"))
     sim = F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6)
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
-    return (
-        pairs.select("qid", "nid", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    return topk_per_key(
+        pairs.select("qid", "nid", sim.alias("sim")),
+        ["qid"],
+        [F.desc("sim"), F.col("nid")],
+        k,
     )
 
 
@@ -627,14 +637,14 @@ def pq_topk(
         F.posexplode("sims").alias("qpos", "sim"),
     )
     qid_arr = F.array(*[F.lit(int(q)) for q in qids])
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
-    return (
-        scored.select(
-            F.get(qid_arr, F.col("qpos")).alias("qid"), "nid", "sim"
-        )
-        .filter(F.col("qid") != F.col("nid"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    return topk_per_key(
+        scored.select(F.get(qid_arr, F.col("qpos")).alias("qid"), "nid", "sim")
+        .filter(F.col("qid") != F.col("nid")),
+        ["qid"],
+        [F.desc("sim"), F.col("nid")],
+        k,
     )
 
 
@@ -656,11 +666,13 @@ def exact_rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame, k: int)
         "qid",
     )
     sim = F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), "nid")
-    return (
-        pairs.select("qid", "nid", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    return topk_per_key(
+        pairs.select("qid", "nid", sim.alias("sim")),
+        ["qid"],
+        [F.desc("sim"), F.col("nid")],
+        k,
     )
 
 
@@ -735,11 +747,12 @@ def ivf_pq_topk(
             sims += luts[qi, s, c[:, s]]
         return pd.Series(np.round(sims, 6))
 
-    w = W.partitionBy("qid").orderBy(F.desc("adc"), "vid")
-    shortlist = (
-        cand.withColumn("adc", adc_pair("qid", "codes"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= retrieve)
-        .select("qid", F.col("vid").alias("nid"))
-    )
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    shortlist = topk_per_key(
+        cand.withColumn("adc", adc_pair("qid", "codes")),
+        ["qid"],
+        [F.desc("adc"), F.col("vid")],
+        retrieve,
+    ).select("qid", F.col("vid").alias("nid"))
     return exact_rerank(shortlist, corpus, queries, k)

@@ -61,6 +61,18 @@ its plan is unchanged (BNL day-grid self-join + two 1-row broadcasts,
 CI-pinned in test_plan_invariants.py) and its r10 re-measure is 0.78x
 of the flagged driver number.
 
+**Two-phase per-query top-k (r10 late change):** every ANN rank site
+(brute / quantized / truncated / IVF / LSH rerank / PQ-ADC / IVF-ADC
+shortlist / exact_rerank) now routes through
+`operators/rank.py::topk_per_key` — per-(key, physical-partition) local
+top-k, then a survivors-only re-rank. A plain `partitionBy(qid)` window
+sorts each query's ENTIRE scored corpus in one task (10 queries x a
+100 TB corpus = 10 mega-tasks); the two-phase form keeps the big frame's
+single shuffle but hashes it on (qid, pid), restoring parallelism, and
+the prune is lossless under the total (sim DESC, nid) order. sf0.1
+timings unchanged (min-of-5: cosine 0.86s, PQ twin 3.08s, IVF-ADC twin
+5.66s); outputs bit-identical (all embedding oracles re-verified green).
+
 ## Round 9 notes: binding idle re-measure of the three r8 flags
 
 **All three r8-flagged regressions re-measured AT or BELOW their
