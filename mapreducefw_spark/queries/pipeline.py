@@ -167,9 +167,10 @@ def bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.partitionBy("lang").orderBy(F.desc("n"), "bigram")
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .orderBy("lang", "rk")
-    )
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    # two-phase per-key top-k: a plain per-lang window sorts each lang's
+    # whole bigram vocabulary in one task (operators/rank.py)
+    return topk_per_key(
+        counts, ["lang"], [F.desc("n"), F.col("bigram")], 5
+    ).orderBy("lang", "rk")

@@ -156,8 +156,12 @@ def zipf_alpha_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     cnt = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
-    r = F.row_number().over(W.partitionBy("source").orderBy(F.desc("n"), "tok"))
-    ranked = cnt.select("source", "n", r.alias("r")).filter(F.col("r") <= 50)
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    # two-phase: one task per source over the full vocabulary otherwise
+    ranked = topk_per_key(
+        cnt, ["source"], [F.desc("n"), F.col("tok")], 50, rank_col="r"
+    ).select("source", "n", "r")
     lx, ly = F.log(F.col("r")), F.log(F.col("n"))
     s = ranked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_pts"),

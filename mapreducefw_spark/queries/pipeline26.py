@@ -500,17 +500,21 @@ def char_ngram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     tot = counts.groupBy("lang").agg(F.sum("n").cast("bigint").alias("t"))
-    ranked = counts.join(tot, counts.lang.eqNullSafe(tot.lang)).select(
-        counts.lang.alias("lang"),
-        "g",
-        "n",
-        "t",
-        F.row_number()
-        .over(W.partitionBy(counts.lang).orderBy(F.desc("n"), F.asc("g")))
-        .alias("rn"),
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    # two-phase per-key top-k (operators/rank.py): rank BEFORE the totals
+    # join — only 5 survivors per lang reach it, and no one-task-per-lang
+    # sort of the full trigram vocabulary
+    ranked = (
+        topk_per_key(counts, ["lang"], [F.desc("n"), F.asc("g")], 5, rank_col="rn")
+        .join(
+            tot.select(F.col("lang").alias("tlang"), "t"),
+            F.col("lang").eqNullSafe(F.col("tlang")),
+        )
+        .select("lang", "g", "n", "t", "rn")
     )
     return (
-        ranked.filter(F.col("rn") <= 5)
+        ranked
         .select(
             "lang",
             F.col("rn").alias("rank"),

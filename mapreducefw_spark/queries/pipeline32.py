@@ -372,16 +372,19 @@ def stop_gram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dg.groupBy("source", "gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("doc_freq")
     )
-    rw = W.partitionBy("source").orderBy(F.desc("doc_freq"), F.asc("gram"))
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    # two-phase per-key top-k (operators/rank.py): the per-source rank
+    # otherwise sorts each source's whole df>=2 gram vocabulary in one task
     return (
-        df.filter(F.col("doc_freq") >= 2)
-        .select(
-            "source",
-            "gram",
-            "doc_freq",
-            F.row_number().over(rw).cast("int").alias("rnk"),
+        topk_per_key(
+            df.filter(F.col("doc_freq") >= 2),
+            ["source"],
+            [F.desc("doc_freq"), F.asc("gram")],
+            3,
+            rank_col="rnk",
         )
-        .filter(F.col("rnk") <= 3)
+        .select("source", "gram", "doc_freq", F.col("rnk").cast("int").alias("rnk"))
         .orderBy(F.asc_nulls_last("source"), "rnk")
     )
 

@@ -199,15 +199,20 @@ def reservoir_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable determinism used by shard assignment and
     source_resample_weighted."""
     docs = t(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(RESERVOIR_SALT))),
-        "doc_id",
-    )
-    return (
-        docs.select("source", "doc_id", F.row_number().over(w).alias("sample_rank"))
-        .filter(F.col("sample_rank") <= RESERVOIR_K)
-        .orderBy("source", "sample_rank")
-    )
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    # two-phase per-key top-k: the per-source md5-order rank otherwise
+    # sorts each source's whole doc set in one task (operators/rank.py)
+    return topk_per_key(
+        docs.select("source", "doc_id"),
+        ["source"],
+        [
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(RESERVOIR_SALT))),
+            F.col("doc_id"),
+        ],
+        RESERVOIR_K,
+        rank_col="sample_rank",
+    ).orderBy("source", "sample_rank")
 
 
 @register(

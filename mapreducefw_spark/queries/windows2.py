@@ -123,10 +123,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.round(F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 6).alias("tfidf"),
     )
-    w = W.partitionBy("lang").orderBy(F.desc("tfidf"), "token")
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    # two-phase per-key top-k (operators/rank.py): no one-task-per-lang sort
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
+        topk_per_key(scored, ["lang"], [F.desc("tfidf"), F.col("token")], 5)
         .select("lang", "token", "tfidf", "rk")
         .orderBy("lang", "rk")
     )

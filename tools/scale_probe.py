@@ -72,6 +72,16 @@ single shuffle but hashes it on (qid, pid), restoring parallelism, and
 the prune is lossless under the total (sim DESC, nid) order. sf0.1
 timings unchanged (min-of-5: cosine 0.86s, PQ twin 3.08s, IVF-ADC twin
 5.66s); outputs bit-identical (all embedding oracles re-verified green).
+The same conversion was applied to the six per-source/lang vocabulary
+top-k queries (bigram_top_terms, zipf_alpha_by_source,
+reservoir_sample_sources, tfidf_top_terms, char_ngram_lang_profile,
+stop_gram_boilerplate) whose per-key window otherwise sorts a whole
+per-key vocabulary in one task at scale. Measured price at sf0.1: one
+extra survivors-only exchange + window stage, ~0.2-0.3s FIXED per query
+(zipf 0.38 -> 0.65, tfidf 0.61 -> 0.80, stop_gram 2.00 -> 2.13,
+min-of-5 idle) — the usual exact-vs-scale trade this repo documents
+(median_exact, mwu_grid). If BENCH_r10 flags these three, this note is
+the measured cause, not host drift.
 
 ## Round 9 notes: binding idle re-measure of the three r8 flags
 
