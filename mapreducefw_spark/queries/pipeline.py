@@ -9,7 +9,7 @@ final aggregations, and each runs map-side partial aggregation first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducefw_spark.queries import register

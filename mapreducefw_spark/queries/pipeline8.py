@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from mapreducefw_spark.operators.linkage import (
     blocked_levenshtein_pairs,
