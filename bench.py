@@ -228,14 +228,23 @@ def main() -> None:
         if isinstance(parsed, dict) and parsed.get("queries"):
             prev, prev_src = parsed, prior_files[-1].name
     full_path = REPO / "BENCH_FULL.json"
-    if prev is None and full_path.exists():
+    # Fallback order when the driver record has no query map: the
+    # round-START snapshot first, then the live BENCH_FULL. The snapshot
+    # (BENCH_FULL_prev.json, refreshed by the round's FIRST commit before
+    # any perf-relevant change) keeps vs_prev a real round-over-round gate:
+    # mid-round regenerations overwrite BENCH_FULL.json and would otherwise
+    # reset the comparison base to the round's own partial work (r10
+    # verdict order #4 — commit bde0bd4 did exactly that).
+    for cand_path in (REPO / "BENCH_FULL_prev.json", full_path):
+        if prev is not None or not cand_path.exists():
+            continue
         try:
-            cand = json.loads(full_path.read_text())
+            cand = json.loads(cand_path.read_text())
         except Exception:
             cand = None
         # only comparable if it measured the same sf as this run
         if isinstance(cand, dict) and cand.get("queries") and cand.get("sf") == sf:
-            prev, prev_src = cand, "BENCH_FULL.json"
+            prev, prev_src = cand, cand_path.name
     if prev is not None:
         prev_q = prev.get("queries", {})
         regressions = {
