@@ -20,6 +20,8 @@ across runs and partitionings.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under PEP 563)
 from pyspark.sql import Column, DataFrame, Window as W
@@ -31,6 +33,8 @@ from mapreducefw_spark.operators.textprep import (
     hash64,
     shingles,
 )
+
+_LOG = logging.getLogger(__name__)
 
 
 def dedup_exact_hash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -382,7 +386,18 @@ def minhash_dedup_pairs(
         .distinct()
     )
     if cand_broadcast is None:
-        cand_broadcast = cand_ids.count() <= _CAND_BROADCAST_MAX_IDS
+        # This count runs a Spark job NOW, at plan-construction time — loud
+        # by design (ADVICE r10): plan-only callers (explain/composition)
+        # that want to stay lazy should pass cand_broadcast=True/False.
+        n_cand_ids = cand_ids.count()
+        cand_broadcast = n_cand_ids <= _CAND_BROADCAST_MAX_IDS
+        _LOG.info(
+            "minhash_dedup_pairs: eager size-gate job counted %d candidate "
+            "ids -> %s prune (pass cand_broadcast=True/False to skip the "
+            "eager count)",
+            n_cand_ids,
+            "broadcast" if cand_broadcast else "shuffle semi-join",
+        )
     hs_c = hs.join(
         F.broadcast(cand_ids) if cand_broadcast else cand_ids, "doc", "left_semi"
     )
@@ -454,7 +469,9 @@ def cross_corpus_minhash_pairs(
     )
 
 
-def dedup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+def dedup_groups(
+    pairs: DataFrame, *, max_iters: int = 20, on_cap: str = "warn"
+) -> DataFrame:
     """Connected components over near-duplicate pairs -> (doc, group_id).
 
     group_id is the minimum doc id reachable through the pair graph, found by
@@ -462,7 +479,16 @@ def dedup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     its own and its neighbors' labels). Converges in O(graph diameter)
     rounds; near-dup clusters are shallow, so max_iters=20 is generous.
     Deterministic: labels are ids, min is order-free.
+
+    If the loop exits via the iteration cap while labels are still
+    changing (a component with diameter > max_iters), the returned ids
+    are UNCONVERGED — ``on_cap`` controls the reaction: "warn" (default)
+    emits a RuntimeWarning, "raise" fails loudly (the right choice for
+    oracle-paired callers, where silent unconvergence would surface only
+    as an opaque hash mismatch), "ignore" keeps the old silent behavior.
     """
+    if on_cap not in ("warn", "raise", "ignore"):
+        raise ValueError(f"dedup_groups: bad on_cap {on_cap!r}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -475,6 +501,7 @@ def dedup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         # round replans the whole history and runtime grows exponentially
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
@@ -499,6 +526,20 @@ def dedup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"dedup_groups: min-label propagation hit the iteration cap "
+            f"(max_iters={max_iters}) while labels were still changing — "
+            f"a component has diameter > {max_iters}; group ids are "
+            f"UNCONVERGED"
+        )
+        if on_cap == "raise":
+            edges.unpersist()
+            raise RuntimeError(msg)
+        if on_cap == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # labels is localCheckpoint()ed (materialized), so the edge cache can be
     # released as soon as the loop exits — nothing downstream re-reads it
     edges.unpersist()

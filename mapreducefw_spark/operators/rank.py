@@ -141,6 +141,15 @@ def topk_per_key(
     call sites tiebreak on the neighbor id), or ranks at the k boundary
     would be placement-dependent.
     """
+    if rank_col in df.columns:
+        # The phase-1 prune drops rank_col, so a pre-existing column of
+        # that name would be silently overwritten and lost (or, if
+        # order_cols reference it, fail with a confusing ambiguity error
+        # downstream). Fail loudly at the call site instead.
+        raise ValueError(
+            f"topk_per_key: rank_col {rank_col!r} already exists in the "
+            f"input frame; pass a different rank_col"
+        )
     tag = "_tk_pid"
     while tag in df.columns:
         tag += "_"

@@ -61,8 +61,14 @@ Cross-engine determinism: codebook components are (byte-128)/512 with
 byte = sha256(f"pq:{s}:{j}:{i}")[0] — dyadic rationals, so the decimal
 literals the oracle embeds parse to bit-identical doubles; argmin /
 rank tiebreaks are pinned (lowest code index, lowest nid) on both
-engines; ADC sums and cosines are ROUND(6)-ed BEFORE ranking so both
-engines order identical values. The per-subspace argmin ENCODE and the
+engines; ADC sums and cosines are ROUND(6)-ed BEFORE ranking, which
+collapses almost all summation-order noise — but not ALL of it: the
+16-term ADC sum is folded in numpy order on Spark and arbitrary
+aggregation order in DuckDB, so a sum landing within ~1 ulp of a 5e-7
+rounding midpoint can still round to different 6-decimal values on the
+two engines. That post-round boundary flip belongs to the same
+accepted measure-zero risk class as the unrounded argmin ties below
+(ADVICE r10). The per-subspace argmin ENCODE and the
 cell-assignment argmax compare UNROUNDED distances on both engines
 (numpy matmul vs DuckDB's index-order fold — summation algebra may
 differ in the last ulp): this is the same accepted risk class as the
@@ -663,7 +669,11 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_dedup_pairs_frame(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    groups = dedup_groups(edges)
+    # on_cap="raise": this query is oracle-paired against an EXACT
+    # recursive-closure, so an unconverged fixpoint (component diameter >
+    # max_iters) must fail loudly here, not surface as an opaque driver
+    # hash mismatch (ADVICE r10)
+    groups = dedup_groups(edges, on_cap="raise")
     # node seed must be the SEARCHABLE set — the same guard the pair
     # pipeline applies — or an unsearchable vector (zero / NULL-element)
     # would appear as a singleton cluster here while the oracle's guarded
