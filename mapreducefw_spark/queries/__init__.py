@@ -123,75 +123,102 @@ def register(name: str, oracle: str | None = None):
 # hard_negative_pairs, embedding_dedup_clusters — all green at
 # sf0.001/0.01/0.1 + edge suites this session), then the remaining r4
 # pool.
+# Round-11 window, per the r10 verdict's orders #1 and #2:
+#   (a) slots 1-4: the 4 round-10 registrations that post-dated the r10
+#       window (all judge-verified green at sf0.01 in the r10 session and
+#       re-verified tri-scale this session) — the binding record is what's
+#       missing;
+#   (b) slots 5-34: the ENTIRE r4-vintage oracle-paired pool (30 queries,
+#       stalest-first per tools/stale_report.py) — after this window
+#       nothing oracle-paired is older than r5;
+#   (c) slots 35-46: the 12 r2/r3-vintage rows-only-by-design queries —
+#       deliberately spending 12 slots on the weaker rows-only check so
+#       their driver records refresh too (their accuracy pins stay in
+#       pytest); the WINDOW_ROWS_ONLY allowlist below rotates to exactly
+#       this set;
+#   (d) slots 47-50: the 4 NEW round-11 registrations (pipeline34 — the
+#       exact-substring dedup family per verdict order #3, the production
+#       ANN hard-negative form per order #5, the end-to-end embedding
+#       dedup composition per order #6), each oracle-green locally at
+#       sf0.001/0.01/0.1 + the empty/NULL edge suites, landing their
+#       binding rows the round they ship.
+# Changed-this-round queries all sit INSIDE this window or were re-checked
+# locally after the change: embedding_dedup_clusters (on_cap='raise'),
+# embedding_lsh_dedup_portable (candidates-CTE refactor, emitted SQL
+# semantics unchanged, re-verified at sf0.01). The r4-vintage rows-only
+# pair (percentile_approx_prices, minhash_dedup_pairs) heads the r12
+# rows-only queue.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # (a) never-checked, stalest-first
-    "user_growth_curve",
-    "psi_length_drift",
-    "centroid_per_label",
-    "centroid_confusion_matrix",
-    "knn_loo_accuracy",
-    "intra_inter_label_cosine",
-    "doc_keywords_tfidf",
-    "quantization_clip_bounds",
-    "portable_minhash_pairs",
-    "rolling_fingerprint_portable",
-    "ngram_novelty_rate",
-    "session_rule_lift",
-    "cohort_conversion_matrix",
-    "anova_f_length_by_source",
-    "kruskal_wallis_length",
-    "runs_test_daily",
-    "cohens_d_src_pair",
-    "mann_kendall_trend",
-    "pettitt_changepoint",
-    "embedding_near_dup_pairs",
-    "stop_gram_boilerplate",
-    "hapax_legomena_stats",
-    "cochran_armitage_trend",
-    "cross_source_dup_matrix",
-    "embedding_lsh_topk_portable",
-    "embedding_lsh_dedup_portable",
-    # (b) r2/r3-vintage re-verifies
-    "lang_id_heuristic",
-    "repetition_scores",
-    "rollup_order_priority",
-    "source_mix_weights",
-    "stopword_candidates",
-    "stratified_split_counts",
-    "string_agg_nation_names",
-    "subquery_above_avg_orders",
-    "training_prep_pipeline",
-    "unpivot_supplier_metrics",
-    "view_click_attribution",
-    # (c) new round-10 oracle-paired registrations
-    "embedding_pq_topk_portable",
-    "embedding_ivf_pq_topk_portable",
-    # (d) never-recorded rows-only-by-design (driver records rows-only)
-    "bpe_learned_merges",
-    "bpe_fertility_by_source",
-    "embedding_pq_topk",
-    "embedding_ivf_pq_topk",
-    "hll_mergeable_distinct",
-    "semantic_dedup_cells",
-    # (e) r4-stalest fills
-    "asof_join_latest_order",
-    "cdc_apply_changelog",
-    "dedup_canonical_selection",
-    "doc_chunking",
-    "embedding_cosine_topk",
+    # (a) the 4 post-r10-window registrations
+    "semantic_dedup_portable",
+    "padding_waste_report",
+    "hard_negative_pairs",
+    "embedding_dedup_clusters",
+    # (b) the full r4-vintage oracle-paired pool
+    "embedding_quantized_topk",
+    "events_sliding_1h_30m",
+    "events_tumbling_1h",
+    "events_zscore_anomalies",
+    "interval_join_events",
+    "jaccard_token_pairs",
+    "lateral_topn_orders",
+    "nullsafe_join_counts",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q20_dominant_blue_suppliers",
+    "q21_sole_late_supplier",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "session_window_batch",
+    "sessionization_30m",
+    "skew_join_events_orders",
+    "snapshot_diff",
+    "source_resample_weighted",
+    "text_normalize_stats",
+    "tfidf_top_terms",
+    "time_rollup_multigrain",
+    "window_global_rank_scalable",
+    # (c) the r2/r3-vintage rows-only refreshes
+    "approx_count_distinct_parts",
+    "cross_snapshot_minhash",
+    "dedup_connected_groups",
+    "embedding_ivf_topk",
+    "embedding_lsh_dedup",
+    "embedding_lsh_topk",
+    "jaccard_pairs_df_capped",
+    "multimodal_pipeline",
+    "rolling_fingerprint",
+    "simhash_near_pairs",
+    "stratified_split_hashed",
+    "tablesample_seeded",
+    # (d) the new round-11 registrations
+    "exact_substring_spans",
+    "exact_substring_removal",
+    "hard_negative_pairs_ann",
+    "embedding_dedup_pipeline",
 )
 
-# The 6 rows-only queries deliberately holding r10 window slots (see (d)
-# above) — the explicit allowlist the window CI pin checks against, so a
-# rows-only query can never drift into the window by accident.
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset(
     {
-        "bpe_learned_merges",
-        "bpe_fertility_by_source",
-        "embedding_pq_topk",
-        "embedding_ivf_pq_topk",
-        "hll_mergeable_distinct",
-        "semantic_dedup_cells",
+        "approx_count_distinct_parts",
+        "cross_snapshot_minhash",
+        "dedup_connected_groups",
+        "embedding_ivf_topk",
+        "embedding_lsh_dedup",
+        "embedding_lsh_topk",
+        "jaccard_pairs_df_capped",
+        "multimodal_pipeline",
+        "rolling_fingerprint",
+        "simhash_near_pairs",
+        "stratified_split_hashed",
+        "tablesample_seeded",
     }
 )
 
@@ -247,6 +274,7 @@ def load_all() -> None:
         pipeline31,
         pipeline32,
         pipeline33,
+        pipeline34,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

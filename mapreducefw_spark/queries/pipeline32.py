@@ -718,27 +718,38 @@ def embedding_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_DEDUP_CONF = {"k": 50, "dim": 64, "n_planes": 4, "n_tables": 3}
 
 
-def lsh_dedup_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production dedup-mode pair pipeline at LSH_DEDUP_CONF — the
-    single Spark-side source of the (id_a, id_b, sim) edge set both
-    registered queries consume."""
+def lsh_dedup_candidates_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN candidate tier at LSH_DEDUP_CONF: (qid, nid, sim)
+    top-k per anchor from the multi-table hyperplane LSH, BEFORE any
+    dedup-mode filtering — the single Spark-side source every consumer
+    (dedup pairs, clusters, hard-negative mining) derives from. The 'rk'
+    rank column topk_per_key adds is dropped so downstream per-key ranks
+    can re-rank freely."""
     from mapreducefw_spark.operators import similarity
 
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    pairs = similarity.random_hyperplane_topk(
+    return similarity.random_hyperplane_topk(
         emb, emb, broadcast_queries=False, **LSH_DEDUP_CONF
-    )
+    ).select("qid", "nid", "sim")
+
+
+def lsh_dedup_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup-mode pair pipeline at LSH_DEDUP_CONF — the
+    candidate tier filtered to undirected near-dup edges (sim >= 0.4,
+    a < b), the (id_a, id_b, sim) edge set the dedup queries consume."""
+    pairs = lsh_dedup_candidates_frame(spark, sf_dir)
     return (
         pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
         .select(F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "sim")
     )
 
 
-def lsh_dedup_edges_sql() -> str:
-    """The same pipeline as oracle CTEs (searchable `v`, plane literals at
-    LSH_DEDUP_CONF, per-table signatures, bucket candidates, ROUND(6)
-    rerank, top-k + sim >= 0.4 + a < b), ending in an
-    ``edges(src, dst, sim)`` CTE consumers select from."""
+def lsh_dedup_candidates_sql() -> str:
+    """The candidate tier as oracle CTEs (searchable `v`, label side `lab`,
+    plane literals at LSH_DEDUP_CONF, per-table signatures, bucket
+    candidates, ROUND(6) rerank), ending in a ``topk(qid, nid, sim)`` CTE —
+    the per-anchor top-k BEFORE dedup-mode filtering, mirroring
+    `lsh_dedup_candidates_frame` exactly."""
     return f"""
 v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -774,10 +785,19 @@ rkk AS (
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
   FROM rr
 ),
+topk AS (
+  SELECT qid, nid, sim FROM rkk WHERE rk <= {LSH_DEDUP_CONF["k"]}
+)"""
+
+
+def lsh_dedup_edges_sql() -> str:
+    """The candidate CTEs plus the dedup-mode filter (sim >= 0.4, a < b),
+    ending in an ``edges(src, dst, sim)`` CTE consumers select from."""
+    return f"""{lsh_dedup_candidates_sql()},
 edges AS (
   SELECT qid AS src, nid AS dst, sim
-  FROM rkk
-  WHERE rk <= {LSH_DEDUP_CONF["k"]} AND sim >= 0.4 AND qid < nid
+  FROM topk
+  WHERE sim >= 0.4 AND qid < nid
 )"""
 
 

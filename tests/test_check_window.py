@@ -27,9 +27,9 @@ def test_priority_is_exactly_the_checked_window():
 
 def test_every_windowed_query_is_oracle_paired():
     # a rows-only query in the window spends a slot on the weaker check —
-    # allowed ONLY for the explicit r10 allowlist (the 6 never-recorded
-    # rows-only queries the r9 verdict ordered driver records for); any
-    # other rows-only name in the window is a drifted slot
+    # allowed ONLY for the explicit allowlist (r11: the 12 r2/r3-vintage
+    # rows-only refreshes the r10 verdict ordered); any other rows-only
+    # name in the window is a drifted slot
     missing = [
         n for n in CHECK_PRIORITY if n not in ORACLES and n not in WINDOW_ROWS_ONLY
     ]
@@ -42,5 +42,5 @@ def test_every_windowed_query_is_oracle_paired():
 def test_registry_counts_match_docs():
     # the README/SURVEY/COVERAGE counts are synced by hand each round;
     # this pin makes a drift loud at commit time instead of judge time
-    assert len(QUERIES) == 312, len(QUERIES)
-    assert len(ORACLES) == 292, len(ORACLES)
+    assert len(QUERIES) == 316, len(QUERIES)
+    assert len(ORACLES) == 296, len(ORACLES)

@@ -154,6 +154,13 @@ EMPTY_QUERIES = [
     "padding_waste_report",
     "hard_negative_pairs",
     "embedding_dedup_clusters",
+    # round 11: empty docs -> zero grams -> zero spans / zero removal
+    # rows; empty embeddings -> zero LSH candidates -> zero anchors,
+    # zero clusters, empty decision frame on both engines
+    "exact_substring_spans",
+    "exact_substring_removal",
+    "hard_negative_pairs_ann",
+    "embedding_dedup_pipeline",
 ]
 
 

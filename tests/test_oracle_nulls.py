@@ -172,6 +172,12 @@ EDGE_QUERIES = [
     # round 10: NULL texts drop; empty/whitespace texts still produce a
     # token count (split counts empty fragments) and land in bucket 1/2
     "padding_waste_report",
+    # round 11: NULL texts drop; sub-8-token texts emit zero grams (no
+    # spans, n_removed 0, kept_frac 1.0); the exact-dup docs 5/6 make
+    # every one of their gram positions duplicated, so the whole doc is
+    # one maximal span and kept_frac 0 on both engines
+    "exact_substring_spans",
+    "exact_substring_removal",
 ]
 
 ROWS = [

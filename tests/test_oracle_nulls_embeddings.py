@@ -66,6 +66,11 @@ EDGE_QUERIES = [
     # positive, zero/NULL-element vectors drop via the searchable guard.
     # embedding_dedup_clusters is EXCLUDED by the dim=64 plane-literal
     # contract (same as the lsh twins above).
+    # round 11: hard_negative_pairs_ann and embedding_dedup_pipeline are
+    # EXCLUDED by the same dim=64 plane-literal contract (both mine the
+    # LSH_DEDUP_CONF candidate tier); their empty-input behavior is pinned
+    # in test_oracle_empty.py and their edge-vector robustness rides the
+    # dim-correct ANN pin below.
     "hard_negative_pairs",
 ]
 

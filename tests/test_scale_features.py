@@ -527,3 +527,44 @@ def test_asof_tolerance_boundary(spark, tmp_path):
         3: (None, None),
         4: (None, None),
     }
+
+
+def test_topk_per_key_rejects_rank_col_collision(spark):
+    from pyspark.sql import functions as F
+
+    from mapreducefw_spark.operators.rank import topk_per_key
+
+    df = spark.createDataFrame([(1, 2, 3)], "k int, v int, rk int")
+    with pytest.raises(ValueError, match="rank_col 'rk' already exists"):
+        topk_per_key(df, ["k"], [F.desc("v")], 1)
+    # a non-colliding rank_col works on the same frame
+    out = topk_per_key(df, ["k"], [F.desc("v")], 1, rank_col="_r")
+    assert out.columns == ["k", "v", "rk", "_r"] and out.count() == 1
+
+
+def test_dedup_groups_unconverged_cap_warns_and_raises(spark):
+    import warnings
+
+    from mapreducefw_spark.operators.dedup import dedup_groups
+
+    # a 6-node path graph has diameter 5: max_iters=1 cannot converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="UNCONVERGED"):
+        dedup_groups(chain, max_iters=1, on_cap="raise").collect()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup_groups(chain, max_iters=1).count()
+    assert any("UNCONVERGED" in str(w.message) for w in caught)
+    # converged runs stay silent and correct regardless of on_cap
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        groups = {
+            r.doc: r.group_id
+            for r in dedup_groups(chain, on_cap="raise").collect()
+        }
+    assert groups == {i: 0 for i in range(6)}
+    assert not any("UNCONVERGED" in str(w.message) for w in caught)
+    with pytest.raises(ValueError, match="bad on_cap"):
+        dedup_groups(chain, on_cap="explode")
