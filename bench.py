@@ -114,6 +114,17 @@ HEADLINE = [
     "embedding_ivf_pq_topk_portable",
     # the production SemDeDup path (cell-bucketed within-cell compare)
     "semantic_dedup_portable",
+    # round 11: the ExactSubstr gram-chaining scan (Lee et al. 2022), the
+    # end-to-end embedding dedup composition, ANN-tier hard-negative
+    # mining, the hybrid-retrieval RRF/MMR pair, semantic benchmark
+    # decontamination, and the per-source frequency cap
+    "exact_substring_spans",
+    "embedding_dedup_pipeline",
+    "hard_negative_pairs_ann",
+    "rrf_hybrid_retrieval",
+    "rag_retrieval_pipeline",
+    "semantic_decontamination",
+    "source_frequency_cap",
 ]
 
 

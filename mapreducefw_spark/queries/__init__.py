@@ -275,6 +275,9 @@ def load_all() -> None:
         pipeline32,
         pipeline33,
         pipeline34,
+        pipeline35,
+        pipeline36,
+        pipeline37,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

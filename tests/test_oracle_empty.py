@@ -161,6 +161,17 @@ EMPTY_QUERIES = [
     "exact_substring_removal",
     "hard_negative_pairs_ann",
     "embedding_dedup_pipeline",
+    # round 11 batch 1 (hybrid retrieval): empty docs + empty embeddings
+    # -> both rank lists empty -> empty fusion -> zero fused rows; the
+    # MMR pool is empty so the greedy kernel and its 5 unrolled oracle
+    # stages both emit zero picks
+    "rrf_hybrid_retrieval",
+    "mmr_diversified_rerank",
+    "rag_retrieval_pipeline",
+    # round 11 batch 2: empty embeddings -> zero eval vectors -> empty
+    # decontamination report; empty docs -> empty decision frame
+    "semantic_decontamination",
+    "source_frequency_cap",
 ]
 
 

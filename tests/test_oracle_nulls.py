@@ -178,6 +178,16 @@ EDGE_QUERIES = [
     # one maximal span and kept_frac 0 on both engines
     "exact_substring_spans",
     "exact_substring_removal",
+    # round 11 batch 1: rrf_hybrid_retrieval / rag_retrieval_pipeline are
+    # EXCLUDED here only because this fixture writes no embeddings table
+    # (they fuse documents + embeddings); their lexical NULL handling is
+    # bm25_scores' (above, same scoring), their empty-input behavior is
+    # pinned in test_oracle_empty.py, and their dense side carries the
+    # dim=64 query-vector contract (test_oracle_nulls_embeddings.py note).
+    # round 11 batch 2: the NULL-source docs form their own cap domain;
+    # there is no NULL doc_id in the fixture but the drop filter is
+    # exercised by the empty suite and the oracle carries the same WHERE
+    "source_frequency_cap",
 ]
 
 ROWS = [

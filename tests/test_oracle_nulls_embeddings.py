@@ -70,7 +70,13 @@ EDGE_QUERIES = [
     # EXCLUDED by the same dim=64 plane-literal contract (both mine the
     # LSH_DEDUP_CONF candidate tier); their empty-input behavior is pinned
     # in test_oracle_empty.py and their edge-vector robustness rides the
-    # dim-correct ANN pin below.
+    # dim-correct ANN pin below. rrf_hybrid_retrieval /
+    # mmr_diversified_rerank / rag_retrieval_pipeline are excluded by the
+    # same contract (their dense retriever scores against a dim=64 query-
+    # vector literal); the MMR kernel's NULL-vector branch is pinned
+    # dim-correctly in test_hybrid_retrieval.py. semantic_decontamination
+    # (round 11 batch 2) is excluded by the same dim=64 plane-literal
+    # contract (it runs the production LSH candidate tier).
     "hard_negative_pairs",
 ]
 

@@ -75,11 +75,24 @@ PUSHDOWN_REQUIRED = {
     # checkpoint subplan, invisible to the final plan string)
     "embedding_pq_topk_portable",
     "embedding_ivf_pq_topk_portable",
+    # round 11: vec_id/label guards must reach the embeddings scan;
+    # doc_id IS NOT NULL must reach the documents scan (the other five
+    # round-11 headliners are localCheckpoint-truncated like minhash)
+    "semantic_decontamination",
+    "source_frequency_cap",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in
 # PLANS.md); everything else must stay sort-merge-free at this sf.
-SORTMERGE_ALLOWED = {"snapshot_diff": 1, "skew_join_events_orders": 1}
+SORTMERGE_ALLOWED = {
+    "snapshot_diff": 1,
+    "skew_join_events_orders": 1,
+    # round 11: the margin-count join of the per-anchor positives frame
+    # (one row per anchor) against the candidate-tier negatives (k rows
+    # per anchor) — both sides scale with the corpus, so sort-merge IS
+    # the right strategy; the id->label lookups stay broadcast at this sf
+    "hard_negative_pairs_ann": 1,
+}
 
 # Documented bounded broadcast cross-joins (triangular offset frames /
 # broadcast query sides) appear as BroadcastNestedLoopJoin.
@@ -116,6 +129,10 @@ BNL_ALLOWED = {
     # round 10: assign_probe_cells' no-condition cross with the 1-row
     # collected centroid-struct frame (model-sized broadcast)
     "embedding_ivf_pq_topk_portable": 1,
+    # round 11: the two-phase global rank's triangular offset frame
+    # (O(partitions)); the two inner ranks' offsets live in checkpoint
+    # subplans, invisible to the final plan string
+    "rrf_hybrid_retrieval": 1,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'

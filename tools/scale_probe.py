@@ -35,6 +35,32 @@ def multiplied(df, key_cols: list[str], k: int):
 
 
 BENCH_NOTES = """
+## Round 11 notes: probe rows for the new operator families
+
+Three new probe shapes cover the round-11 additions (same 1x/4x/16x
+protocol, discarded warm-up, cell-wise min over 3 passes):
+
+- **exact_substring_spans** — the ExactSubstr gram-chaining scan on
+  k-fold identical copies (genuine mass duplication): stays linear
+  because the dup test is min!=max per gram hash and the span islands
+  are per-doc windows; no pair set ever materializes.
+- **embedding_dedup_pipeline** — the full LSH -> connected-components ->
+  canonical-select composition, timed WITH plan construction (the
+  convergence-count actions inside dedup_groups are part of the cost;
+  timed_thunk exists for exactly this). Sign-salted copies keep the
+  near-dup graph k-replicated; n_planes grows 4/6/8 with k so bucket
+  occupancy stays constant — the deployment rule, mirroring the
+  SemDeDup n_cells ∝ k probe.
+- **semantic_decontam_lsh** — the asymmetric (eval slice x train
+  corpus) LSH candidate tier + hit aggregation under the same plane
+  rule.
+
+The RRF/MMR pair gets no dedicated probe on purpose: its two retriever
+ranks are the already-probed global_rank_two_phase shape (one range
+exchange each), the fusion join is top-N x top-N (constant), and the
+MMR kernel is O(pool^2) per query group — the scale axis is query
+COUNT, which applyInPandas parallelizes by construction.
+
 ## Round 10 notes: binding idle re-measure of the three r9 flags
 
 **All three r9-flagged regressions closed on the calibrated idle
@@ -415,6 +441,21 @@ def main() -> None:
         # same-cell reps don't help — distant ones do
         cells[k] = min(cells.get(k, 9e9), el)
 
+    def timed_thunk(name, k, thunk):
+        """Like timed(), but the PLAN CONSTRUCTION runs inside the timer
+        too — for shapes whose builders run construction-time actions
+        (dedup_groups' per-iteration convergence counts), which timed()
+        would silently exclude and under-report."""
+        if name not in warmed:
+            thunk().write.mode("overwrite").format("noop").save()
+            warmed.add(name)
+            return
+        t0 = time.time()
+        thunk().write.mode("overwrite").format("noop").save()
+        el = round(time.time() - t0, 2)
+        cells = shapes.setdefault(name, {})
+        cells[k] = min(cells.get(k, 9e9), el)
+
     # three full passes, each building FRESH DataFrames (so every timed
     # sample is a cold full pipeline); cells keep their min (see timed).
     # Pass 1's first factor per shape is the discarded warm-up.
@@ -661,6 +702,79 @@ def main() -> None:
             k,
             _tpk(hot, ["qid"], [F.desc("sim"), F.col("nid")], 50),
         )
+
+        # round 11: ExactSubstr span chaining — identical copies are
+        # genuine cross-doc duplicates and the shape stays linear for the
+        # same reason as dup_passage_coverage (dup test is min!=max per
+        # gram hash, no pair set materializes; islands windows are per-doc)
+        from mapreducefw_spark.operators.exact_substring import (
+            exact_substring_spans as _ess,
+        )
+
+        timed("exact_substring_spans", k, _ess(docs))
+
+        # round 11: the embedding dedup composition (LSH pairs -> connected
+        # components -> canonical select) on the SIGN-SALTED corpus — the
+        # mask depends on (copy, component) only, so same-copy-index pairs
+        # keep their cosine (the near-dup graph replicates k-fold, linear)
+        # while cross-copy pairs decorrelate. n_planes grows with log2(k)
+        # (4/6/8 at 1x/4x/16x) so bucket occupancy stays constant — the
+        # deployment rule (pick planes for bucket size), the same reason
+        # the SemDeDup probe scales n_cells with k. Construction-time
+        # actions (dedup_groups' convergence counts) are INSIDE the timer.
+        import math as _math
+
+        from mapreducefw_spark.operators.dedup import dedup_groups as _dg
+
+        npl = 4 + (int(_math.log2(k)) if k > 1 else 0)
+        sv11 = S.filter_searchable(emb)
+
+        def _dedup_pipeline():
+            pairs = S.random_hyperplane_topk(
+                sv11, sv11, k=50, dim=64, n_planes=npl, n_tables=3,
+                broadcast_queries=False,
+            )
+            edges = (
+                pairs.filter((F.col("sim") >= 0.4) & (F.col("qid") < F.col("nid")))
+                .select(F.col("qid").alias("doc_a"), F.col("nid").alias("doc_b"))
+            )
+            members = (
+                sv11.select(
+                    F.col("vid").alias("doc"),
+                    F.round(S._dot(F.col("vec"), F.col("vec")), 6).alias("norm2"),
+                )
+                .join(_dg(edges), "doc", "left")
+                .select(
+                    F.col("doc").alias("vid"),
+                    F.coalesce("group_id", F.col("doc")).alias("cluster_id"),
+                    "norm2",
+                )
+                .localCheckpoint(eager=False)
+            )
+            canon = _tpk(
+                members, ["cluster_id"], [F.desc("norm2"), F.asc("vid")], 1,
+                rank_col="_r",
+            ).select("cluster_id", F.col("vid").alias("canonical_vid"))
+            return members.join(canon, "cluster_id")
+
+        timed_thunk("embedding_dedup_pipeline", k, _dedup_pipeline)
+
+        # round 11: semantic decontamination's asymmetric LSH (eval slice
+        # grows with the corpus; same occupancy-constant plane rule)
+        ev11 = sv11.filter(F.col("vid") % 10 == 9)
+        tr11 = sv11.filter(F.col("vid") % 10 != 9)
+
+        def _decontam():
+            cands = S.random_hyperplane_topk(
+                tr11, ev11, k=20, dim=64, n_planes=npl, n_tables=3,
+                broadcast_queries=False,
+            )
+            return cands.groupBy("qid").agg(
+                F.sum((F.col("sim") >= 0.4).cast("int")).alias("hits"),
+                F.max("sim").alias("mx"),
+            )
+
+        timed_thunk("semantic_decontam_lsh", k, _decontam)
 
         # round 5 (cont.): z-order key + range-partitioned clustering (the
         # write-path cost of the skipping layout; noop sink isolates compute
