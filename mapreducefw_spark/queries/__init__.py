@@ -131,23 +131,30 @@ def register(name: str, oracle: str | None = None):
 #   (b) slots 5-34: the ENTIRE r4-vintage oracle-paired pool (30 queries,
 #       stalest-first per tools/stale_report.py) — after this window
 #       nothing oracle-paired is older than r5;
-#   (c) slots 35-46: the 12 r2/r3-vintage rows-only-by-design queries —
-#       deliberately spending 12 slots on the weaker rows-only check so
-#       their driver records refresh too (their accuracy pins stay in
-#       pytest); the WINDOW_ROWS_ONLY allowlist below rotates to exactly
-#       this set;
-#   (d) slots 47-50: the 4 NEW round-11 registrations (pipeline34 — the
-#       exact-substring dedup family per verdict order #3, the production
-#       ANN hard-negative form per order #5, the end-to-end embedding
-#       dedup composition per order #6), each oracle-green locally at
+#   (c) slots 35-41: 7 rows-only slots — the 5 stalest r2-vintage
+#       rows-only-by-design refreshes (their accuracy pins stay in
+#       pytest) plus the 2 NEW round-11 rows-only registrations
+#       (pipeline37 unigram-LM pair), so no rows-only query ships without
+#       ever holding a driver record; the WINDOW_ROWS_ONLY allowlist
+#       below rotates to exactly this set;
+#   (d) slots 42-50: the 9 NEW round-11 oracle-paired registrations
+#       (pipeline34 — the exact-substring dedup family per verdict order
+#       #3, the production ANN hard-negative form per order #5, the
+#       end-to-end embedding dedup composition per order #6; pipeline35 —
+#       RRF hybrid retrieval, MMR diversified rerank, the RAG retrieval
+#       composition; pipeline36 — semantic benchmark decontamination and
+#       the per-source frequency cap), each oracle-green locally at
 #       sf0.001/0.01/0.1 + the empty/NULL edge suites, landing their
 #       binding rows the round they ship.
 # Changed-this-round queries all sit INSIDE this window or were re-checked
 # locally after the change: embedding_dedup_clusters (on_cap='raise'),
 # embedding_lsh_dedup_portable (candidates-CTE refactor, emitted SQL
-# semantics unchanged, re-verified at sf0.01). The r4-vintage rows-only
-# pair (percentile_approx_prices, minhash_dedup_pairs) heads the r12
-# rows-only queue.
+# semantics unchanged, re-verified at sf0.01). The r12 rows-only queue:
+# the 7 displaced r2/r3-vintage refreshes (rolling_fingerprint,
+# simhash_near_pairs, tablesample_seeded, approx_count_distinct_parts,
+# cross_snapshot_minhash, jaccard_pairs_df_capped,
+# stratified_split_hashed) then the r4 pair (percentile_approx_prices,
+# minhash_dedup_pairs).
 CHECK_PRIORITY: tuple[str, ...] = (
     # (a) the 4 post-r10-window registrations
     "semantic_dedup_portable",
@@ -185,40 +192,36 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "time_rollup_multigrain",
     "window_global_rank_scalable",
-    # (c) the r2/r3-vintage rows-only refreshes
-    "approx_count_distinct_parts",
-    "cross_snapshot_minhash",
+    # (c) rows-only slots: 5 stalest r2-vintage refreshes + the 2 new
+    #     pipeline37 rows-only registrations
     "dedup_connected_groups",
     "embedding_ivf_topk",
     "embedding_lsh_dedup",
     "embedding_lsh_topk",
-    "jaccard_pairs_df_capped",
     "multimodal_pipeline",
-    "rolling_fingerprint",
-    "simhash_near_pairs",
-    "stratified_split_hashed",
-    "tablesample_seeded",
-    # (d) the new round-11 registrations
+    "unigram_lm_vocab",
+    "unigram_fertility_by_source",
+    # (d) the new round-11 oracle-paired registrations
     "exact_substring_spans",
     "exact_substring_removal",
     "hard_negative_pairs_ann",
     "embedding_dedup_pipeline",
+    "rrf_hybrid_retrieval",
+    "mmr_diversified_rerank",
+    "rag_retrieval_pipeline",
+    "semantic_decontamination",
+    "source_frequency_cap",
 )
 
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset(
     {
-        "approx_count_distinct_parts",
-        "cross_snapshot_minhash",
         "dedup_connected_groups",
         "embedding_ivf_topk",
         "embedding_lsh_dedup",
         "embedding_lsh_topk",
-        "jaccard_pairs_df_capped",
         "multimodal_pipeline",
-        "rolling_fingerprint",
-        "simhash_near_pairs",
-        "stratified_split_hashed",
-        "tablesample_seeded",
+        "unigram_lm_vocab",
+        "unigram_fertility_by_source",
     }
 )
 
