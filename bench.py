@@ -125,6 +125,11 @@ HEADLINE = [
     "rag_retrieval_pipeline",
     "semantic_decontamination",
     "source_frequency_cap",
+    # round 11 batch 4: the ANN recall audit, the C4-style duplicate-block
+    # filter, and the published-classifier scoring pass
+    "ann_recall_report",
+    "duplicate_block_filter",
+    "quality_classifier_scores",
 ]
 
 

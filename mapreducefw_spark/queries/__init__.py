@@ -149,12 +149,17 @@ def register(name: str, oracle: str | None = None):
 # Changed-this-round queries all sit INSIDE this window or were re-checked
 # locally after the change: embedding_dedup_clusters (on_cap='raise'),
 # embedding_lsh_dedup_portable (candidates-CTE refactor, emitted SQL
-# semantics unchanged, re-verified at sf0.01). The r12 rows-only queue:
-# the 7 displaced r2/r3-vintage refreshes (rolling_fingerprint,
+# semantics unchanged, re-verified at sf0.01). The r12 queue, head first:
+# the 4 round-11 batch-4 registrations that post-date this window
+# (pipeline38: ann_recall_report, duplicate_block_filter,
+# quality_classifier_scores oracle-paired + quality_classifier_weights
+# rows-only — all oracle-green locally at sf0.001/0.01 + vanilla-session
+# drive_entry + edge suites this session), then the 7 displaced
+# r2/r3-vintage rows-only refreshes (rolling_fingerprint,
 # simhash_near_pairs, tablesample_seeded, approx_count_distinct_parts,
 # cross_snapshot_minhash, jaccard_pairs_df_capped,
-# stratified_split_hashed) then the r4 pair (percentile_approx_prices,
-# minhash_dedup_pairs).
+# stratified_split_hashed) and the r4 rows-only pair
+# (percentile_approx_prices, minhash_dedup_pairs).
 CHECK_PRIORITY: tuple[str, ...] = (
     # (a) the 4 post-r10-window registrations
     "semantic_dedup_portable",
@@ -281,6 +286,7 @@ def load_all() -> None:
         pipeline35,
         pipeline36,
         pipeline37,
+        pipeline38,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

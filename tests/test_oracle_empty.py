@@ -172,6 +172,12 @@ EMPTY_QUERIES = [
     # decontamination report; empty docs -> empty decision frame
     "semantic_decontamination",
     "source_frequency_cap",
+    # round 11 batch 4: empty embeddings -> empty truth frame -> zero
+    # recall rows (not NULL-division rows); empty docs -> zero blocks ->
+    # empty filter frame and zero scored docs on both engines
+    "ann_recall_report",
+    "duplicate_block_filter",
+    "quality_classifier_scores",
 ]
 
 

@@ -188,6 +188,13 @@ EDGE_QUERIES = [
     # there is no NULL doc_id in the fixture but the drop filter is
     # exercised by the empty suite and the oracle carries the same WHERE
     "source_frequency_cap",
+    # round 11 batch 4: NULL/empty texts drop on both engines; the
+    # exact-dup docs 5/6 duplicate every block they share (kept_frac 0);
+    # sub-block docs form one short block; the classifier's dyadic logit
+    # stays exact on 1-token docs and the NULL-source group aggregates
+    # as its own row
+    "duplicate_block_filter",
+    "quality_classifier_scores",
 ]
 
 ROWS = [

@@ -53,6 +53,10 @@ EDGE_QUERIES = [
     # model metadata (subspace slices assume 64 components), so the 16-dim
     # fixture violates the input contract rather than stressing it; their
     # edge-vector robustness rides the same dim-correct pin below.
+    # round 11 batch 4: ann_recall_report is excluded by the same dim=64
+    # plane-literal contract (it replays the embedding_lsh_topk_portable
+    # config); its brute half is embedding_cosine_topk's (covered above)
+    # and its LSH half rides the dim-correct pin below.
     "embedding_near_dup_pairs",
     # round 10: semantic_dedup_portable is dim-agnostic (cosine cells +
     # within-cell compare carry no model metadata), so the 16-dim fixture

@@ -1,0 +1,224 @@
+"""Pins for the round-11 evaluation/hygiene/distillation tier (pipeline38).
+
+Three kinds of evidence beyond the DuckDB oracles:
+
+- ``train_quality_classifier`` is the one operator whose result cannot be
+  oracle-paired (float shuffle-sums + libm sigmoid), so it gets a THIRD
+  implementation: a pure-numpy full-batch GD written directly from the
+  logistic-regression definition over the same md5-bucket tf features.
+  The Spark weights must match to ~1e-9 relative (summation-order slack
+  only), and the learned model must beat the w=0 baseline on log-loss
+  (a learning pin — weights that merely "have rows" can't fake this).
+- ``duplicate_block_filter`` is recomputed from the parquet in pure
+  Python (blocks via list slicing, corpus frequency via Counter) and
+  compared exactly on the integer columns.
+- ``ann_recall_report`` must equal the recall recomputed from the two
+  production retriever frames it audits (set intersection per query).
+- ``quality_classifier_scores`` logits are exact dyadic sums, so one
+  source's row is recomputed in pure Python and compared EXACTLY.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import numpy as np
+import pytest
+
+from mapreducefw_spark.queries import QUERIES, load_all
+from mapreducefw_spark.queries.pipeline16 import STOPWORDS
+from mapreducefw_spark.queries.pipeline38 import (
+    BLOCK,
+    DUP_MIN,
+    QC_BUCKETS,
+    QC_EPOCHS,
+    QC_LR,
+    RECALL_K,
+    _qc_published_weights,
+    train_quality_classifier,
+)
+
+load_all()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_DIR}/documents.parquet' "
+        "WHERE text IS NOT NULL ORDER BY doc_id"
+    ).fetchall()
+
+
+def _toks(text: str) -> list[str]:
+    return [w for w in text.split(" ") if w != ""]
+
+
+def _bucket(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % QC_BUCKETS
+
+
+def _passes(toks: list[str]) -> int:
+    n = len(toks)
+    if n == 0:
+        return 0
+    mean_len = sum(len(x) for x in toks) / n
+    frac_alpha = sum(1 for x in toks if any(c.isalpha() for c in x)) / n
+    n_stop = sum(1 for x in toks if x in STOPWORDS)
+    return int(20 <= n <= 1000 and 2 <= mean_len <= 12 and frac_alpha >= 0.8 and n_stop >= 2)
+
+
+# --------------------------------------------------------------- block dedup
+
+
+def test_duplicate_block_filter_matches_pure_python(spark):
+    per_doc = {}
+    freq = Counter()
+    blocks_by_doc = {}
+    for doc_id, _src, text in _docs():
+        toks = _toks(text)
+        if not toks:
+            continue
+        blocks = [
+            " ".join(toks[i : i + BLOCK]) for i in range(0, len(toks), BLOCK)
+        ]
+        blocks_by_doc[doc_id] = blocks
+        freq.update(blocks)
+    for doc_id, blocks in blocks_by_doc.items():
+        dup = [b for b in blocks if freq[b] >= DUP_MIN]
+        n_tokens = sum(len(b.split(" ")) for b in blocks)
+        removed = sum(len(b.split(" ")) for b in dup)
+        per_doc[doc_id] = (len(blocks), len(dup), n_tokens, removed)
+
+    rows = QUERIES["duplicate_block_filter"](spark, SF_DIR).collect()
+    assert len(rows) == len(per_doc)
+    for r in rows:
+        nb, nd, nt, rm = per_doc[r["doc_id"]]
+        assert (r["n_blocks"], r["n_dup_blocks"], r["n_tokens"], r["tokens_removed"]) == (
+            nb,
+            nd,
+            nt,
+            rm,
+        )
+        assert r["kept_frac"] == pytest.approx((nt - rm) / nt, rel=1e-12)
+    # the fixture actually contains duplicated blocks — otherwise the
+    # filter is vacuous and this pin proves nothing
+    assert any(nd > 0 for _, nd, _, _ in per_doc.values())
+
+
+# ---------------------------------------------------------------- ann recall
+
+
+def test_ann_recall_report_matches_retriever_frames(spark):
+    from mapreducefw_spark.operators import similarity
+    from mapreducefw_spark.queries._util import t
+    from mapreducefw_spark.queries.pipeline38 import RECALL_CONF
+
+    emb = similarity.as_double_vecs(t(spark, SF_DIR, "embeddings"))
+    q = emb.filter("vid < 10")
+    truth = defaultdict(set)
+    for r in similarity.brute_force_topk(emb, q, k=RECALL_K).collect():
+        truth[r["qid"]].add(r["nid"])
+    approx = defaultdict(set)
+    for r in similarity.random_hyperplane_topk(emb, q, k=RECALL_K, **RECALL_CONF).collect():
+        approx[r["qid"]].add(r["nid"])
+
+    rows = QUERIES["ann_recall_report"](spark, SF_DIR).collect()
+    assert {r["qid"] for r in rows} == set(truth)
+    for r in rows:
+        hits = len(truth[r["qid"]] & approx[r["qid"]])
+        assert r["n_truth"] == len(truth[r["qid"]])
+        assert r["n_hits"] == hits
+        assert r["recall_at_k"] == pytest.approx(hits / len(truth[r["qid"]]), rel=1e-12)
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    # the 8x4 oracle-pairable config measures ~0.6-0.7 recall@5 (the SQL-
+    # mirrorable plane set trades recall for replayability; see
+    # test_lsh_portable_config_recall_pinned) — hold it to the same 0.5
+    # floor; the POINT of this operator is to measure exactly this number
+    mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean >= 0.5, mean
+
+
+# ------------------------------------------------------- classifier training
+
+
+def _py_train(epochs: int = QC_EPOCHS, lr: float = QC_LR):
+    """Pure-numpy replay of train_quality_classifier (same features, same
+    label, same schedule; bias as feature 0)."""
+    feats, ys = [], []
+    for _doc_id, _src, text in _docs():
+        toks = _toks(text)
+        if not toks:
+            continue
+        x = np.zeros(QC_BUCKETS + 1)
+        x[0] = 1.0  # bias
+        for tk in toks:
+            x[_bucket(tk) + 1] += 1.0
+        x[1:] /= len(toks)
+        feats.append(x)
+        ys.append(float(_passes(toks)))
+    X = np.vstack(feats)
+    y = np.array(ys)
+    w = np.zeros(QC_BUCKETS + 1)
+    for _ in range(epochs):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w -= lr * (X.T @ (p - y)) / len(y)
+    return X, y, w
+
+
+def test_quality_classifier_training_matches_numpy(spark):
+    X, y, w_ref = _py_train()
+    w, b = train_quality_classifier(spark, SF_DIR)
+    got = np.array([b] + list(w))
+    assert np.allclose(got, w_ref, rtol=1e-9, atol=1e-12), np.abs(got - w_ref).max()
+    # learning pin: the trained model must beat the w=0 baseline log-loss
+    # (= ln 2) on its training data — a frame of plausible-looking floats
+    # that didn't descend the gradient fails this
+    p = 1.0 / (1.0 + np.exp(-(X @ w_ref)))
+    eps = 1e-12
+    loss = -np.mean(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+    assert loss < math.log(2.0), loss
+    # and both classes must exist, or the distillation target is vacuous
+    assert 0 < y.sum() < len(y)
+
+
+def test_quality_classifier_weights_frame_shape(spark):
+    rows = QUERIES["quality_classifier_weights"](spark, SF_DIR).collect()
+    assert len(rows) == QC_BUCKETS + 1
+    names = [r["feature"] for r in rows]
+    assert names[0] == "bias" and names[1] == "h00" and names[-1] == "h63"
+
+
+# -------------------------------------------------------- classifier scoring
+
+
+def test_quality_classifier_scores_exact_for_one_source(spark):
+    w, bias = _qc_published_weights()
+    by_source = defaultdict(lambda: [0, 0, 0, 0.0])  # n, flagged, agree, sum_logit
+    for _doc_id, src, text in _docs():
+        toks = _toks(text)
+        if not toks:
+            continue
+        logit = bias + sum(w[_bucket(tk)] for tk in toks)
+        verdict = 1 if logit > 0 else 0
+        s = by_source[src]
+        s[0] += 1
+        s[1] += verdict
+        s[2] += 1 if verdict == _passes(toks) else 0
+        s[3] += logit
+    rows = QUERIES["quality_classifier_scores"](spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(by_source)
+    for r in rows:
+        n, fl, ag, sl = by_source[r["source"]]
+        assert (r["n_docs"], r["n_flagged"], r["n_agree"]) == (n, fl, ag)
+        # logits are exact multiples of 1/64 -> the sums and the division
+        # are bit-identical across Spark, DuckDB and Python
+        assert r["mean_logit"] == sl / n
+    # the published weights must actually separate something: some source
+    # has flagged docs and some docs stay unflagged
+    total_flagged = sum(v[1] for v in by_source.values())
+    total = sum(v[0] for v in by_source.values())
+    assert 0 < total_flagged < total

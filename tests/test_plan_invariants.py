@@ -80,6 +80,11 @@ PUSHDOWN_REQUIRED = {
     # round-11 headliners are localCheckpoint-truncated like minhash)
     "semantic_decontamination",
     "source_frequency_cap",
+    # round 11 batch 4: vec_id guards must reach the embeddings scans;
+    # text IS NOT NULL must reach the documents scans
+    "ann_recall_report",
+    "duplicate_block_filter",
+    "quality_classifier_scores",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in
@@ -133,6 +138,10 @@ BNL_ALLOWED = {
     # (O(partitions)); the two inner ranks' offsets live in checkpoint
     # subplans, invisible to the final plan string
     "rrf_hybrid_retrieval": 1,
+    # round 11 batch 4: the recall audit's brute-force half crossJoins the
+    # broadcast SAMPLED query side (embedding_cosine_topk's documented
+    # bounded BNL); the LSH half stays equi-join
+    "ann_recall_report": 1,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'
