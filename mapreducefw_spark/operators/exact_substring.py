@@ -20,7 +20,14 @@ granularity `dup_passage_coverage` already verifies) is gram chaining:
    duplicates all of its L-GRAM_LEN+1 grams, and conversely. So gram
    chaining recovers every maximal duplicated span of length >=
    GRAM_LEN exactly — the gram length plays the role of the paper's
-   50-token minimum match length.
+   50-token minimum match length. One honest asymmetry: when two spans
+   duplicated against DIFFERENT partner documents abut within a doc,
+   chaining merges them into one reported span whose full text may
+   appear verbatim in no single other document — the standard
+   gram-chaining over-merge, which is removal-equivalent (the covered
+   token set is identical, so the cut transform removes exactly the
+   same tokens) and is the granularity the pure-Python truth in
+   tests/test_exact_substring.py pins.
 
 Runs are found with the islands-and-gaps idiom (position - row_number()
 is constant within a run); the islands window partitions by doc_id, so a
