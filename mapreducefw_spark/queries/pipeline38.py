@@ -245,7 +245,14 @@ def duplicate_block_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (no blocks exist to keep or remove). Scale: block TEXT
     never shuffles — blocks key the frequency group-by and the join
     back as 32-byte md5 digests; both per-digest and per-doc
-    aggregations are map-side combined; everything else is one scan."""
+    aggregations are map-side combined. The block frame is derived from
+    the document scan TWICE (frequency build + join probe, both pruned
+    to (doc_id, text)) — deliberately: a count() window over the digest
+    would save the second scan but funnels a mega-duplicated block
+    (boilerplate repeated 10^9 times, the realistic worst case) into
+    one task, while the group-by side map-combines to distinct digests
+    and the probe side streams through an AQE-skew-splittable hash
+    join."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     d = (
         t(spark, sf_dir, "documents")
