@@ -61,6 +61,18 @@ exchange each), the fusion join is top-N x top-N (constant), and the
 MMR kernel is O(pool^2) per query group — the scale axis is query
 COUNT, which applyInPandas parallelizes by construction.
 
+Round-11 bench-flag audit (the r10 calibrated-re-measure protocol): the
+mid-round BENCH_FULL vs the round-start snapshot read comparable 1.141x
+with 10 queries >=1.3x — none of them touched this round (timeseries.py
+et al. unchanged, plan invariants green). Idle min-of-5 re-measures with
+three in-band calibrators (q1_pricing_summary 1.09x, snapshot_diff
+1.23x, mr_wordcount 1.14x — all code-identical since round start) show
+the same global 1.1-1.25x host/session drift; calibrator-normalized,
+every flag lands <=1.2x and the single big outlier
+(time_rollup_multigrain, 7.3x in the bench window) re-measures at 1.25x
+raw / ~1.09x normalized — a transient in its 3-rep window, not a plan
+change.
+
 Batch-4 shapes (same protocol):
 
 - **dup_block_digest_join** — the C4-style duplicate-block filter under
