@@ -272,7 +272,24 @@ def main() -> None:
         # list grows round over round, and a raw-total ratio would read
         # "slower" when the only change is more queries measured
         common = [n for n in per_query if n in prev_q]
+        # In-band host-drift calibration (round-11 protocol addition): the
+        # median ratio of three long-stable queries whose code has not
+        # changed since the early rounds. A regression list where every
+        # entry sits near calibrator_drift is host noise, not plans — the
+        # repeated lesson of the r9/r10/r11 flag audits (SCALING.md notes),
+        # now measured inside the same run instead of re-derived by hand.
+        calib = [
+            n
+            for n in ("q1_pricing_summary", "snapshot_diff", "mr_wordcount")
+            if n in per_query and prev_q.get(n)
+        ]
+        drift = (
+            round(sorted(per_query[n] / prev_q[n] for n in calib)[len(calib) // 2], 3)
+            if calib
+            else None
+        )
         result["vs_prev"] = {
+            "calibrator_drift": drift,
             "file": prev_src,
             "total_prev": prev.get("value"),
             "total_ratio": round(total / prev["value"], 3) if prev.get("value") else None,
@@ -310,6 +327,7 @@ def main() -> None:
             vp = result["vs_prev"]
             short["vs_prev"] = {
                 "file": vp["file"],
+                "calibrator_drift": vp["calibrator_drift"],
                 "comparable_ratio": vp["comparable_ratio"],
                 "regressions": {
                     n: r["ratio"] for n, r in vp["regressions"].items()
