@@ -130,6 +130,10 @@ HEADLINE = [
     "ann_recall_report",
     "duplicate_block_filter",
     "quality_classifier_scores",
+    # round 11 batch 5: the PQ recall audit (the wordpiece pair is an
+    # iterative trainer — benchmarked via its operators' probe shapes,
+    # not as a headliner, like bpe_learned_merges)
+    "pq_recall_report",
 ]
 
 

@@ -207,3 +207,94 @@ def bpe_fertility_by_source(
         )
         .orderBy(source_col)
     )
+
+
+def learn_wordpiece_merges(
+    docs: DataFrame, n_merges: int = 10, *, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` WordPiece merge rules (Schuster &
+    Nakajima 2012; Wu et al. 2016 §4.1): identical loop shape to
+    ``learn_bpe_merges`` but the winner maximizes the LIKELIHOOD score
+    count(ab) / (count(a) * count(b)) instead of the raw pair count — the
+    merge that most increases corpus likelihood under a unigram-over-
+    symbols model, which prefers gluing rare-but-always-adjacent symbols
+    over merely frequent pairs.
+
+    Distributed shape per iteration: the same O(vocab) pair aggregation
+    as BPE plus one O(symbols) unigram count, joined pair->left/right
+    symbol (both frames vocabulary-bounded), a 1-row global argmax
+    (score DESC, then left, right — the ratio of exact BIGINT counts is
+    the identical double everywhere, so the argmax is deterministic),
+    cross-join broadcast back, no collect() anywhere. Returns
+    (rank, left, right, pair_count, score) in learned order; score is
+    ROUND(9) for a stable report surface (the raw ratio drives the
+    argmax). Pinned against a pure-Python reference in tests/test_bpe.py.
+    """
+    freq = word_freq_table(docs, text_col).localCheckpoint(eager=False)
+    learned = []
+    for rank in range(1, n_merges + 1):
+        sym_counts = (
+            freq.select(F.explode("syms").alias("sym"), "n")
+            .groupBy("sym")
+            .agg(F.sum("n").cast("bigint").alias("sym_count"))
+        )
+        pair_counts = (
+            freq.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "n")
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("n").cast("bigint").alias("pair_count"))
+        )
+        scored = (
+            pair_counts.join(
+                F.broadcast(
+                    sym_counts.select(
+                        F.col("sym").alias("left"), F.col("sym_count").alias("lc")
+                    )
+                ),
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    sym_counts.select(
+                        F.col("sym").alias("right"), F.col("sym_count").alias("rc")
+                    )
+                ),
+                "right",
+            )
+            .select(
+                "left",
+                "right",
+                "pair_count",
+                (
+                    F.col("pair_count").cast("double")
+                    / (F.col("lc").cast("double") * F.col("rc").cast("double"))
+                ).alias("score"),
+            )
+        )
+        best = (
+            scored.orderBy(F.desc("score"), "left", "right")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        freq = (
+            freq.crossJoin(F.broadcast(best))
+            .select(
+                _apply_merge(F.col("syms"), F.col("left"), F.col("right")).alias(
+                    "syms"
+                ),
+                "n",
+            )
+            .localCheckpoint(eager=False)
+        )
+        learned.append(
+            best.select(
+                F.lit(rank).alias("rank"),
+                "left",
+                "right",
+                "pair_count",
+                F.round("score", 9).alias("score"),
+            )
+        )
+    out = learned[0]
+    for fr in learned[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("rank")

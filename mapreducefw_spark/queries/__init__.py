@@ -150,10 +150,12 @@ def register(name: str, oracle: str | None = None):
 # locally after the change: embedding_dedup_clusters (on_cap='raise'),
 # embedding_lsh_dedup_portable (candidates-CTE refactor, emitted SQL
 # semantics unchanged, re-verified at sf0.01). The r12 queue, head first:
-# the 4 round-11 batch-4 registrations that post-date this window
+# the 7 round-11 batch-4/5 registrations that post-date this window
 # (pipeline38: ann_recall_report, duplicate_block_filter,
 # quality_classifier_scores oracle-paired + quality_classifier_weights
-# rows-only — all oracle-green locally at sf0.001/0.01 + vanilla-session
+# rows-only; pipeline39: pq_recall_report oracle-paired + the
+# wordpiece_learned_merges / wordpiece_fertility_by_source rows-only
+# pair — all oracle-green locally at sf0.001/0.01 + vanilla-session
 # drive_entry + edge suites this session), then the 7 displaced
 # r2/r3-vintage rows-only refreshes (rolling_fingerprint,
 # simhash_near_pairs, tablesample_seeded, approx_count_distinct_parts,
@@ -287,6 +289,7 @@ def load_all() -> None:
         pipeline36,
         pipeline37,
         pipeline38,
+        pipeline39,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

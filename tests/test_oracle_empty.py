@@ -178,6 +178,9 @@ EMPTY_QUERIES = [
     "ann_recall_report",
     "duplicate_block_filter",
     "quality_classifier_scores",
+    # round 11 batch 5: empty embeddings -> empty codes/truth -> zero
+    # recall rows on both engines
+    "pq_recall_report",
 ]
 
 

@@ -57,6 +57,10 @@ EDGE_QUERIES = [
     # plane-literal contract (it replays the embedding_lsh_topk_portable
     # config); its brute half is embedding_cosine_topk's (covered above)
     # and its LSH half rides the dim-correct pin below.
+    # round 11 batch 5: pq_recall_report is excluded by the dim=64
+    # codebook contract (the embedding_pq_topk_portable exclusion); its
+    # brute half is covered above and the PQ edge behavior rides the
+    # portable-twin exclusions' rationale.
     "embedding_near_dup_pairs",
     # round 10: semantic_dedup_portable is dim-agnostic (cosine cells +
     # within-cell compare carry no model metadata), so the 16-dim fixture

@@ -85,6 +85,8 @@ PUSHDOWN_REQUIRED = {
     "ann_recall_report",
     "duplicate_block_filter",
     "quality_classifier_scores",
+    # round 11 batch 5: vec_id guards must reach the embeddings scans
+    "pq_recall_report",
 }
 
 # fact x fact joins where sort-merge IS the right strategy (documented in
@@ -142,6 +144,9 @@ BNL_ALLOWED = {
     # broadcast SAMPLED query side (embedding_cosine_topk's documented
     # bounded BNL); the LSH half stays equi-join
     "ann_recall_report": 1,
+    # round 11 batch 5: same brute-force audit half; the PQ half's ADC
+    # and rerank joins stay broadcast equi-joins
+    "pq_recall_report": 1,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'
