@@ -253,10 +253,17 @@ def duplicate_block_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task, while the group-by side map-combines to distinct digests
     and the probe side streams through an AQE-skew-splittable hash
     join."""
+    return block_filter_frame(t(spark, sf_dir, "documents"))
+
+
+def block_filter_frame(docs: DataFrame) -> DataFrame:
+    """The duplicate_block_filter plan over any (doc_id, text) frame —
+    factored out so the hypothesis property suite can drive it on random
+    corpora (tests/test_pipeline38.py) with the registered query staying
+    a thin parquet binding."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        docs.filter(F.col("text").isNotNull())
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") > 0)
     )

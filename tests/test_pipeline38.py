@@ -222,3 +222,60 @@ def test_quality_classifier_scores_exact_for_one_source(spark):
     total_flagged = sum(v[1] for v in by_source.values())
     total = sum(v[0] for v in by_source.values())
     assert 0 < total_flagged < total
+
+
+# ------------------------------------------------- property: random corpora
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["a", "b", "c", "dd", "ee", "ff"])
+_doc = st.lists(_words, min_size=0, max_size=35).map(" ".join)
+_corpus = st.lists(_doc, min_size=0, max_size=12)
+
+
+def _py_block_filter(texts):
+    freq = Counter()
+    blocks_by_doc = {}
+    for i, text in enumerate(texts):
+        toks = [w for w in text.split(" ") if w != ""]
+        if not toks:
+            continue
+        blocks = [" ".join(toks[j : j + BLOCK]) for j in range(0, len(toks), BLOCK)]
+        blocks_by_doc[i] = blocks
+        freq.update(blocks)
+    out = {}
+    for i, blocks in blocks_by_doc.items():
+        dup = [b for b in blocks if freq[b] >= DUP_MIN]
+        nt = sum(len(b.split(" ")) for b in blocks)
+        rm = sum(len(b.split(" ")) for b in dup)
+        out[i] = (len(blocks), len(dup), nt, rm)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus)
+def test_block_filter_matches_python_on_random_corpora(spark_global, texts):
+    """Random corpora over a tiny alphabet (so short docs collide into
+    genuine duplicate blocks): the Spark plan must equal the pure-Python
+    recompute doc by doc, including the all-empty and no-duplicates
+    cases, and block sizes must partition the token count."""
+    from mapreducefw_spark.queries.pipeline38 import block_filter_frame
+
+    expected = _py_block_filter(texts)
+    docs = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] or [(0, None)],
+        "doc_id long, text string",
+    )
+    rows = block_filter_frame(docs).collect()
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_dup_blocks"], r["n_tokens"], r["tokens_removed"])
+        for r in rows
+    }
+    assert got == expected
+    for r in rows:
+        assert r["tokens_removed"] <= r["n_tokens"]
+        assert r["n_dup_blocks"] <= r["n_blocks"]
+        assert r["kept_frac"] == pytest.approx(
+            (r["n_tokens"] - r["tokens_removed"]) / r["n_tokens"], rel=1e-12
+        )
