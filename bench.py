@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -285,15 +286,23 @@ def main() -> None:
         calib = [
             n
             for n in ("q1_pricing_summary", "snapshot_diff", "mr_wordcount")
-            if n in per_query and prev_q.get(n)
+            # explicit None/0 check: `.get(n)` truthiness would also drop a
+            # legitimate 0.0, and we want missing-from-prev to be the ONLY
+            # exclusion reason (ADVICE r11)
+            if n in per_query and prev_q.get(n) not in (None, 0)
         ]
+        # statistics.median (not the upper-median sorted[len//2] pick): with
+        # an even number of surviving calibrators the old form reported the
+        # max of two — and record how many calibrators contributed so a
+        # degraded basis is visible in the artifact (ADVICE r11)
         drift = (
-            round(sorted(per_query[n] / prev_q[n] for n in calib)[len(calib) // 2], 3)
+            round(statistics.median(per_query[n] / prev_q[n] for n in calib), 3)
             if calib
             else None
         )
         result["vs_prev"] = {
             "calibrator_drift": drift,
+            "calibrator_n": len(calib),
             "file": prev_src,
             "total_prev": prev.get("value"),
             "total_ratio": round(total / prev["value"], 3) if prev.get("value") else None,

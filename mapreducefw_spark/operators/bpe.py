@@ -223,8 +223,15 @@ def learn_wordpiece_merges(
     Distributed shape per iteration: the same O(vocab) pair aggregation
     as BPE plus one O(symbols) unigram count, joined pair->left/right
     symbol (both frames vocabulary-bounded), a 1-row global argmax
-    (score DESC, then left, right — the ratio of exact BIGINT counts is
-    the identical double everywhere, so the argmax is deterministic),
+    (score DESC, then left, right — the score is double(count(ab)) /
+    (double(count(a)) * double(count(b))), the same two-rounding float
+    recipe on every engine and in the pytest reference, so the argmax is
+    deterministic ACROSS ENGINES; note it is NOT the correctly-rounded
+    exact-integer ratio — when count(a)*count(b) exceeds 2^53 the product
+    itself rounds, so a 1-ulp-apart score tie could in principle resolve
+    differently than infinite precision would. Accepted: the flip needs
+    two pairs whose exact scores differ by < 1 ulp AND counts > 2^53,
+    ADVICE r11),
     cross-join broadcast back, no collect() anywhere. Returns
     (rank, left, right, pair_count, score) in learned order; score is
     ROUND(9) for a stable report surface (the raw ratio drives the

@@ -349,11 +349,16 @@ def minhash_dedup_pairs(
     checkpoint hs to storage between the two jobs instead.
 
     NOTE: ``cand_broadcast=None`` (the default) makes construction EAGER —
-    it runs one Spark job (a count over the localCheckpoint'ed candidate
-    frame, whose materialization the main job reuses) to size-gate the
-    candidate-id broadcast. Callers that only want the plan (explain,
-    composition without execution) should pass an explicit True/False to
-    stay fully lazy."""
+    it runs a size-gate count over the localCheckpoint'ed candidate frame
+    (whose materialization the main job reuses) to decide the candidate-id
+    broadcast. Callers that don't want the gate (explain, composition
+    without execution) pass an explicit True/False and skip those jobs.
+    Construction is still not fully job-free even then: under AQE,
+    ``localCheckpoint(eager=False)`` on a joined plan finalizes the
+    adaptive plan, which schedules its intermediate shuffle map stages as
+    jobs at construction time — stages the final action reuses, so the
+    work is early, not wasted (pinned differentially in
+    tests/test_dedup.py::test_minhash_explicit_gate_skips_size_count_jobs)."""
     rows_per_band = num_hashes // bands
     # ONE materialization of the shingle hashes: the frame feeds the
     # signature path AND the verification join, and without the pin each

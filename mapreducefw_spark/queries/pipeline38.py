@@ -212,8 +212,8 @@ d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
 blk AS (
   SELECT doc_id,
          unnest(list_transform(range((n + {BLOCK} - 1) // {BLOCK}),
-                i -> array_to_string(list_slice(toks, i * {BLOCK} + 1,
-                                                i * {BLOCK} + {BLOCK}), ' ')))
+                i -> md5(array_to_string(list_slice(toks, i * {BLOCK} + 1,
+                                                    i * {BLOCK} + {BLOCK}), ' '))))
            AS block,
          unnest(list_transform(range((n + {BLOCK} - 1) // {BLOCK}),
                 i -> len(list_slice(toks, i * {BLOCK} + 1,
@@ -260,7 +260,18 @@ def block_filter_frame(docs: DataFrame) -> DataFrame:
     """The duplicate_block_filter plan over any (doc_id, text) frame —
     factored out so the hypothesis property suite can drive it on random
     corpora (tests/test_pipeline38.py) with the registered query staying
-    a thin parquet binding."""
+    a thin parquet binding.
+
+    Digest assumption (ADVICE r11): blocks are keyed by md5(block text) on
+    BOTH engines — the oracle hashes the same md5 (previously it grouped
+    raw block text, so a constructed md5 collision could diverge the two
+    engines; now they can never disagree on grouping). md5 collisions ARE
+    constructible, so an adversarial corpus could still make two DISTINCT
+    blocks count as duplicates of each other — the same accepted collision
+    class as every other md5-digest-keyed operator in the repo
+    (dup_passage_coverage, exact_substring, minhash shingles);
+    content-resistant keying would swap in sha256 at ~2x digest cost with
+    no plan change."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     d = (
         docs.filter(F.col("text").isNotNull())

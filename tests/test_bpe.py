@@ -149,8 +149,14 @@ def _ref_wordpiece(word_counts: dict[str, int], n_merges: int):
                 pairs[(syms[i], syms[i + 1])] += n
         if not pairs:
             break
+        # float(a) * float(b), NOT the exact integer product: the engine
+        # computes double(c) / (double(a) * double(b)), so the reference
+        # mirrors that two-rounding recipe bit-for-bit — the exact-int
+        # product can differ by 1 ulp past 2^53 and flip an argmax tie
+        # (ADVICE r11)
         scored = {
-            p: c / (syms_c[p[0]] * syms_c[p[1]]) for p, c in pairs.items()
+            p: c / (float(syms_c[p[0]]) * float(syms_c[p[1]]))
+            for p, c in pairs.items()
         }
         best = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))
         (l, r), score = best

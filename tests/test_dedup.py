@@ -91,6 +91,67 @@ def test_dedup_groups_connected_components(spark):
     assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dedup_groups_deep_chain_cap_semantics(spark):
+    """A component whose diameter EXCEEDS max_iters (verdict r11 order #3):
+    on_cap='raise' must fail loudly instead of returning unconverged ids
+    (oracle-paired callers like embedding_dedup_clusters depend on this —
+    silent unconvergence would surface only as an opaque hash mismatch),
+    'warn' must emit RuntimeWarning, and a cap >= diameter must converge
+    to the exact min-label closure."""
+    # path graph 0-1-2-...-8: min-label propagation moves the 0 label one
+    # hop per iteration, so node 8 needs 8 rounds — max_iters=3 is capped
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(8)],
+        "doc_a bigint, doc_b bigint, jaccard double",
+    )
+    with pytest.raises(RuntimeError, match="iteration cap"):
+        dedup.dedup_groups(chain, max_iters=3, on_cap="raise").collect()
+    with pytest.warns(RuntimeWarning, match="UNCONVERGED"):
+        dedup.dedup_groups(chain, max_iters=3, on_cap="warn").collect()
+    # generous cap: exact closure, every node labeled 0 — the same call
+    # shape the oracle-paired queries use (on_cap='raise', default cap)
+    groups = {
+        r.doc: r.group_id
+        for r in dedup.dedup_groups(chain, on_cap="raise").collect()
+    }
+    assert groups == {i: 0 for i in range(9)}
+    with pytest.raises(ValueError, match="bad on_cap"):
+        dedup.dedup_groups(chain, on_cap="explode")
+
+
+def test_minhash_explicit_gate_skips_size_count_jobs(docs, spark):
+    """verdict r11 order #6 (measured form): explicit cand_broadcast callers
+    must not pay the size-gate count. Fully-zero-job construction is NOT
+    attainable here — under AQE, localCheckpoint(eager=False) on a joined
+    plan finalizes the adaptive plan, which materializes its intermediate
+    shuffle map stages as jobs (work the final action then reuses, so
+    nothing is wasted — just scheduled early). What IS contract: both
+    explicit paths run the same construction-job count, the default
+    (None = eager size gate) runs strictly more, and explain() adds none."""
+    sc = spark.sparkContext
+
+    def jobs_during(tag, fn):
+        sc.setJobGroup(tag, tag)
+        out = fn()
+        return out, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    frame, n_false = jobs_during(
+        "mh_exp_f", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5, cand_broadcast=False)
+    )
+    _, n_true = jobs_during(
+        "mh_exp_t", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5, cand_broadcast=True)
+    )
+    _, n_default = jobs_during(
+        "mh_gate", lambda: dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    )
+    _, n_explain = jobs_during("mh_explain", lambda: frame.explain())
+    assert n_false == n_true, (n_false, n_true)
+    assert n_default > n_false, (n_default, n_false)
+    assert n_explain == 0
+    # and the explicit frame still computes correctly when finally acted on
+    assert frame.count() > 0
+
+
 @pytest.fixture(scope="module")
 def boilerplate(spark):
     """Degenerate corpus: 2000 identical docs — every LSH bucket collapses to

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 from collections import Counter, defaultdict
 
 import duckdb
@@ -66,7 +67,11 @@ def _passes(toks: list[str]) -> int:
     if n == 0:
         return 0
     mean_len = sum(len(x) for x in toks) / n
-    frac_alpha = sum(1 for x in toks if any(c.isalpha() for c in x)) / n
+    # re.search('[a-zA-Z]'), NOT str.isalpha(): both engines test the ASCII
+    # regexp (Spark rlike / DuckDB regexp_matches), and isalpha() accepts any
+    # Unicode letter — a non-ASCII-letter token in a future fixture would make
+    # this reference diverge from the engines it pins (ADVICE r11)
+    frac_alpha = sum(1 for x in toks if re.search("[a-zA-Z]", x)) / n
     n_stop = sum(1 for x in toks if x in STOPWORDS)
     return int(20 <= n <= 1000 and 2 <= mean_len <= 12 and frac_alpha >= 0.8 and n_stop >= 2)
 
