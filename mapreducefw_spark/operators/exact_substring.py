@@ -9,6 +9,11 @@ sorted structure — exactly the kind of object that does NOT distribute.
 The standard shuffle-parallel equivalent (used here, and the same
 granularity `dup_passage_coverage` already verifies) is gram chaining:
 
+(``min_match_len``, default GRAM_LEN=8, is the paper's minimum-match-
+length knob — 50 tokens in the published production config — threaded
+through every function; tests/test_exact_substring.py pins the operators
+against the pure-Python truth at BOTH gram lengths, r11 verdict order #2)
+
 1. hash every GRAM_LEN-token window of every document (map-side, one
    scan, positions kept);
 2. a gram is *duplicated* when it occurs in >= 2 distinct documents
@@ -55,27 +60,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-GRAM_LEN = 8
+GRAM_LEN = 8  # default minimum match length (tokens); see min_match_len below
 
 
 def _tokens(text_col: str) -> F.Column:
     return F.split(F.col(text_col), " ")
 
 
+def _check_min_match_len(min_match_len: int) -> int:
+    if not isinstance(min_match_len, int) or min_match_len < 2:
+        raise ValueError(
+            f"exact_substring: min_match_len must be an int >= 2, got {min_match_len!r}"
+        )
+    return min_match_len
+
+
 def gram_positions(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_match_len: int = GRAM_LEN,
 ) -> DataFrame:
-    """(doc, p, h): the 48-bit md5-prefix hash of the GRAM_LEN-token window
-    starting at 1-based token position p, for every position of every doc.
-    Identical hash family to `dup_passage_coverage` (both engines compute
-    the same md5 prefix, so even collisions agree cross-engine)."""
+    """(doc, p, h): the 48-bit md5-prefix hash of the min_match_len-token
+    window starting at 1-based token position p, for every position of
+    every doc. ``min_match_len`` is the paper's minimum-match-length knob
+    (arXiv:2107.06499 uses 50 tokens in production; the default 8 fits the
+    sentence-scale synthetic corpus). Identical hash family to
+    `dup_passage_coverage` (both engines compute the same md5 prefix, so
+    even collisions agree cross-engine)."""
+    L = _check_min_match_len(min_match_len)
     n = F.size(_tokens(text_col))
     grams = F.when(
-        n >= GRAM_LEN,
+        n >= L,
         F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - {GRAM_LEN - 1}), "
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {L - 1}), "
             f"i -> struct(i as p, cast(conv(substr(md5(array_join("
-            f"slice(split({text_col}, ' '), i, {GRAM_LEN}), ' ')), 1, 12), 16, 10) "
+            f"slice(split({text_col}, ' '), i, {L}), ' ')), 1, 12), 16, 10) "
             f"as bigint) as h))"
         ),
     ).otherwise(F.array().cast("array<struct<p:int,h:bigint>>"))
@@ -103,13 +124,20 @@ def duplicated_positions(inst: DataFrame) -> DataFrame:
 
 
 def exact_substring_spans(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_match_len: int = GRAM_LEN,
 ) -> DataFrame:
     """Maximal duplicated token spans per document:
     (doc, span_start, span_end, n_grams, span_tokens), token indices
-    1-based inclusive. Every span is >= GRAM_LEN tokens and appears
+    1-based inclusive. Every span is >= min_match_len tokens and appears
     verbatim in at least one other document."""
-    dpos = duplicated_positions(gram_positions(docs, text_col=text_col, id_col=id_col))
+    L = _check_min_match_len(min_match_len)
+    dpos = duplicated_positions(
+        gram_positions(docs, text_col=text_col, id_col=id_col, min_match_len=L)
+    )
     # islands: consecutive duplicated positions share p - row_number();
     # the window partitions by doc, so its partition is one document's
     # duplicated positions (doc-length bounded)
@@ -121,31 +149,38 @@ def exact_substring_spans(
         .groupBy("doc", "_grp")
         .agg(
             F.min("p").alias("span_start"),
-            (F.max("p") + F.lit(GRAM_LEN - 1)).alias("span_end"),
+            (F.max("p") + F.lit(L - 1)).alias("span_end"),
             F.count(F.lit(1)).alias("n_grams"),
-            (F.max("p") - F.min("p") + F.lit(GRAM_LEN)).alias("span_tokens"),
+            (F.max("p") - F.min("p") + F.lit(L)).alias("span_tokens"),
         )
         .drop("_grp")
     )
 
 
 def exact_substring_removal_stats(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_match_len: int = GRAM_LEN,
 ) -> DataFrame:
     """Per-document removal accounting for the ExactSubstr transform:
     (doc, n_tokens, n_dup_positions, n_removed_tokens, kept_frac), every
     non-NULL-text doc present (0 removed when nothing duplicated).
 
     n_removed_tokens is the exact size of the union of the
-    [p, p+GRAM_LEN-1] token intervals over duplicated positions p:
-    sorted by p, each position contributes min(GRAM_LEN, next_p - p)
+    [p, p+min_match_len-1] token intervals over duplicated positions p:
+    sorted by p, each position contributes min(min_match_len, next_p - p)
     tokens (the whole window unless the next duplicated window overlaps
-    it), the last contributes GRAM_LEN. One lead() window per doc."""
-    dpos = duplicated_positions(gram_positions(docs, text_col=text_col, id_col=id_col))
+    it), the last contributes min_match_len. One lead() window per doc."""
+    L = _check_min_match_len(min_match_len)
+    dpos = duplicated_positions(
+        gram_positions(docs, text_col=text_col, id_col=id_col, min_match_len=L)
+    )
     nxt = F.lead("p").over(W.partitionBy("doc").orderBy("p"))
     removed = dpos.select(
         "doc",
-        F.least(F.lit(GRAM_LEN), F.coalesce(nxt - F.col("p"), F.lit(GRAM_LEN))).alias(
+        F.least(F.lit(L), F.coalesce(nxt - F.col("p"), F.lit(L))).alias(
             "_contrib"
         ),
     ).groupBy("doc").agg(
