@@ -1,27 +1,251 @@
 """Multimodal column plumbing (SURVEY §7 M4): image/audio/video as opaque
 ``binary`` payloads with typed metadata structs.
 
-The container has no image/audio libraries, so the actual byte decoding is
-stubbed: ``decode_media`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it derives metadata and a
-fixed-size feature vector from the bytes alone (stable across runs). The
-Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas`` 1->N frame
-sampling, partitioning — is real and tested; swapping in PIL/librosa later
-only changes the inner pure function.
+The container has no image/audio libraries, so FULL pixel/audio decoding
+is stubbed: ``decode_media`` raises ``NotImplementedError`` for payloads
+it cannot read without PIL/librosa. Header METADATA is real (round 12):
+PNG IHDR (width/height/bit-depth/color-type + CRC check) and RIFF/WAVE
+fmt+data (channels/sample-rate/bits/duration) parse via stdlib struct in
+the Arrow path and via substr+hex+conv JVM-side (``parse_media_headers``,
+whole-stage codegen) for the registered oracle-paired query.
+``deterministic_fake=True`` keeps the byte-derived stand-in metadata +
+features. The Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` 1->N frame sampling, partitioning — is real and tested;
+swapping in PIL/librosa later only changes the inner pure function.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_TYPES = ("image", "audio", "video")
+
+# --- real container-format headers (round-12, r11 verdict order #5) ------
+# PNG and WAV metadata lives in fixed-layout headers that parse with
+# nothing but byte arithmetic — no PIL/librosa needed. The pure-Python
+# forms below use stdlib struct/zlib; the Column forms parse the SAME
+# offsets JVM-side (substr + hex + conv inside whole-stage codegen), so
+# the registered query's hot path never leaves the JVM. Full pixel/audio
+# DECODE still needs the media libraries and stays NotImplementedError.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+# IEND chunk: length 0 + type + CRC32("IEND") — a constant 12 bytes
+_IEND_HEX = "0000000049454E44AE426082"
+
+
+def make_png_header_bytes(
+    width: int, height: int, bit_depth: int, color_type: int
+) -> bytes:
+    """A minimal REAL PNG file prefix: signature + IHDR (with true CRC32)
+    + IEND. 45 bytes; any standards-conforming PNG parser reads the
+    geometry from it (there is no pixel data — IDAT is absent)."""
+    ihdr = b"IHDR" + struct.pack(">II5B", width, height, bit_depth, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + struct.pack(">I", 13)
+        + ihdr
+        + struct.pack(">I", zlib.crc32(ihdr))
+        + bytes.fromhex(_IEND_HEX)
+    )
+
+
+def make_wav_header_bytes(
+    sample_rate: int, n_channels: int, bits_per_sample: int, data_len: int
+) -> bytes:
+    """A REAL canonical RIFF/WAVE file: RIFF header + PCM fmt chunk +
+    data chunk of ``data_len`` zero bytes (silence)."""
+    byte_rate = sample_rate * n_channels * bits_per_sample // 8
+    block_align = n_channels * bits_per_sample // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, block_align,
+            bits_per_sample,
+        )
+        + b"data"
+        + struct.pack("<I", data_len)
+        + b"\x00" * data_len
+    )
+
+
+def parse_png_header(payload: bytes) -> dict | None:
+    """stdlib-struct PNG IHDR parse: (width, height, bit_depth, color_type,
+    crc_ok) or None when the bytes are not a PNG."""
+    if len(payload) < 33 or payload[:8] != PNG_SIG or payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", payload, 16)
+    crc_ok = struct.unpack_from(">I", payload, 29)[0] == zlib.crc32(payload[12:29])
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": payload[24],
+        "color_type": payload[25],
+        "crc_ok": crc_ok,
+    }
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """stdlib-struct RIFF/WAVE parse: PCM fmt fields + data-chunk size (a
+    generic chunk walk, so non-canonical chunk orders parse too) or None
+    when the bytes are not a WAV."""
+    if len(payload) < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data_len = None
+    off = 12
+    while off + 8 <= len(payload):
+        tag = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        if tag == b"fmt " and off + 8 + 16 <= len(payload):
+            fmt = struct.unpack_from("<HHIIHH", payload, off + 8)
+        elif tag == b"data":
+            data_len = size
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        return None
+    audio_format, n_channels, sample_rate, byte_rate, block_align, bits = fmt
+    return {
+        "audio_format": audio_format,
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "byte_rate": byte_rate,
+        "block_align": block_align,
+        "bits_per_sample": bits,
+        "data_bytes": data_len,
+        "duration_ms": round(data_len * 1000.0 / byte_rate, 6) if byte_rate else None,
+    }
+
+
+def _be_hex(col: Column, nbytes: int) -> Column:
+    """Big-endian fixed-width hex of a non-negative integral column."""
+    return F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0")
+
+
+def _le_hex(col: Column, nbytes: int) -> Column:
+    """Little-endian fixed-width hex: bytes of the value, LSB first."""
+    b = col.cast("bigint")
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.shiftright(b, 8 * i).bitwiseAND(F.lit(255))), 2, "0")
+            for i in range(nbytes)
+        ]
+    )
+
+
+def png_payload_col(
+    width: Column, height: Column, bit_depth: Column, color_type: Column
+) -> Column:
+    """Column form of make_png_header_bytes — built entirely JVM-side
+    (hex assembly + unhex + crc32), bit-identical to the Python form
+    (pinned in tests/test_text_multimodal.py)."""
+    ihdr_hex = F.concat(
+        F.lit("49484452"),  # "IHDR"
+        _be_hex(width, 4),
+        _be_hex(height, 4),
+        _be_hex(bit_depth, 1),
+        _be_hex(color_type, 1),
+        F.lit("000000"),  # compression, filter, interlace
+    )
+    crc = F.crc32(F.unhex(ihdr_hex))
+    return F.unhex(
+        F.concat(
+            F.lit(_PNG_SIG_HEX),
+            F.lit("0000000D"),  # IHDR data length = 13
+            ihdr_hex,
+            _be_hex(crc, 4),
+            F.lit(_IEND_HEX),
+        )
+    )
+
+
+def wav_payload_col(
+    sample_rate: Column, n_channels: Column, bits_per_sample: Column, data_len: Column
+) -> Column:
+    """Column form of make_wav_header_bytes (canonical chunk order,
+    zero-byte PCM data), built JVM-side."""
+    byte_rate = (sample_rate * n_channels * bits_per_sample / F.lit(8)).cast("bigint")
+    block_align = (n_channels * bits_per_sample / F.lit(8)).cast("bigint")
+    return F.unhex(
+        F.concat(
+            F.lit("52494646"),  # "RIFF"
+            _le_hex(data_len + F.lit(36), 4),
+            F.lit("57415645"),  # "WAVE"
+            F.lit("666D7420"),  # "fmt "
+            F.lit("10000000"),  # fmt chunk size 16, LE
+            F.lit("0100"),  # PCM
+            _le_hex(n_channels, 2),
+            _le_hex(sample_rate, 4),
+            _le_hex(byte_rate, 4),
+            _le_hex(block_align, 2),
+            _le_hex(bits_per_sample, 2),
+            F.lit("64617461"),  # "data"
+            _le_hex(data_len, 4),
+            F.repeat(F.lit("00"), data_len.cast("int")),
+        )
+    )
+
+
+def parse_media_headers(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """JVM-side header parse of a binary media column: magic-sniff PNG vs
+    RIFF/WAVE, then read the fixed-offset header fields with substr + hex
+    + conv (whole-stage codegen — no Python in the path). Emits one row
+    per input row: kind ('png' / 'wav' / NULL for unrecognized), the
+    format's fields (NULL for the other format), n_bytes, and for PNG a
+    crc_ok flag re-computing the IHDR CRC32 over the parsed byte range.
+
+    WAV fields assume the canonical chunk order this repo's writer emits
+    (fmt immediately after WAVE, data next) — the Python parser
+    (parse_wav_header) does a generic chunk walk for foreign files."""
+    p = F.col(payload_col)
+
+    def be(pos: int, n: int) -> Column:
+        return F.conv(F.hex(p.substr(pos, n)), 16, 10).cast("bigint")
+
+    def le(pos: int, n: int) -> Column:
+        return F.conv(
+            F.concat(*[F.hex(p.substr(pos + i, 1)) for i in range(n - 1, -1, -1)]),
+            16,
+            10,
+        ).cast("bigint")
+
+    is_png = F.hex(p.substr(1, 8)) == F.lit(_PNG_SIG_HEX)
+    is_wav = (F.hex(p.substr(1, 4)) == F.lit("52494646")) & (
+        F.hex(p.substr(9, 4)) == F.lit("57415645")
+    )
+    kind = F.when(is_png, F.lit("png")).when(is_wav, F.lit("wav"))
+    byte_rate = le(29, 4)
+    data_bytes = le(41, 4)
+    return df.select(
+        "*",
+        kind.alias("kind"),
+        F.octet_length(p).cast("bigint").alias("n_bytes"),
+        F.when(is_png, be(17, 4)).alias("width"),
+        F.when(is_png, be(21, 4)).alias("height"),
+        F.when(is_png, be(25, 1)).alias("bit_depth"),
+        F.when(is_png, be(26, 1)).alias("color_type"),
+        F.when(is_png, be(30, 4) == F.crc32(p.substr(13, 17))).alias("crc_ok"),
+        F.when(is_wav, le(23, 2)).alias("n_channels"),
+        F.when(is_wav, le(25, 4)).alias("sample_rate"),
+        F.when(is_wav, le(35, 2)).alias("bits_per_sample"),
+        F.when(is_wav, data_bytes).alias("data_bytes"),
+        F.when(
+            is_wav & (byte_rate > 0),
+            F.round(data_bytes * F.lit(1000.0) / byte_rate, 6),
+        ).alias("duration_ms"),
+    )
 
 MEDIA_SCHEMA = (
     "media_id bigint, media_type string, payload binary, "
@@ -68,30 +292,48 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 def decode_media(df: DataFrame, *, deterministic_fake: bool = False) -> DataFrame:
     """Decode payload -> typed metadata + feature vector via mapInPandas.
 
-    Real decoding requires PIL/librosa (absent here): pass
-    deterministic_fake=True for the byte-derived stand-in, otherwise this
-    raises NotImplementedError at plan execution.
+    Three tiers (r11 verdict order #5 narrowed the stub):
+    - deterministic_fake=True: byte-derived stand-in metadata + features
+      (stable across runs; exercises the full Arrow batch plumbing).
+    - real PNG / WAV payloads: header metadata parses for REAL via stdlib
+      struct (parse_png_header / parse_wav_header) — width/height from
+      IHDR, duration from the RIFF fmt+data chunks. features stay NULL
+      (features are a pixel/sample product).
+    - anything else: NotImplementedError — FULL pixel/audio decode
+      genuinely needs PIL/librosa, which this container lacks.
     """
     out_schema = (
         "media_id bigint, media_type string, width int, height int, "
         f"duration_ms bigint, features array<double>"
     )
 
+    def _meta(payload: bytes) -> tuple:
+        if deterministic_fake:
+            m = _fake_decode(payload)
+            return m["width"], m["height"], m["duration_ms"], _fake_features(payload)
+        png = parse_png_header(payload)
+        if png is not None:
+            return png["width"], png["height"], None, None
+        wav = parse_wav_header(payload)
+        if wav is not None:
+            dur = wav["duration_ms"]
+            return None, None, (None if dur is None else int(dur)), None
+        raise NotImplementedError(
+            "full pixel/audio decode needs PIL/librosa; without them only "
+            "PNG/WAV header metadata parses (or pass deterministic_fake=True)"
+        )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real media decoding needs PIL/librosa; run with deterministic_fake=True"
-                )
-            metas = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            metas = [_meta(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "media_type": pdf["media_type"].to_numpy(),
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
-                    "duration_ms": [m["duration_ms"] for m in metas],
-                    "features": [_fake_features(bytes(p)) for p in pdf["payload"]],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "duration_ms": [m[2] for m in metas],
+                    "features": [m[3] for m in metas],
                 }
             )
 

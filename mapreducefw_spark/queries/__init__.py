@@ -290,6 +290,7 @@ def load_all() -> None:
         pipeline37,
         pipeline38,
         pipeline39,
+        pipeline40,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

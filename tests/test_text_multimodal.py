@@ -126,3 +126,112 @@ def test_ngram_contamination_finds_planted_overlap(spark):
         for r in ngram_contamination(corpus, bench, n=5).collect()
     }
     assert got == {(1, 100): 6}  # 10-token overlap -> 6 shared 5-grams
+
+
+# ------- round-12: real PNG/WAV header construction + parsing -------------
+
+
+def _field_plan(doc_id: int) -> dict:
+    """Pure-Python mirror of pipeline40.media_fields_frame."""
+    return {
+        "is_png": doc_id % 2 == 0,
+        "width": 16 + (doc_id * 7) % 1024,
+        "height": 16 + (doc_id * 13) % 768,
+        "bit_depth": (1, 2, 4, 8, 16)[(doc_id % 10) // 2],
+        "color_type": (0, 2, 3, 4, 6)[(doc_id // 10) % 5],
+        "n_channels": 1 + (doc_id // 2) % 2,
+        "sample_rate": (8000, 16000, 22050, 44100, 48000)[(doc_id % 10) // 2],
+        "bits_per_sample": (8, 16, 24, 32)[(doc_id // 10) % 4],
+        "data_bytes": 64 + doc_id % 256,
+    }
+
+
+def _ref_payload(doc_id: int) -> bytes:
+    f = _field_plan(doc_id)
+    if f["is_png"]:
+        return multimodal.make_png_header_bytes(
+            f["width"], f["height"], f["bit_depth"], f["color_type"]
+        )
+    return multimodal.make_wav_header_bytes(
+        f["sample_rate"], f["n_channels"], f["bits_per_sample"], f["data_bytes"]
+    )
+
+
+def test_spark_built_media_bytes_identical_to_struct_pack(spark):
+    """Closes the symmetric-bug loophole of the oracle comparison: the
+    JVM-side hex-assembled payloads must be byte-identical to the stdlib
+    struct.pack reference, so a wrong-endian/wrong-offset construction
+    cannot cancel against a matching parse error."""
+    from mapreducefw_spark.queries.pipeline40 import synthesize_media_files
+
+    ids = [0, 1, 2, 3, 10, 11, 25, 36, 47, 58, 69, 123, 254, 255, 256, 511]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r.media_id: bytes(r.payload)
+        for r in synthesize_media_files(docs).collect()
+    }
+    for i in ids:
+        assert got[i] == _ref_payload(i), f"doc_id {i} bytes differ"
+
+
+def test_stdlib_parsers_roundtrip_header_fields():
+    for i in (0, 1, 2, 3, 10, 11, 123, 254, 255):
+        f = _field_plan(i)
+        payload = _ref_payload(i)
+        if f["is_png"]:
+            got = multimodal.parse_png_header(payload)
+            assert got == {
+                "width": f["width"],
+                "height": f["height"],
+                "bit_depth": f["bit_depth"],
+                "color_type": f["color_type"],
+                "crc_ok": True,
+            }
+            assert multimodal.parse_wav_header(payload) is None
+        else:
+            got = multimodal.parse_wav_header(payload)
+            assert got["audio_format"] == 1
+            assert got["n_channels"] == f["n_channels"]
+            assert got["sample_rate"] == f["sample_rate"]
+            assert got["bits_per_sample"] == f["bits_per_sample"]
+            assert got["data_bytes"] == f["data_bytes"]
+            assert multimodal.parse_png_header(payload) is None
+    # corrupted CRC is detected, geometry still reads
+    bad = bytearray(_ref_payload(0))
+    bad[30] ^= 0xFF
+    got = multimodal.parse_png_header(bytes(bad))
+    assert got["crc_ok"] is False and got["width"] == _field_plan(0)["width"]
+
+
+def test_wav_chunk_walk_handles_noncanonical_order():
+    """The Python parser walks chunks, so a LIST chunk between fmt and
+    data (common in real recorders' output) still parses."""
+    import struct as _struct
+
+    f = _field_plan(1)
+    canonical = _ref_payload(1)
+    fmt_chunk = canonical[12:36]  # "fmt " + size + 16 payload bytes
+    data_chunk = canonical[36:]
+    info = b"LIST" + _struct.pack("<I", 4) + b"INFO"
+    body = fmt_chunk + info + data_chunk
+    wonky = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    got = multimodal.parse_wav_header(wonky)
+    assert got["sample_rate"] == f["sample_rate"]
+    assert got["data_bytes"] == f["data_bytes"]
+
+
+def test_decode_media_parses_real_headers_without_libs(spark):
+    """r11 verdict order #5: NotImplementedError now covers ONLY full
+    pixel/audio decode — real PNG/WAV payloads yield header metadata."""
+    rows = [(i, "image" if i % 2 == 0 else "audio", _ref_payload(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
+    got = {r.media_id: r for r in multimodal.decode_media(df).collect()}
+    for i in range(8):
+        f = _field_plan(i)
+        if f["is_png"]:
+            assert got[i].width == f["width"] and got[i].height == f["height"]
+            assert got[i].duration_ms is None and got[i].features is None
+        else:
+            byte_rate = f["sample_rate"] * f["n_channels"] * f["bits_per_sample"] // 8
+            assert got[i].duration_ms == int(f["data_bytes"] * 1000.0 / byte_rate)
+            assert got[i].width is None and got[i].features is None
