@@ -161,3 +161,146 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("kind") == "wav", F.col("data_bytes")).alias("data_bytes"),
         "duration_ms",
     ).orderBy("media_id")
+
+
+# ------------------- ANSI MERGE (round-12, batch 2) ------------------------
+
+
+@register(
+    "merge_into_orders_upsert",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+src AS (
+  SELECT o_orderkey, 'U' AS op, o_totalprice + 1000 AS new_price
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I' AS op, 99999.0 + (o_orderkey % 100)
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+j AS (
+  SELECT t.o_orderkey AS t_key, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+         t.o_orderpriority, s.o_orderkey AS s_key, s.op, s.new_price
+  FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+)
+SELECT COALESCE(t_key, s_key) AS o_orderkey,
+       CASE WHEN t_key IS NULL THEN -1 ELSE o_custkey END AS o_custkey,
+       CASE WHEN t_key IS NULL THEN 'N'
+            WHEN s_key IS NOT NULL AND op = 'U' AND o_totalprice < 200000
+              THEN 'M'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN t_key IS NULL THEN new_price
+            WHEN s_key IS NOT NULL AND op = 'U' AND o_totalprice < 200000
+              THEN new_price
+            ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN t_key IS NULL THEN '5-LOW'
+            WHEN s_key IS NOT NULL AND op = 'U' AND o_totalprice >= 200000
+              THEN '9-MERGED'
+            WHEN s_key IS NULL AND o_orderstatus = 'F' AND t_key % 10 = 3
+              THEN 'X-STALE'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM j
+WHERE NOT (t_key IS NOT NULL AND s_key IS NOT NULL AND op = 'D')
+  AND NOT (t_key IS NULL AND op <> 'I')
+ORDER BY o_orderkey
+""",
+)
+def merge_into_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE over the orders snapshot (operators/merge.py), all three
+    clause families + first-true-wins dispatch + the SQLSTATE-21000
+    cardinality guard live in the plan:
+
+      MERGE INTO orders t USING changes s ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED AND s.op = 'U' AND t.o_totalprice < 200000
+        THEN UPDATE SET o_totalprice = s.new_price, o_orderstatus = 'M'
+      WHEN MATCHED THEN UPDATE SET o_orderpriority = '9-MERGED'
+      WHEN NOT MATCHED AND s.op = 'I' THEN INSERT
+        (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority)
+        VALUES (s.o_orderkey, -1, 'N', s.new_price, '5-LOW')
+      WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F'
+        AND t.o_orderkey % 10 = 3 THEN UPDATE SET o_orderpriority = 'X-STALE'
+
+    The change set is synthesized deterministically from orders (%7 ->
+    updates, %11 -> deletes, %13 -> inserts at shifted keys), so the
+    DuckDB oracle replays the merge as an explicit FULL OUTER JOIN + CASE
+    dispatch. Scale: ONE full-outer sort-merge join on the key = one scan
+    of each side; clause dispatch is pure projection (codegen); the
+    cardinality guard windows over the GB-scale source only."""
+    from mapreducefw_spark.operators.merge import (
+        merge_into,
+        when_matched_delete,
+        when_matched_update,
+        when_not_matched_by_source_update,
+        when_not_matched_insert,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    tgt = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    src = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 1000).alias("new_price"),
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)
+            ).select(
+                "o_orderkey",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("new_price"),
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("I").alias("op"),
+                (F.lit(99999.0) + F.col("o_orderkey") % 100).alias("new_price"),
+            )
+        )
+    )
+    merged = merge_into(
+        tgt,
+        src,
+        ["o_orderkey"],
+        matched=[
+            when_matched_delete(F.col("s.op") == "D"),
+            when_matched_update(
+                {
+                    "o_totalprice": F.col("s.new_price"),
+                    "o_orderstatus": F.lit("M"),
+                },
+                (F.col("s.op") == "U") & (F.col("t.o_totalprice") < 200000),
+            ),
+            when_matched_update({"o_orderpriority": F.lit("9-MERGED")}),
+        ],
+        not_matched=[
+            when_not_matched_insert(
+                {
+                    "o_orderkey": F.col("s.o_orderkey"),
+                    "o_custkey": F.lit(-1).cast("bigint"),
+                    "o_orderstatus": F.lit("N"),
+                    "o_totalprice": F.col("s.new_price"),
+                    "o_orderpriority": F.lit("5-LOW"),
+                },
+                F.col("s.op") == "I",
+            )
+        ],
+        not_matched_by_source=[
+            when_not_matched_by_source_update(
+                {"o_orderpriority": F.lit("X-STALE")},
+                (F.col("t.o_orderstatus") == "F")
+                & (F.col("t.o_orderkey") % 10 == 3),
+            )
+        ],
+    )
+    return merged.orderBy("o_orderkey")

@@ -1,0 +1,157 @@
+"""ANSI MERGE semantics pins for operators/merge.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducefw_spark.operators.merge import (
+    merge_into,
+    when_matched_delete,
+    when_matched_update,
+    when_not_matched_by_source_delete,
+    when_not_matched_by_source_update,
+    when_not_matched_insert,
+)
+
+
+@pytest.fixture(scope="module")
+def tgt(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k bigint, name string, v double",
+    )
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    # k=1 update, k=2 delete, k=3 matched-but-no-clause, k=9 insert
+    return spark.createDataFrame(
+        [(1, "U", 11.0), (2, "D", None), (3, "X", 99.0), (9, "I", 90.0)],
+        "k bigint, op string, nv double",
+    )
+
+
+def _merged(tgt, src):
+    return merge_into(
+        tgt,
+        src,
+        ["k"],
+        matched=[
+            when_matched_delete(F.col("s.op") == "D"),
+            when_matched_update({"v": F.col("s.nv")}, F.col("s.op") == "U"),
+        ],
+        not_matched=[
+            when_not_matched_insert(
+                {"k": F.col("s.k"), "v": F.col("s.nv")}, F.col("s.op") == "I"
+            )
+        ],
+        not_matched_by_source=[
+            when_not_matched_by_source_update(
+                {"name": F.lit("stale")}, F.col("t.k") == 4
+            )
+        ],
+    )
+
+
+def test_all_three_clause_families(tgt, src):
+    got = {r.k: (r.name, r.v) for r in _merged(tgt, src).collect()}
+    assert got == {
+        1: ("a", 11.0),  # matched update
+        # 2 deleted
+        3: ("c", 30.0),  # matched, no clause satisfied -> unchanged
+        4: ("stale", 40.0),  # not matched by source -> update
+        9: (None, 90.0),  # insert; unassigned column -> NULL
+    }
+
+
+def test_first_true_clause_wins(spark, tgt):
+    """A later unconditional UPDATE must not restyle rows an earlier
+    conditional clause already took (the bug class the dispatch guards)."""
+    src = spark.createDataFrame([(1, 111.0), (2, 222.0)], "k bigint, nv double")
+    got = {
+        r.k: (r.name, r.v)
+        for r in merge_into(
+            tgt,
+            src,
+            ["k"],
+            matched=[
+                when_matched_update({"v": F.col("s.nv")}, F.col("t.k") == 1),
+                when_matched_update({"name": F.lit("fallback")}),
+            ],
+        ).collect()
+    }
+    assert got[1] == ("a", 111.0)  # first clause fired; second must NOT
+    assert got[2] == ("fallback", 20.0)  # second clause catches the rest
+    assert got[3] == ("c", 30.0) and got[4] == ("d", 40.0)
+
+
+def test_not_matched_by_source_delete(tgt, spark):
+    src = spark.createDataFrame([(1, 0.0)], "k bigint, nv double")
+    got = {
+        r.k
+        for r in merge_into(
+            tgt,
+            src,
+            ["k"],
+            not_matched_by_source=[
+                when_not_matched_by_source_delete(F.col("t.v") >= 30.0)
+            ],
+        ).collect()
+    }
+    assert got == {1, 2}  # 3 and 4 deleted; 1 matched (kept), 2 untouched
+
+
+def test_no_clauses_is_identity(tgt, src):
+    got = sorted(
+        (r.k, r.name, r.v) for r in merge_into(tgt, src, ["k"]).collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_cardinality_violation_raises_at_action(spark, tgt):
+    dup = spark.createDataFrame([(1, 1.0), (1, 2.0)], "k bigint, nv double")
+    merged = merge_into(
+        tgt, dup, ["k"], matched=[when_matched_update({"v": F.col("s.nv")})]
+    )  # construction must stay lazy — no error yet
+    with pytest.raises(Exception) as ei:
+        merged.collect()
+    assert "21000" in str(ei.value)
+    # and the same plan with the guard off picks nondeterministically but runs
+    relaxed = merge_into(
+        tgt,
+        dup,
+        ["k"],
+        matched=[when_matched_update({"v": F.col("s.nv")})],
+        enforce_cardinality=False,
+    )
+    assert relaxed.filter(F.col("k") == 1).count() == 2  # both joined rows
+
+
+def test_clause_action_validation(tgt, src):
+    with pytest.raises(ValueError, match="WHEN MATCHED supports"):
+        merge_into(tgt, src, ["k"], matched=[when_not_matched_insert({})])
+    with pytest.raises(ValueError, match="WHEN NOT MATCHED supports"):
+        merge_into(tgt, src, ["k"], not_matched=[when_matched_delete()])
+    with pytest.raises(ValueError, match="BY SOURCE supports"):
+        merge_into(tgt, src, ["k"], not_matched_by_source=[when_not_matched_insert({})])
+
+
+def test_null_condition_counts_as_not_satisfied(spark, tgt):
+    """ANSI three-valued logic: a NULL clause condition means the clause
+    does not fire AND does not poison later clauses' dispatch."""
+    src = spark.createDataFrame([(1, None), (2, 5.0)], "k bigint, nv double")
+    got = {
+        r.k: r.v
+        for r in merge_into(
+            tgt,
+            src,
+            ["k"],
+            matched=[
+                when_matched_update({"v": F.col("s.nv")}, F.col("s.nv") > 0),
+                when_matched_update({"v": F.lit(-1.0)}),
+            ],
+        ).collect()
+    }
+    assert got[1] == -1.0  # NULL condition -> first clause skipped, second fires
+    assert got[2] == 5.0
