@@ -162,73 +162,108 @@ def register(name: str, oracle: str | None = None):
 # cross_snapshot_minhash, jaccard_pairs_df_capped,
 # stratified_split_hashed) and the r4 rows-only pair
 # (percentile_approx_prices, minhash_dedup_pairs).
+# Round-12 window (this round), per the r11 verdict's order #1 — zero the
+# verification ledger again:
+#   (a) slots 1-7: the 7 round-11 batch-4/5 registrations that post-dated
+#       the r11 window (4 oracle-paired: ann_recall_report,
+#       duplicate_block_filter, quality_classifier_scores,
+#       pq_recall_report — all 4 independently judge-verified green at
+#       sf0.01 in the r11 session; 3 rows-only: quality_classifier_weights,
+#       wordpiece_learned_merges, wordpiece_fertility_by_source) — the
+#       binding driver record is what's missing.
+#       duplicate_block_filter's ORACLE changed this round (ADVICE r11:
+#       DuckDB now groups md5(block) like the Spark side), so its binding
+#       row lands the round the semantics were touched;
+#   (b) slots 8-9: the 2 NEW round-12 oracle-paired registrations
+#       (multimodal_metadata — real PNG/WAV header bytes parsed JVM-side,
+#       closing the multimodal partial per verdict order #5;
+#       merge_into_orders_upsert — ANSI MERGE with all three clause
+#       families per order #9), each oracle-green locally at
+#       sf0.001/0.01, registered BEFORE the window cutoff per order #1;
+#   (c) slots 10-46: the ENTIRE r5-vintage oracle-paired pool (37
+#       queries, stalest-first per tools/stale_report.py) — after this
+#       window nothing oracle-paired is older than r6;
+#   (d) slots 47-50: the 4 stalest rows-only refreshes (r2-vintage
+#       rolling_fingerprint, simhash_near_pairs, tablesample_seeded;
+#       r3-vintage approx_count_distinct_parts) — their accuracy pins
+#       stay in pytest; the WINDOW_ROWS_ONLY allowlist rotates to (a)'s
+#       3 + these 4.
+# Changed-this-round queries and their window status:
+# duplicate_block_filter (oracle md5 keying) sits at slot 2;
+# exact_substring_spans / exact_substring_removal gained the
+# min_match_len parameter at the OPERATOR level with the registered
+# 8-token default unchanged — re-verified green at sf0.001/0.01 this
+# session (tools/check_oracle.py) on top of their r11 binding rows.
+# The r13 queue, head first: the 5 remaining stale rows-only
+# (cross_snapshot_minhash, jaccard_pairs_df_capped,
+# stratified_split_hashed, percentile_approx_prices,
+# minhash_dedup_pairs), then the r6-vintage oracle-paired pool.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # (a) the 4 post-r10-window registrations
-    "semantic_dedup_portable",
-    "padding_waste_report",
-    "hard_negative_pairs",
-    "embedding_dedup_clusters",
-    # (b) the full r4-vintage oracle-paired pool
-    "embedding_quantized_topk",
-    "events_sliding_1h_30m",
-    "events_tumbling_1h",
-    "events_zscore_anomalies",
-    "interval_join_events",
-    "jaccard_token_pairs",
-    "lateral_topn_orders",
-    "nullsafe_join_counts",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q20_dominant_blue_suppliers",
-    "q21_sole_late_supplier",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "session_window_batch",
-    "sessionization_30m",
-    "skew_join_events_orders",
-    "snapshot_diff",
-    "source_resample_weighted",
-    "text_normalize_stats",
-    "tfidf_top_terms",
-    "time_rollup_multigrain",
-    "window_global_rank_scalable",
-    # (c) rows-only slots: 5 stalest r2-vintage refreshes + the 2 new
-    #     pipeline37 rows-only registrations
-    "dedup_connected_groups",
-    "embedding_ivf_topk",
-    "embedding_lsh_dedup",
-    "embedding_lsh_topk",
-    "multimodal_pipeline",
-    "unigram_lm_vocab",
-    "unigram_fertility_by_source",
-    # (d) the new round-11 oracle-paired registrations
-    "exact_substring_spans",
-    "exact_substring_removal",
-    "hard_negative_pairs_ann",
-    "embedding_dedup_pipeline",
-    "rrf_hybrid_retrieval",
-    "mmr_diversified_rerank",
-    "rag_retrieval_pipeline",
-    "semantic_decontamination",
-    "source_frequency_cap",
+    # (a) the 7 post-r11-window registrations (4 oracle + 3 rows-only)
+    "ann_recall_report",
+    "duplicate_block_filter",
+    "quality_classifier_scores",
+    "pq_recall_report",
+    "quality_classifier_weights",
+    "wordpiece_learned_merges",
+    "wordpiece_fertility_by_source",
+    # (b) the 2 new round-12 oracle-paired registrations
+    "multimodal_metadata",
+    "merge_into_orders_upsert",
+    # (c) the full r5-vintage oracle-paired pool, stalest-first
+    "analyze_column_stats",
+    "basket_part_pairs",
+    "bloom_decontaminate",
+    "cohort_retention",
+    "containment_dedup_pairs",
+    "count_min_heavy_hitters",
+    "data_quality_report",
+    "dup_ngram_stats",
+    "dup_passage_coverage",
+    "edit_distance_part_pairs",
+    "embedding_truncated_topk",
+    "entity_resolution_clusters",
+    "equi_depth_histogram",
+    "event_transition_matrix",
+    "events_gap_fill_hourly",
+    "funnel_view_click_purchase",
+    "incremental_agg_maintenance",
+    "key_skew_report",
+    "minhash_signatures_portable",
+    "multimodal_bytes_meta",
+    "ols_price_size_by_brand",
+    "pagerank_copurchase",
+    "percentile_disc_prices",
+    "purchase_touch_attribution",
+    "python_datasource_squares",
+    "q12_priority_by_returnflag",
+    "quality_decile_mixture",
+    "rfm_segmentation",
+    "robust_outliers_mad",
+    "sequence_pack_spans",
+    "stratified_sample_sources",
+    "token_budget_waterfill",
+    "training_shard_stats",
+    "trigram_typicality",
+    "view_click_attribution_outer",
+    "vocab_coverage",
+    "weighted_sample_tokens",
+    # (d) the 4 stalest rows-only refreshes
+    "rolling_fingerprint",
+    "simhash_near_pairs",
+    "tablesample_seeded",
+    "approx_count_distinct_parts",
 )
 
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset(
     {
-        "dedup_connected_groups",
-        "embedding_ivf_topk",
-        "embedding_lsh_dedup",
-        "embedding_lsh_topk",
-        "multimodal_pipeline",
-        "unigram_lm_vocab",
-        "unigram_fertility_by_source",
+        "quality_classifier_weights",
+        "wordpiece_learned_merges",
+        "wordpiece_fertility_by_source",
+        "rolling_fingerprint",
+        "simhash_near_pairs",
+        "tablesample_seeded",
+        "approx_count_distinct_parts",
     }
 )
 
