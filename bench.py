@@ -135,6 +135,10 @@ HEADLINE = [
     # iterative trainer — benchmarked via its operators' probe shapes,
     # not as a headliner, like bpe_learned_merges)
     "pq_recall_report",
+    # round 12: the JVM-side media-header construct+parse scan (map-only)
+    # and the full-outer ANSI MERGE clause dispatch
+    "multimodal_metadata",
+    "merge_into_orders_upsert",
 ]
 
 

@@ -120,22 +120,21 @@ def merge_into(
         source = source.select(
             *[guarded if c == k0 else F.col(c) for c in source.columns]
         )
-    t, s = target.alias("t"), source.alias("s")
+    # explicit presence tags, NOT key-isNotNull sniffing: a NULL merge key
+    # is a legal row value (ANSI equality just never matches it), and
+    # inferring presence from key nullability would misclassify such rows
+    # as absent. Plain `=` join per ANSI — a NULL-key target row is
+    # NOT MATCHED BY SOURCE, a NULL-key source row is NOT MATCHED.
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     join_cond = None
     for k in on:
-        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
         join_cond = c if join_cond is None else (join_cond & c)
     joined = t.join(s, join_cond, "full_outer")
 
-    # row-presence tags: merge keys are non-null on their own side (ANSI
-    # equi-match never matches NULL keys; eqNullSafe above additionally
-    # lets callers opt into null-key matching, where BOTH tags hold)
-    has_t = None
-    has_s = None
-    for k in on:
-        ht, hs = F.col(f"t.{k}").isNotNull(), F.col(f"s.{k}").isNotNull()
-        has_t = ht if has_t is None else (has_t | ht)
-        has_s = hs if has_s is None else (has_s | hs)
+    has_t = F.coalesce(F.col("t._t_present"), F.lit(False))
+    has_s = F.coalesce(F.col("s._s_present"), F.lit(False))
     is_matched = has_t & has_s
     is_insert = ~has_t & has_s
     is_tonly = has_t & ~has_s

@@ -155,3 +155,36 @@ def test_null_condition_counts_as_not_satisfied(spark, tgt):
     }
     assert got[1] == -1.0  # NULL condition -> first clause skipped, second fires
     assert got[2] == 5.0
+
+
+def test_null_merge_keys_never_match(spark):
+    """ANSI equality: NULL keys match nothing — a NULL-key target row is
+    NOT MATCHED BY SOURCE, a NULL-key source row is NOT MATCHED (and both
+    must be classified by presence, not by key nullability)."""
+    tgt = spark.createDataFrame(
+        [(None, "nullk", 1.0), (1, "a", 10.0)], "k bigint, name string, v double"
+    )
+    src = spark.createDataFrame([(None, 5.0), (1, 11.0)], "k bigint, nv double")
+    got = sorted(
+        (
+            (r.k, r.name, r.v)
+            for r in merge_into(
+                tgt,
+                src,
+                ["k"],
+                matched=[when_matched_update({"v": F.col("s.nv")})],
+                not_matched=[
+                    when_not_matched_insert({"k": F.col("s.k"), "v": F.col("s.nv")})
+                ],
+                not_matched_by_source=[
+                    when_not_matched_by_source_update({"name": F.lit("stale")})
+                ],
+            ).collect()
+        ),
+        key=lambda x: (x[0] is not None, x[0] or 0, x[1] or ""),
+    )
+    assert got == [
+        (None, None, 5.0),   # NULL-key source row -> INSERT (not matched)
+        (None, "stale", 1.0),  # NULL-key target row -> by-source update
+        (1, "a", 11.0),      # normal matched update
+    ]
