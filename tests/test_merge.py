@@ -188,3 +188,78 @@ def test_null_merge_keys_never_match(spark):
         (None, "stale", 1.0),  # NULL-key target row -> by-source update
         (1, "a", 11.0),      # normal matched update
     ]
+
+
+# ---------------- randomized differential vs a pure-Python MERGE ----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_keys = st.integers(min_value=0, max_value=12)
+_vals = st.integers(min_value=-5, max_value=5).map(float)
+_tgt_rows = st.lists(
+    st.tuples(_keys, st.sampled_from("abc"), _vals), max_size=14
+).map(lambda rs: list({r[0]: r for r in rs}.values()))  # unique keys
+_src_rows = st.lists(
+    st.tuples(_keys, st.sampled_from("UDIX"), _vals), max_size=14
+).map(lambda rs: list({r[0]: r for r in rs}.values()))
+
+
+def _py_merge(tgt_rows, src_rows):
+    """Pure-Python replay of the exact clause set used below."""
+    src = {k: (op, nv) for k, op, nv in src_rows}
+    out = []
+    for k, name, v in tgt_rows:
+        if k in src:
+            op, nv = src[k]
+            if op == "D":
+                continue  # M1 delete
+            if op == "U" and v < 3.0:
+                out.append((k, "upd", nv))  # M2 conditional update
+            else:
+                out.append((k, name, -9.0))  # M3 catch-all update
+        else:
+            if v >= 4.0:
+                continue  # NMBS delete
+            out.append((k, "stale", v))  # NMBS catch-all update
+    tgt_keys = {k for k, _, _ in tgt_rows}
+    for k, (op, nv) in src.items():
+        if k not in tgt_keys and op == "I":
+            out.append((k, None, nv))  # insert, unassigned name -> NULL
+    return sorted(out, key=lambda x: (x[0], x[1] or "", x[2]))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tgt_rows=_tgt_rows, src_rows=_src_rows)
+def test_merge_matches_pure_python_reference(spark, tgt_rows, src_rows):
+    tgt = spark.createDataFrame(tgt_rows, "k bigint, name string, v double") \
+        if tgt_rows else spark.createDataFrame([], "k bigint, name string, v double")
+    src = spark.createDataFrame(src_rows, "k bigint, op string, nv double") \
+        if src_rows else spark.createDataFrame([], "k bigint, op string, nv double")
+    merged = merge_into(
+        tgt,
+        src,
+        ["k"],
+        matched=[
+            when_matched_delete(F.col("s.op") == "D"),
+            when_matched_update(
+                {"v": F.col("s.nv"), "name": F.lit("upd")},
+                (F.col("s.op") == "U") & (F.col("t.v") < 3.0),
+            ),
+            when_matched_update({"v": F.lit(-9.0)}),
+        ],
+        not_matched=[
+            when_not_matched_insert(
+                {"k": F.col("s.k"), "v": F.col("s.nv")}, F.col("s.op") == "I"
+            )
+        ],
+        not_matched_by_source=[
+            when_not_matched_by_source_delete(F.col("t.v") >= 4.0),
+            when_not_matched_by_source_update({"name": F.lit("stale")}),
+        ],
+    )
+    got = sorted(
+        ((r.k, r.name, r.v) for r in merged.collect()),
+        key=lambda x: (x[0], x[1] or "", x[2]),
+    )
+    assert got == _py_merge(tgt_rows, src_rows)
