@@ -326,6 +326,8 @@ def load_all() -> None:
         pipeline38,
         pipeline39,
         pipeline40,
+        pipeline41,
+        pipeline42,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -181,6 +181,18 @@ EMPTY_QUERIES = [
     # round 11 batch 5: empty embeddings -> empty codes/truth -> zero
     # recall rows on both engines
     "pq_recall_report",
+    # round 12 (post-training preference tier): empty docs -> empty
+    # candidate pool -> zero winners/pairs/matrix rows on both engines;
+    # the single-row regime pins the margin-NULL winner, the degenerate
+    # chosen==rejected drop, and the pairless matrix
+    "best_of_n_selection",
+    "dpo_pair_construction",
+    "preference_win_matrix",
+    # round 12 (privacy tier): empty docs -> zero sources -> zero released
+    # rows on both engines; single-row pins the count-of-one noise draw
+    # and the one-report debias
+    "dp_noisy_counts",
+    "randomized_response_estimate",
 ]
 
 
