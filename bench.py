@@ -139,6 +139,20 @@ HEADLINE = [
     # and the full-outer ANSI MERGE clause dispatch
     "multimodal_metadata",
     "merge_into_orders_upsert",
+    # round 12 batch 2/3: the post-training preference tier (the DPO pair
+    # build exercises two opposed two-phase ranks + a join; the win matrix
+    # the pool-bounded self-join) and the DP release (count shuffle + the
+    # 61-branch codegen noise projection). best_of_n/bradley_terry share
+    # those exact plan shapes and stay out of the headline set.
+    "dpo_pair_construction",
+    "preference_win_matrix",
+    "dp_noisy_counts",
+    # round 12 batch 4/5: the iterated join+agg graph shape (LPA, the
+    # pagerank plan family) and the one-pass Arrow Gram scan + model-sized
+    # collect (PCA). community_quality_report shares LPA's plan and stays
+    # out of the headline set.
+    "label_propagation_communities",
+    "pca_top_component",
 ]
 
 

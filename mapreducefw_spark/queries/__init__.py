@@ -180,21 +180,42 @@ def register(name: str, oracle: str | None = None):
 #       merge_into_orders_upsert — ANSI MERGE with all three clause
 #       families per order #9), each oracle-green locally at
 #       sf0.001/0.01, registered BEFORE the window cutoff per order #1;
-#   (c) slots 10-46: the ENTIRE r5-vintage oracle-paired pool (37
-#       queries, stalest-first per tools/stale_report.py) — after this
-#       window nothing oracle-paired is older than r6;
-#   (d) slots 47-50: the 4 stalest rows-only refreshes (r2-vintage
+#   (c) slots 10-36: the r5-vintage oracle-paired pool, stalest-first
+#       per tools/stale_report.py (27 of its 37 queries; the 10
+#       alphabetical-tail slots were displaced by (e)/(f)/(g) and head
+#       the r13 queue with their r5 rows intact);
+#   (d) slots 37-40: the 4 stalest rows-only refreshes (r2-vintage
 #       rolling_fingerprint, simhash_near_pairs, tablesample_seeded;
 #       r3-vintage approx_count_distinct_parts) — their accuracy pins
 #       stay in pytest; the WINDOW_ROWS_ONLY allowlist rotates to (a)'s
-#       3 + these 4.
+#       3 + these 4 + (e)'s bradley_terry_ratings + (f)'s
+#       pca_top_component;
+#   (e) slots 41-46: the round-12 batch-2/3 registrations, landing their
+#       binding rows the round they ship (order #1's process rule): the
+#       post-training preference tier (best_of_n_selection,
+#       dpo_pair_construction, preference_win_matrix oracle-paired +
+#       bradley_terry_ratings rows-only with its pure-Python MM replay
+#       pin) and the privacy tier (dp_noisy_counts,
+#       randomized_response_estimate — seeded-hash noise, oracle-paired),
+#       each oracle-green locally at sf0.001/0.01 + empty/single-row
+#       suites before the rotation;
+#   (f) slots 47-49: the round-12 batch-4/5 registrations — LPA
+#       communities + modularity ingredients (oracle-EXACT integer
+#       propagation, the unrolled-CTE oracle) and the distributed-Gram
+#       PCA top component (rows-only by design, numpy.linalg.eigh pins);
+#   (g) slot 50: the round-12 batch-6 registration — deterministic
+#       epoch shuffling (seeded-hash permutation, oracle-paired).
 # Changed-this-round queries and their window status:
 # duplicate_block_filter (oracle md5 keying) sits at slot 2;
 # exact_substring_spans / exact_substring_removal gained the
 # min_match_len parameter at the OPERATOR level with the registered
 # 8-token default unchanged — re-verified green at sf0.001/0.01 this
 # session (tools/check_oracle.py) on top of their r11 binding rows.
-# The r13 queue, head first: the 5 remaining stale rows-only
+# The r13 queue, head first: the 10 r5-vintage oracle-paired queries
+# displaced by (e)/(f)/(g) (rfm_segmentation, robust_outliers_mad,
+# sequence_pack_spans, stratified_sample_sources, token_budget_waterfill,
+# training_shard_stats, trigram_typicality, view_click_attribution_outer,
+# vocab_coverage, weighted_sample_tokens), the 5 remaining stale rows-only
 # (cross_snapshot_minhash, jaccard_pairs_df_capped,
 # stratified_split_hashed, percentile_approx_prices,
 # minhash_dedup_pairs), then the r6-vintage oracle-paired pool.
@@ -238,21 +259,34 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "python_datasource_squares",
     "q12_priority_by_returnflag",
     "quality_decile_mixture",
-    "rfm_segmentation",
-    "robust_outliers_mad",
-    "sequence_pack_spans",
-    "stratified_sample_sources",
-    "token_budget_waterfill",
-    "training_shard_stats",
-    "trigram_typicality",
-    "view_click_attribution_outer",
-    "vocab_coverage",
-    "weighted_sample_tokens",
     # (d) the 4 stalest rows-only refreshes
     "rolling_fingerprint",
     "simhash_near_pairs",
     "tablesample_seeded",
     "approx_count_distinct_parts",
+    # (e) the round-12 batch-2/3 registrations, landing their binding rows
+    # the round they ship (5 oracle-paired + 1 rows-only-by-design with
+    # its pure-Python MM replay pin) — these displace the 6 tail slots of
+    # (c) (token_budget_waterfill, training_shard_stats, trigram_typicality,
+    # view_click_attribution_outer, vocab_coverage, weighted_sample_tokens),
+    # which keep their r5 rows and head the r13 stale queue
+    "best_of_n_selection",
+    "dpo_pair_construction",
+    "preference_win_matrix",
+    "dp_noisy_counts",
+    "randomized_response_estimate",
+    "bradley_terry_ratings",
+    # (f) round-12 batch-4/5: LPA communities (oracle-EXACT integer
+    # propagation + modularity ingredients) and the distributed-Gram PCA
+    # (rows-only by design, numpy-pinned) — displacing 3 more (c)-tail
+    # r5-vintage slots (robust_outliers_mad, sequence_pack_spans,
+    # stratified_sample_sources) to the r13 queue
+    "label_propagation_communities",
+    "community_quality_report",
+    "pca_top_component",
+    # (g) round-12 batch 6: deterministic epoch shuffling (oracle-paired;
+    # displaces rfm_segmentation back to the r13 queue)
+    "epoch_shuffle_assignment",
 )
 
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset(
@@ -264,6 +298,8 @@ WINDOW_ROWS_ONLY: frozenset[str] = frozenset(
         "simhash_near_pairs",
         "tablesample_seeded",
         "approx_count_distinct_parts",
+        "bradley_terry_ratings",
+        "pca_top_component",
     }
 )
 
@@ -328,6 +364,9 @@ def load_all() -> None:
         pipeline40,
         pipeline41,
         pipeline42,
+        pipeline43,
+        pipeline44,
+        pipeline45,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

@@ -193,6 +193,14 @@ EMPTY_QUERIES = [
     # and the one-report debias
     "dp_noisy_counts",
     "randomized_response_estimate",
+    # round 12 (community detection): empty/one-row lineitem -> zero
+    # co-purchase edges -> zero nodes -> zero label/quality rows on both
+    # engines (the argmax stages and quality joins run on empty frames)
+    "label_propagation_communities",
+    "community_quality_report",
+    # round 12 (epoch shuffle): empty docs -> zero assignments; single doc
+    # -> position 1 / shard 0 in every epoch on both engines
+    "epoch_shuffle_assignment",
 ]
 
 

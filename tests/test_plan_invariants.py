@@ -99,6 +99,11 @@ SORTMERGE_ALLOWED = {
     # per anchor) — both sides scale with the corpus, so sort-merge IS
     # the right strategy; the id->label lookups stay broadcast at this sf
     "hard_negative_pairs_ann": 1,
+    # round 12: MERGE is ONE full-outer target-vs-source join by
+    # construction (WHEN NOT MATCHED BY SOURCE needs both unmatched
+    # sides), and Spark cannot broadcast either side of a full outer —
+    # sort-merge IS the only strategy; both sides scale with the table
+    "merge_into_orders_upsert": 1,
 }
 
 # Documented bounded broadcast cross-joins (triangular offset frames /

@@ -35,6 +35,35 @@ def multiplied(df, key_cols: list[str], k: int):
 
 
 BENCH_NOTES = """
+## Round 12 notes: probe rows for the new operator families
+
+Three new probe shapes cover the round-12 additions (same protocol):
+
+- **preference_win_matrix** — the within-prompt self-join of the
+  post-training tier: the n-candidate pool is a construction bound of
+  best-of-n data, so pair volume is linear in docs; the matrix agg is
+  |models|^2-bounded.
+- **pca_gram_cells** — the one-pass distributed Gram: per Arrow batch
+  one 64x64 syrk partial, (d^2+d+1) x batches shuffle rows regardless
+  of corpus size — growth should track the raw scan.
+- **lpa_three_rounds** — 3 synchronous LPA rounds on k disjoint graph
+  copies, timed with construction (the edge distinct + checkpoint is
+  part of the cost): per round ONE broadcast join of the node-sized
+  label frame + a map-side-combined (dst, lbl) count + the two-phase
+  argmax.
+
+Deliberately not probed, with reasons: ``dp_noisy_counts`` /
+``randomized_response_estimate`` are one map-side-combined count
+shuffle + an O(groups) noise projection (the scan floor);
+``best_of_n_selection`` / ``dpo_pair_construction`` are the probed
+two-phase topk_per_key shape; ``bradley_terry_ratings`` is the probed
+win-matrix shape plus a |models|^2 collect; ``epoch_shuffle_assignment``
+is the probed global_rank_two_phase shape with an E-fold map-only row
+replication; ``community_quality_report`` is lpa_three_rounds plus two
+broadcast label joins; ``merge_into_orders_upsert`` is the probed
+snapshot_hash_diff full-outer shape plus pure projections;
+``multimodal_metadata`` is a map-only codegen scan.
+
 ## Round 11 notes: probe rows for the new operator families
 
 Three new probe shapes cover the round-11 additions (same 1x/4x/16x
@@ -891,6 +920,53 @@ def main() -> None:
             )
 
         timed_thunk("ann_recall_audit", k, _recall_audit)
+
+        # round 12: the within-prompt preference self-join — the pool size
+        # (8 candidates per prompt) is a CONSTRUCTION bound of best-of-n
+        # data, so pair volume grows linearly with docs even though the
+        # op is a self-join (multiplied re-keying keeps groups <= 8)
+        from mapreducefw_spark.queries.pipeline41 import win_matrix
+
+        ntok12 = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        cand12 = docs.filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        ).select(
+            "doc_id",
+            F.floor(F.col("doc_id") / 8).cast("bigint").alias("prompt_id"),
+            (F.col("doc_id") % 4).cast("bigint").alias("model_id"),
+            (F.lit(3) * ntok12 + F.length("text") % 97)
+            .cast("bigint")
+            .alias("reward"),
+            ntok12.cast("bigint").alias("n_tok"),
+        )
+        timed("preference_win_matrix", k, win_matrix(cand12))
+
+        # round 12: the one-pass Gram scan — per Arrow batch ONE d x d
+        # syrk partial; the shuffle carries (d^2+d+1) x batches tiny rows
+        # whatever k is, so growth should track the scan
+        from mapreducefw_spark.operators import pca as PCA
+
+        timed(
+            "pca_gram_cells",
+            k,
+            PCA.gram_cells(emb.select("vec"), 64),
+        )
+
+        # round 12: LPA's iterated broadcast-join rounds on k DISJOINT
+        # graph copies (both endpoints re-keyed): the edge build is the
+        # already-probed fact-fact self-join; each round's traffic is the
+        # node-sized label frame against the checkpointed edges
+        from mapreducefw_spark.queries.pipeline43 import (
+            copurchase_edges,
+            lpa_from_edges,
+        )
+
+        li12 = multiplied(li0, ["l_orderkey", "l_partkey"], k)
+        timed_thunk(
+            "lpa_three_rounds",
+            k,
+            lambda li12=li12: lpa_from_edges(copurchase_edges(li12)),
+        )
 
         # round 5 (cont.): z-order key + range-partitioned clustering (the
         # write-path cost of the skipping layout; noop sink isolates compute
