@@ -153,6 +153,9 @@ HEADLINE = [
     # out of the headline set.
     "label_propagation_communities",
     "pca_top_component",
+    # round 12 batch 7: the B-fold replicate explode feeding a map-side-
+    # combined hash agg (the distributed-bootstrap shape)
+    "poisson_bootstrap_ci",
 ]
 
 

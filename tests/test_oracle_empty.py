@@ -201,6 +201,10 @@ EMPTY_QUERIES = [
     # round 12 (epoch shuffle): empty docs -> zero assignments; single doc
     # -> position 1 / shard 0 in every epoch on both engines
     "epoch_shuffle_assignment",
+    # round 12 (bootstrap): empty orders -> ONE (0, NULL, NULL, NULL,
+    # NULL) row on both engines (aggregate-over-empty base + NULL order
+    # statistics); single order -> every replicate mean equals it
+    "poisson_bootstrap_ci",
 ]
 
 

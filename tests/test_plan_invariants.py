@@ -152,6 +152,9 @@ BNL_ALLOWED = {
     # round 11 batch 5: same brute-force audit half; the PQ half's ADC
     # and rerank joins stay broadcast equi-joins
     "pq_recall_report": 1,
+    # round 12: the B-replicate broadcast grid (64 rows, no condition) and
+    # the 1-row bounds frame joined back onto the 1-row base aggregate
+    "poisson_bootstrap_ci": 2,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'
@@ -161,6 +164,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # Kaplan-Meier's risk-set prefix, total frame, and survival cumsum all
     # run on the lifetime DAY GRID — O(observation span), never O(rows)
     "kaplan_meier_retention": 3,
+    # round 12: the replicate-mean rank + count windows run on the B-row
+    # replicate frame (B = 64, constant) — never on data
+    "poisson_bootstrap_ci": 2,
 }
 
 # Dimension-join queries: minimum broadcast-join count (a broadcast
