@@ -156,6 +156,9 @@ HEADLINE = [
     # round 12 batch 7: the B-fold replicate explode feeding a map-side-
     # combined hash agg (the distributed-bootstrap shape)
     "poisson_bootstrap_ci",
+    # round 12 batch 8: the scored scan x broadcast threshold grid
+    # (calibration/kappa share the same single-scan shape and stay out)
+    "classifier_pr_curve",
 ]
 
 

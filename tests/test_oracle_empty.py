@@ -205,6 +205,12 @@ EMPTY_QUERIES = [
     # NULL) row on both engines (aggregate-over-empty base + NULL order
     # statistics); single order -> every replicate mean equals it
     "poisson_bootstrap_ci",
+    # round 12 (classifier eval): empty docs -> empty scored frame ->
+    # zero grid/bin rows; kappa's n > 0 guard drops the degenerate
+    # aggregate row identically on both engines
+    "classifier_pr_curve",
+    "score_calibration_bins",
+    "cohens_kappa_rules",
 ]
 
 

@@ -155,6 +155,8 @@ BNL_ALLOWED = {
     # round 12: the B-replicate broadcast grid (64 rows, no condition) and
     # the 1-row bounds frame joined back onto the 1-row base aggregate
     "poisson_bootstrap_ci": 2,
+    # round 12 batch 8: the 17-row broadcast threshold grid (no condition)
+    "classifier_pr_curve": 1,
 }
 
 # The one documented O(partitions) unpartitioned window frame: pack_spans'
