@@ -159,6 +159,9 @@ HEADLINE = [
     # round 12 batch 8: the scored scan x broadcast threshold grid
     # (calibration/kappa share the same single-scan shape and stay out)
     "classifier_pr_curve",
+    # round 12 batch 9: the 9x-replicated cell equi-join (the spatial
+    # shape; the density grid is an ordinary groupBy and stays out)
+    "spatial_radius_join",
 ]
 
 

@@ -180,17 +180,17 @@ def register(name: str, oracle: str | None = None):
 #       merge_into_orders_upsert — ANSI MERGE with all three clause
 #       families per order #9), each oracle-green locally at
 #       sf0.001/0.01, registered BEFORE the window cutoff per order #1;
-#   (c) slots 10-32: the r5-vintage oracle-paired pool, stalest-first
-#       per tools/stale_report.py (23 of its 37 queries; the 14
-#       alphabetical-tail slots were displaced by (e)/(f)/(g)/(h) and
-#       head the r13 queue with their r5 rows intact);
-#   (d) slots 33-36: the 4 stalest rows-only refreshes (r2-vintage
+#   (c) slots 10-30: the r5-vintage oracle-paired pool, stalest-first
+#       per tools/stale_report.py (21 of its 37 queries; the 16
+#       alphabetical-tail slots were displaced by (e)..(i) and head the
+#       r13 queue with their r5 rows intact);
+#   (d) slots 31-34: the 4 stalest rows-only refreshes (r2-vintage
 #       rolling_fingerprint, simhash_near_pairs, tablesample_seeded;
 #       r3-vintage approx_count_distinct_parts) — their accuracy pins
 #       stay in pytest; the WINDOW_ROWS_ONLY allowlist rotates to (a)'s
 #       3 + these 4 + (e)'s bradley_terry_ratings + (f)'s
 #       pca_top_component;
-#   (e) slots 37-42: the round-12 batch-2/3 registrations, landing their
+#   (e) slots 35-40: the round-12 batch-2/3 registrations, landing their
 #       binding rows the round they ship (order #1's process rule): the
 #       post-training preference tier (best_of_n_selection,
 #       dpo_pair_construction, preference_win_matrix oracle-paired +
@@ -199,29 +199,32 @@ def register(name: str, oracle: str | None = None):
 #       randomized_response_estimate — seeded-hash noise, oracle-paired),
 #       each oracle-green locally at sf0.001/0.01 + empty/single-row
 #       suites before the rotation;
-#   (f) slots 43-45: the round-12 batch-4/5 registrations — LPA
+#   (f) slots 41-43: the round-12 batch-4/5 registrations — LPA
 #       communities + modularity ingredients (oracle-EXACT integer
 #       propagation, the unrolled-CTE oracle) and the distributed-Gram
 #       PCA top component (rows-only by design, numpy.linalg.eigh pins);
-#   (g) slots 46-47: the round-12 batch-6/7 registrations — deterministic
+#   (g) slots 44-45: the round-12 batch-6/7 registrations — deterministic
 #       epoch shuffling and the Poisson-bootstrap CI (seeded-hash draws,
 #       both oracle-paired);
-#   (h) slots 48-50: the round-12 batch-8 classifier-evaluation tier
+#   (h) slots 46-48: the round-12 batch-8 classifier-evaluation tier
 #       (PR curve, calibration bins, Cohen's kappa — all oracle-exact
-#       on the pipeline38 published-model logits).
+#       on the pipeline38 published-model logits);
+#   (i) slots 49-50: the round-12 batch-9 spatial tier (grid-bucketed
+#       radius join + density grid, dyadic coordinates, oracle-exact).
 # Changed-this-round queries and their window status:
 # duplicate_block_filter (oracle md5 keying) sits at slot 2;
 # exact_substring_spans / exact_substring_removal gained the
 # min_match_len parameter at the OPERATOR level with the registered
 # 8-token default unchanged — re-verified green at sf0.001/0.01 this
 # session (tools/check_oracle.py) on top of their r11 binding rows.
-# The r13 queue, head first: the 14 r5-vintage oracle-paired queries
-# displaced by (e)/(f)/(g)/(h) (purchase_touch_attribution,
-# python_datasource_squares, q12_priority_by_returnflag,
-# quality_decile_mixture, rfm_segmentation, robust_outliers_mad,
-# sequence_pack_spans, stratified_sample_sources, token_budget_waterfill,
-# training_shard_stats, trigram_typicality, view_click_attribution_outer,
-# vocab_coverage, weighted_sample_tokens), the 5 remaining stale rows-only
+# The r13 queue, head first: the 16 r5-vintage oracle-paired queries
+# displaced by (e)..(i) (ols_price_size_by_brand, percentile_disc_prices,
+# purchase_touch_attribution, python_datasource_squares,
+# q12_priority_by_returnflag, quality_decile_mixture, rfm_segmentation,
+# robust_outliers_mad, sequence_pack_spans, stratified_sample_sources,
+# token_budget_waterfill, training_shard_stats, trigram_typicality,
+# view_click_attribution_outer, vocab_coverage, weighted_sample_tokens),
+# the 5 remaining stale rows-only
 # (cross_snapshot_minhash, jaccard_pairs_df_capped,
 # stratified_split_hashed, percentile_approx_prices,
 # minhash_dedup_pairs), then the r6-vintage oracle-paired pool.
@@ -258,9 +261,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "key_skew_report",
     "minhash_signatures_portable",
     "multimodal_bytes_meta",
-    "ols_price_size_by_brand",
     "pagerank_copurchase",
-    "percentile_disc_prices",
     # (d) the 4 stalest rows-only refreshes
     "rolling_fingerprint",
     "simhash_near_pairs",
@@ -298,6 +299,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "classifier_pr_curve",
     "score_calibration_bins",
     "cohens_kappa_rules",
+    # (i) round-12 batch 9: the spatial tier (grid-bucketed radius join +
+    # density grid, oracle-exact dyadic coordinates; displace
+    # ols_price_size_by_brand and percentile_disc_prices to the r13 queue)
+    "spatial_radius_join",
+    "spatial_density_grid",
 )
 
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset(
@@ -380,6 +386,7 @@ def load_all() -> None:
         pipeline45,
         pipeline46,
         pipeline47,
+        pipeline48,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

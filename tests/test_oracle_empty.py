@@ -211,6 +211,10 @@ EMPTY_QUERIES = [
     "classifier_pr_curve",
     "score_calibration_bins",
     "cohens_kappa_rules",
+    # round 12 (spatial): empty/one-row docs -> zero/one point -> zero
+    # pairs and zero/one grid cells on both engines
+    "spatial_radius_join",
+    "spatial_density_grid",
 ]
 
 
