@@ -63,6 +63,17 @@ if they still read high on an idle r13 measure with plans unchanged,
 profile the codegen (these two are the HOF-densest sub-second plans in
 the suite).
 
+Post-script, same session: a SECOND idle bench (re-run after the spatial
+and eval tiers joined the headline set, code otherwise identical) read
+calibrator_drift 1.268 with comparable_ratio 1.259 — i.e. normalized
+~0.99, parity again, but the ABSOLUTE host speed moved 1.04 -> 1.27
+between two idle sessions a few hours apart. That is direct in-band
+evidence of the host-variance magnitude on this machine and closes the
+question of whether sub-second per-query ratios around 1.3-1.8x can be
+host state: they demonstrably can. The committed BENCH_FULL.json is the
+second (complete, 83-headliner) run; read it against its own in-band
+calibrators.
+
 ## Round 12 notes: probe rows for the new operator families
 
 Three new probe shapes cover the round-12 additions (same protocol):
