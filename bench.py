@@ -187,6 +187,66 @@ def _unpartitioned_windows(df) -> int:
     )
 
 
+CALIBRATORS = ("q1_pricing_summary", "snapshot_diff", "mr_wordcount")
+
+
+def _vs_prev(per_query: dict, total: float, prev: dict, prev_src: str) -> dict:
+    """Round-over-round comparison block, factored out so the calibrator
+    median is unit-testable (r12 verdict order #4 — the 2-of-3 case)."""
+    prev_q = prev.get("queries", {})
+    regressions = {
+        n: {"prev": prev_q[n], "now": now, "ratio": round(now / prev_q[n], 2)}
+        for n, now in per_query.items()
+        if n in prev_q and prev_q[n] > 0 and now / prev_q[n] > 1.3
+    }
+    # compare totals over the INTERSECTION of query sets: the headline
+    # list grows round over round, and a raw-total ratio would read
+    # "slower" when the only change is more queries measured
+    common = [n for n in per_query if n in prev_q]
+    # In-band host-drift calibration (round-11 protocol addition): the
+    # median ratio of three long-stable queries whose code has not
+    # changed since the early rounds. A regression list where every
+    # entry sits near calibrator_drift is host noise, not plans — the
+    # repeated lesson of the r9/r10/r11 flag audits (SCALING.md notes),
+    # now measured inside the same run instead of re-derived by hand.
+    calib = [
+        n
+        for n in CALIBRATORS
+        # explicit None/0 check: `.get(n)` truthiness would also drop a
+        # legitimate 0.0, and we want missing-from-prev to be the ONLY
+        # exclusion reason (ADVICE r11)
+        if n in per_query and prev_q.get(n) not in (None, 0)
+    ]
+    # statistics.median (not the upper-median sorted[len//2] pick): with
+    # an even number of surviving calibrators the old form reported the
+    # max of two — and record how many calibrators contributed so a
+    # degraded basis is visible in the artifact (ADVICE r11 / r12 #4)
+    drift = (
+        round(statistics.median(per_query[n] / prev_q[n] for n in calib), 3)
+        if calib
+        else None
+    )
+    block = {
+        "calibrator_drift": drift,
+        "calibrator_n": len(calib),
+        "file": prev_src,
+        "total_prev": prev.get("value"),
+        "total_ratio": round(total / prev["value"], 3) if prev.get("value") else None,
+        "comparable_total": round(sum(per_query[n] for n in common), 3),
+        "comparable_prev": round(sum(prev_q[n] for n in common), 3),
+        "comparable_ratio": round(
+            sum(per_query[n] for n in common) / max(sum(prev_q[n] for n in common), 1e-9), 3
+        ),
+        "regressions": regressions,
+    }
+    if len(calib) < len(CALIBRATORS):
+        # fewer than the full calibrator set survived the prev record —
+        # the drift estimate rests on a degraded basis; surface it rather
+        # than letting a 1- or 2-point "median" read as the usual 3
+        block["calibrator_degraded"] = True
+    return block
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -294,54 +354,12 @@ def main() -> None:
         if isinstance(cand, dict) and cand.get("queries") and cand.get("sf") == sf:
             prev, prev_src = cand, cand_path.name
     if prev is not None:
-        prev_q = prev.get("queries", {})
-        regressions = {
-            n: {"prev": prev_q[n], "now": now, "ratio": round(now / prev_q[n], 2)}
-            for n, now in per_query.items()
-            if n in prev_q and prev_q[n] > 0 and now / prev_q[n] > 1.3
-        }
-        # compare totals over the INTERSECTION of query sets: the headline
-        # list grows round over round, and a raw-total ratio would read
-        # "slower" when the only change is more queries measured
-        common = [n for n in per_query if n in prev_q]
-        # In-band host-drift calibration (round-11 protocol addition): the
-        # median ratio of three long-stable queries whose code has not
-        # changed since the early rounds. A regression list where every
-        # entry sits near calibrator_drift is host noise, not plans — the
-        # repeated lesson of the r9/r10/r11 flag audits (SCALING.md notes),
-        # now measured inside the same run instead of re-derived by hand.
-        calib = [
-            n
-            for n in ("q1_pricing_summary", "snapshot_diff", "mr_wordcount")
-            # explicit None/0 check: `.get(n)` truthiness would also drop a
-            # legitimate 0.0, and we want missing-from-prev to be the ONLY
-            # exclusion reason (ADVICE r11)
-            if n in per_query and prev_q.get(n) not in (None, 0)
-        ]
-        # statistics.median (not the upper-median sorted[len//2] pick): with
-        # an even number of surviving calibrators the old form reported the
-        # max of two — and record how many calibrators contributed so a
-        # degraded basis is visible in the artifact (ADVICE r11)
-        drift = (
-            round(statistics.median(per_query[n] / prev_q[n] for n in calib), 3)
-            if calib
-            else None
-        )
-        result["vs_prev"] = {
-            "calibrator_drift": drift,
-            "calibrator_n": len(calib),
-            "file": prev_src,
-            "total_prev": prev.get("value"),
-            "total_ratio": round(total / prev["value"], 3) if prev.get("value") else None,
-            "comparable_total": round(sum(per_query[n] for n in common), 3),
-            "comparable_prev": round(sum(prev_q[n] for n in common), 3),
-            "comparable_ratio": round(
-                sum(per_query[n] for n in common) / max(sum(prev_q[n] for n in common), 1e-9), 3
-            ),
-            "regressions": regressions,
-        }
-        if regressions:
-            print(f"REGRESSIONS vs {prev_src}: {regressions}", file=sys.stderr)
+        result["vs_prev"] = _vs_prev(per_query, total, prev, prev_src)
+        if result["vs_prev"]["regressions"]:
+            print(
+                f"REGRESSIONS vs {prev_src}: {result['vs_prev']['regressions']}",
+                file=sys.stderr,
+            )
 
     # Full result: to a committed file + stderr (both escape the 2000-char
     # stdout tail window). The driver's record only needs the short line.

@@ -16,6 +16,21 @@ Four tiers, all shuffle-architected for 100 TB corpora:
 
 Everything is deterministic (xxhash64, fixed seeds) so results are stable
 across runs and partitionings.
+
+Digest-keying assumption (the canonical note — digest-keyed call sites
+cross-reference here; r12 verdict order #6): operators that shuffle or
+group on a hash OF the content instead of the content itself (md5 block
+keys in queries/pipeline38.py::_block_filter_frame, dup_passage_coverage's
+passage digests, exact_substring's gram hashes, the minhash shingle and
+band keys below) accept hash collisions as a correctness trade: a
+CONSTRUCTED collision (md5 collisions are practical; xxhash64/64-bit
+truncations collide at birthday scale ~2^32) makes two distinct contents
+count as duplicates of each other. This is the standard large-corpus
+dedup posture (the suffix-array / MinHash literature keys on digests for
+exactly this shuffle-width reason); for adversarial inputs swap the key
+to sha256 (~2x digest cost, no plan change) — `dedup_exact_hash` below
+already uses sha2-256 for the exact tier, where a collision would merge
+unrelated documents rather than merely over-count a block.
 """
 
 from __future__ import annotations

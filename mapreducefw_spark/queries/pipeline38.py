@@ -269,7 +269,8 @@ def block_filter_frame(docs: DataFrame) -> DataFrame:
     constructible, so an adversarial corpus could still make two DISTINCT
     blocks count as duplicates of each other — the same accepted collision
     class as every other md5-digest-keyed operator in the repo
-    (dup_passage_coverage, exact_substring, minhash shingles);
+    (dup_passage_coverage, exact_substring, minhash shingles — the
+    canonical note lives in operators/dedup.py's module docstring);
     content-resistant keying would swap in sha256 at ~2x digest cost with
     no plan change."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
@@ -458,17 +459,21 @@ def _qc_weight_sql() -> str:
 _QC_W, _QC_BIAS = _qc_published_weights()
 
 
-@register(
-    "quality_classifier_scores",
-    oracle=f"""
-WITH tk AS (
-  SELECT doc_id, source,
+def _scored_cte_sql(cols: str = "doc_id") -> str:
+    """The scored-CTE chain (tk -> d2 -> scored) shared by every oracle
+    that replays the published classifier: the HOF logit fold over the 64
+    dyadic weight literals plus the Gopher rule bit. ONE definition — the
+    scoring tier (here) and the evaluation tier (pipeline47) compose this
+    same text so the two SQL sides cannot silently drift (ADVICE r12).
+    ``cols`` is the carried projection (e.g. "doc_id, source")."""
+    return f"""tk AS (
+  SELECT {cols},
          list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 d2 AS (SELECT * FROM tk WHERE len(toks) > 0),
 scored AS (
-  SELECT doc_id, source,
+  SELECT {cols},
          {_QC_BIAS:.6f} + list_sum(list_transform(toks,
              tk -> list_extract({_qc_weight_sql()},
                      CAST((CAST(('0x' || substr(md5(tk), 1, 12)) AS BIGINT)
@@ -481,7 +486,13 @@ scored AS (
                AND len(list_filter(toks, x -> list_contains({list(STOPWORDS)}, x))) >= 2
               THEN 1 ELSE 0 END AS passes
   FROM d2
-)
+)"""
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+WITH {_scored_cte_sql("doc_id, source")}
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,

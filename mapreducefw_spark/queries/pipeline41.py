@@ -80,16 +80,23 @@ cand AS (
          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
               AS BIGINT) AS n_tok
   FROM documents
-  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+  WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL
 )
 """.format(n_cand=N_CAND, n_models=N_MODELS)
+# doc_id >= 0 makes the nonnegativity assumption explicit on BOTH engines
+# (ADVICE r12): DuckDB's // truncates toward zero while Spark's
+# F.floor(/) floors, and % sign conventions differ too — for negative ids
+# prompt_id/model_id would silently diverge. Restricting the pool to
+# nonnegative ids pins the shared domain where the two arithmetics agree.
 
 
 def candidate_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, prompt_id, model_id, reward, n_tok): the deterministic
     (prompt, candidate, reward) pool — one map-only projection."""
     d = t(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        F.col("doc_id").isNotNull()
+        & (F.col("doc_id") >= 0)
+        & F.col("text").isNotNull()
     )
     n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
     return d.select(

@@ -24,13 +24,17 @@ neighbor-label count + ROW_NUMBER argmax.
 
 Scale posture (100 TB of edges): the edge frame builds ONCE and pins with
 localCheckpoint (every iteration reuses it in place — never re-shuffled);
-each round is one edge-side broadcast join of the node-sized label frame
-+ a (dst, lbl) count whose pre-shuffle partials are map-side combined +
-a two-phase ``topk_per_key`` argmax (no per-node window funnel); per-round
-lineage truncation keeps the plan iteration-shaped. Beyond broadcastable
-label frames the GraphX-style alternative applies unchanged: edges hashed
-by src once, labels shuffled to that partitioning each round — node-sized
-per-iteration traffic (the ``pagerank_copurchase`` note).
+each round is one edges-x-labels join with NO broadcast hint — the labels
+are checkpointed, so AQE reads their true size and broadcasts while they
+fit, falling back to a shuffle join on `src` once the node-sized frame
+outgrows the threshold (a hard-coded hint here would OOM at graph scale —
+ADVICE r12) — + a (dst, lbl) count whose pre-shuffle partials are
+map-side combined + a two-phase ``topk_per_key`` argmax (no per-node
+window funnel); per-round lineage truncation keeps the plan
+iteration-shaped. At the shuffle-join end this is exactly the GraphX
+shape: edges hashed by src once, labels shuffled to that partitioning
+each round — node-sized per-iteration traffic (the
+``pagerank_copurchase`` note).
 
 Semantic contract with the reference engine: chained MapReduce jobs —
 each round is map (tag neighbor labels) -> shuffle by (dst, lbl) ->
@@ -85,15 +89,22 @@ def _lpa_final() -> str:
 def lpa_from_edges(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
     """(node, lbl) after ``n_iters`` synchronous rounds over a symmetric
     (src, dst) edge frame (pass it checkpointed — every round reuses it
-    in place); per-round lineage cut."""
+    in place); per-round lineage cut.
+
+    The per-round edges-x-labels join carries NO broadcast hint (ADVICE
+    r12): the label frame is node-sized, and a forced broadcast would OOM
+    the executors once the graph outgrows the broadcast threshold. The
+    labels are localCheckpointed each round, so AQE sees their true
+    materialized size and picks broadcast-hash while they fit (the small-
+    fixture fast path) and falls back to a shuffle join on `src` once
+    they don't — exactly the size-gated behavior a 100 TB graph needs,
+    decided at runtime instead of hard-coded."""
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     for _ in range(n_iters):
         counts = (
-            edges.join(
-                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
-            )
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy("dst", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -175,7 +186,10 @@ def community_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints in the community). Q assembles downstream as
     sum_c(e_c/m - (d_c/2m)^2) without touching the released integers."""
     edges, labels = lpa_labels(spark, sf_dir)
-    lb = F.broadcast(labels)
+    # no broadcast hint on the node-sized label frame (ADVICE r12, same
+    # reasoning as lpa_from_edges): labels arrive checkpointed from the
+    # final LPA round, so AQE size-gates the join strategy at runtime
+    lb = labels
     tagged = edges.join(
         lb.select(F.col("node").alias("src"), F.col("lbl").alias("src_lbl")), "src"
     ).join(

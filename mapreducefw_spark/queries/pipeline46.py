@@ -44,9 +44,12 @@ from mapreducefw_spark.queries._util import dec, t
 B_REPLICATES = 64
 U_BITS = 48
 POIS_CAP = 8  # P(Poisson(1) > 8) ~ 1.1e-6 of the 2^-48 grid's resolution
-# 95% CI order-statistic ranks over B sorted replicate means:
-# floor((B+1)*0.025) = 1 -> lower bound at rank 2 keeps the interval
-# conservative-inclusive; upper symmetric at rank B-1
+# 95% CI order-statistic ranks over B sorted replicate means: the
+# ceil(B*alpha) percentile convention — ceil(64*0.025) = 2 for the lower
+# bound, ceil(64*0.975) = 63 (= B-1) for the upper. (Note this is NOT the
+# floor((B+1)*alpha) conservative-inclusive rule: moving the lower bound
+# up from rank 1 to rank 2 NARROWS the interval. The convention is valid
+# and, critically, cross-engine consistent — ADVICE r12.)
 CI_LO_RANK = 2
 CI_HI_RANK = B_REPLICATES - 1
 

@@ -45,14 +45,12 @@ from pyspark.sql import functions as F
 
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
-from mapreducefw_spark.queries.pipeline16 import STOPWORDS
 from mapreducefw_spark.queries.pipeline38 import (
-    QC_BUCKETS,
     _bucket,
     _gopher_passes,
     _QC_BIAS,
     _QC_W,
-    _qc_weight_sql,
+    _scored_cte_sql,
 )
 
 # dyadic threshold grid: -2.00, -1.75, ..., +2.00 (k/4 is an exact double,
@@ -63,31 +61,12 @@ CAL_BIN_LO, CAL_BIN_HI = -8, 8  # floor(logit * 2) clamp bounds
 
 
 def _scored_sql() -> str:
-    """The shared (doc_id, logit, passes) CTE — the pipeline38 scoring
-    contract replayed: HOF logit fold over the 64 dyadic literals, the
-    Gopher rule bit as the reference label."""
-    return f"""
-tk AS (
-  SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS toks
-  FROM documents WHERE text IS NOT NULL
-),
-d2 AS (SELECT * FROM tk WHERE len(toks) > 0),
-scored AS (
-  SELECT doc_id,
-         {_QC_BIAS:.6f} + list_sum(list_transform(toks,
-             tk -> list_extract({_qc_weight_sql()},
-                     CAST((CAST(('0x' || substr(md5(tk), 1, 12)) AS BIGINT)
-                           % {QC_BUCKETS}) + 1 AS BIGINT)))) AS logit,
-         CASE WHEN len(toks) BETWEEN 20 AND 1000
-               AND COALESCE(CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE)
-                            / len(toks) BETWEEN 2 AND 12, FALSE)
-               AND COALESCE(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-                            / len(toks) >= 0.8, FALSE)
-               AND len(list_filter(toks, x -> list_contains({list(STOPWORDS)}, x))) >= 2
-              THEN 1 ELSE 0 END AS passes
-  FROM d2
-)"""
+    """The shared (doc_id, logit, passes) CTE — pipeline38's
+    ``_scored_cte_sql`` composed verbatim (ONE definition for the scoring
+    and evaluation tiers, so the two SQL texts cannot drift — ADVICE r12):
+    HOF logit fold over the 64 dyadic literals, the Gopher rule bit as
+    the reference label."""
+    return "\n" + _scored_cte_sql("doc_id")
 
 
 def scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
