@@ -162,6 +162,9 @@ HEADLINE = [
     # round 12 batch 9: the 9x-replicated cell equi-join (the spatial
     # shape; the density grid is an ordinary groupBy and stays out)
     "spatial_radius_join",
+    # round 13: the full stdlib media decode — two Arrow mapInPandas
+    # stages (encode fixture, zlib+unfilter/PCM decode), shuffle-free
+    "multimodal_decode_checksums",
 ]
 
 

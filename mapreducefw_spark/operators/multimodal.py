@@ -1,13 +1,17 @@
 """Multimodal column plumbing (SURVEY §7 M4): image/audio/video as opaque
 ``binary`` payloads with typed metadata structs.
 
-The container has no image/audio libraries, so FULL pixel/audio decoding
-is stubbed: ``decode_media`` raises ``NotImplementedError`` for payloads
-it cannot read without PIL/librosa. Header METADATA is real (round 12):
-PNG IHDR (width/height/bit-depth/color-type + CRC check) and RIFF/WAVE
-fmt+data (channels/sample-rate/bits/duration) parse via stdlib struct in
-the Arrow path and via substr+hex+conv JVM-side (``parse_media_headers``,
-whole-stage codegen) for the registered oracle-paired query.
+Header METADATA is real (round 12): PNG IHDR (width/height/bit-depth/
+color-type + CRC check) and RIFF/WAVE fmt+data (channels/sample-rate/
+bits/duration) parse via stdlib struct in the Arrow path and via
+substr+hex+conv JVM-side (``parse_media_headers``, whole-stage codegen)
+for the registered oracle-paired query. FULL decode is real too for the
+stdlib-decodable formats (round 13): ``decode_png_pixels`` inflates
+multi-chunk IDAT with zlib and reconstructs all five PNG scanline
+filters (8-bit gray/RGB, non-interlaced); ``decode_wav_samples`` reads
+16-bit PCM frames. Only EXTERNAL formats (JPEG, MP3, H.264, ...) still
+need PIL/librosa: ``decode_media`` raises ``NotImplementedError`` for
+those payloads only.
 ``deterministic_fake=True`` keeps the byte-derived stand-in metadata +
 features. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` 1->N frame sampling, partitioning — is real and tested;
@@ -198,6 +202,170 @@ def wav_payload_col(
     )
 
 
+def make_png_bytes(
+    width: int, height: int, color_type: int, pixels: bytes, *, filter_seed: int = 0
+) -> bytes:
+    """A COMPLETE real PNG (8-bit grayscale color_type=0 or RGB
+    color_type=2): signature + IHDR + zlib-compressed IDAT + IEND.
+    ``pixels`` is the raw scanline bytes row-major, width*channels per
+    row. Scanline filters CYCLE through all five PNG filter types
+    ((filter_seed + y) % 5 — None/Sub/Up/Average/Paeth), so a decoder
+    must implement the full unfilter set to read it back; the stream is
+    split across TWO IDAT chunks (the spec allows any split; decoders
+    must concatenate)."""
+    ch = 1 if color_type == 0 else 3
+    rowlen = width * ch
+    assert len(pixels) == rowlen * height
+    out = bytearray()
+    prior = bytes(rowlen)
+    for y in range(height):
+        raw = pixels[y * rowlen : (y + 1) * rowlen]
+        ft = (filter_seed + y) % 5
+        out.append(ft)
+        for i in range(rowlen):
+            a = raw[i - ch] if i >= ch else 0  # left
+            b = prior[i]  # up
+            c = prior[i - ch] if i >= ch else 0  # upper-left
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((raw[i] - pred) & 0xFF)
+        prior = raw
+    comp = zlib.compress(bytes(out), 6)
+    cut = len(comp) // 2
+    ihdr = b"IHDR" + struct.pack(">II5B", width, height, 8, color_type, 0, 0, 0)
+    body = struct.pack(">I", 13) + ihdr + struct.pack(">I", zlib.crc32(ihdr))
+    for part in (comp[:cut], comp[cut:]):
+        chunk = b"IDAT" + part
+        body += struct.pack(">I", len(part)) + chunk + struct.pack(">I", zlib.crc32(chunk))
+    return PNG_SIG + body + bytes.fromhex(_IEND_HEX)
+
+
+def decode_png_pixels(payload: bytes) -> dict | None:
+    """FULL stdlib PNG pixel decode (no PIL): IHDR parse, multi-IDAT
+    concatenation, zlib inflate, and the complete five-filter scanline
+    reconstruction (None/Sub/Up/Average/Paeth per the PNG spec §4.5.2 /
+    RFC 2083). Supports the 8-bit non-interlaced grayscale (color_type 0)
+    and RGB (color_type 2) subset the fixtures emit; returns
+    {width, height, channels, pixels: bytes} or None when the payload is
+    not a PNG / outside the subset. Closes the r12 'full decode
+    env-gated' partial: only EXTERNAL formats (JPEG, MP3, ...) still need
+    media libraries."""
+    hdr = parse_png_header(payload)
+    if hdr is None:
+        return None
+    if hdr["bit_depth"] != 8 or hdr["color_type"] not in (0, 2):
+        return None
+    ch = 1 if hdr["color_type"] == 0 else 3
+    width, height = hdr["width"], hdr["height"]
+    rowlen = width * ch
+    # chunk walk: concatenate every IDAT payload in stream order
+    idat = bytearray()
+    off = 8
+    while off + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += payload[off + 8 : off + 8 + size]
+        elif tag == b"IEND":
+            break
+        off += 12 + size  # len + type + data + crc
+    if not idat:
+        return None
+    flt = zlib.decompress(bytes(idat))
+    if len(flt) != (rowlen + 1) * height:
+        return None
+    recon = bytearray(rowlen * height)
+    prior = bytes(rowlen)
+    for y in range(height):
+        ft = flt[y * (rowlen + 1)]
+        line = flt[y * (rowlen + 1) + 1 : (y + 1) * (rowlen + 1)]
+        row = bytearray(rowlen)
+        for i in range(rowlen):
+            a = row[i - ch] if i >= ch else 0
+            b = prior[i]
+            c = prior[i - ch] if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                return None  # invalid filter byte
+            row[i] = (line[i] + pred) & 0xFF
+        recon[y * rowlen : (y + 1) * rowlen] = row
+        prior = bytes(row)
+    return {"width": width, "height": height, "channels": ch, "pixels": bytes(recon)}
+
+
+def make_wav_bytes(
+    sample_rate: int, n_channels: int, samples: list[int]
+) -> bytes:
+    """A COMPLETE real RIFF/WAVE file with 16-bit signed LE PCM samples
+    (interleaved; len(samples) must be a multiple of n_channels)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate,
+                      n_channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_samples(payload: bytes) -> dict | None:
+    """FULL stdlib WAV sample decode (no librosa): the generic chunk walk
+    of parse_wav_header to locate fmt + data, then struct iteration over
+    the 16-bit signed LE PCM frames. Returns {n_channels, sample_rate,
+    samples: list[int]} or None for non-WAV / non-16-bit-PCM payloads."""
+    hdr = parse_wav_header(payload)
+    if hdr is None or hdr["audio_format"] != 1 or hdr["bits_per_sample"] != 16:
+        return None
+    # locate the data chunk's byte offset (parse_wav_header returned only
+    # its size) with the same word-aligned walk
+    off = 12
+    data_off = None
+    while off + 8 <= len(payload):
+        tag = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        if tag == b"data":
+            data_off = off + 8
+            break
+        off += 8 + size + (size & 1)
+    if data_off is None:
+        return None
+    n = hdr["data_bytes"] // 2
+    samples = [
+        s[0] for s in struct.iter_unpack("<h", payload[data_off : data_off + 2 * n])
+    ]
+    return {
+        "n_channels": hdr["n_channels"],
+        "sample_rate": hdr["sample_rate"],
+        "samples": samples,
+    }
+
+
 def parse_media_headers(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     """JVM-side header parse of a binary media column: magic-sniff PNG vs
     RIFF/WAVE, then read the fixed-offset header fields with substr + hex
@@ -319,8 +487,10 @@ def decode_media(df: DataFrame, *, deterministic_fake: bool = False) -> DataFram
             dur = wav["duration_ms"]
             return None, None, (None if dur is None else int(dur)), None
         raise NotImplementedError(
-            "full pixel/audio decode needs PIL/librosa; without them only "
-            "PNG/WAV header metadata parses (or pass deterministic_fake=True)"
+            "decode of EXTERNAL media formats (JPEG/MP3/H.264/...) needs "
+            "PIL/librosa; PNG and WAV decode fully via the stdlib "
+            "(decode_png_pixels / decode_wav_samples) — or pass "
+            "deterministic_fake=True"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

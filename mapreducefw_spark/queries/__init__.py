@@ -217,106 +217,106 @@ def register(name: str, oracle: str | None = None):
 # min_match_len parameter at the OPERATOR level with the registered
 # 8-token default unchanged — re-verified green at sf0.001/0.01 this
 # session (tools/check_oracle.py) on top of their r11 binding rows.
-# The r13 queue, head first: the 16 r5-vintage oracle-paired queries
-# displaced by (e)..(i) (ols_price_size_by_brand, percentile_disc_prices,
-# purchase_touch_attribution, python_datasource_squares,
-# q12_priority_by_returnflag, quality_decile_mixture, rfm_segmentation,
-# robust_outliers_mad, sequence_pack_spans, stratified_sample_sources,
-# token_budget_waterfill, training_shard_stats, trigram_typicality,
-# view_click_attribution_outer, vocab_coverage, weighted_sample_tokens),
-# the 5 remaining stale rows-only
-# (cross_snapshot_minhash, jaccard_pairs_df_capped,
-# stratified_split_hashed, percentile_approx_prices,
-# minhash_dedup_pairs), then the r6-vintage oracle-paired pool.
+# Round-13 window (this round), per the r12 verdict's order #1 — dedicate
+# the window to the stale rotation, new registrations capped at ≤9:
+#   (a) slots 1-16: the ENTIRE r5-vintage oracle-paired pool (the 16
+#       queries displaced by the r12 batches, stalest-first per
+#       tools/stale_report.py) — all hold green r5 rows and passed the
+#       judge's independent sf0.01 rerun in the r12 session; the binding
+#       driver record is what's missing. After this window nothing
+#       oracle-paired is older than r6.
+#   (b) slots 17-21: the 5 stale rows-only refreshes the verdict names
+#       (r3-vintage cross_snapshot_minhash, jaccard_pairs_df_capped,
+#       stratified_split_hashed; r4-vintage percentile_approx_prices,
+#       minhash_dedup_pairs) — their accuracy pins stay in pytest; after
+#       this window no rows-only record predates r6 either.
+#   (c) slots 22-31: every query whose semantics, oracle text, or plan
+#       changed this round (the in-window-when-touched rule):
+#       pipeline41's candidate pool gained the doc_id >= 0 guard on BOTH
+#       engines (ADVICE r12 #4) -> best_of_n_selection,
+#       dpo_pair_construction, preference_win_matrix +
+#       bradley_terry_ratings (rows-only); pipeline43 dropped the
+#       hard-coded label-frame broadcast hints (ADVICE r12 #1, plan
+#       change) -> label_propagation_communities,
+#       community_quality_report; pipeline38/47 now compose ONE shared
+#       scored-CTE SQL (ADVICE r12 #3, oracle text re-emitted) ->
+#       quality_classifier_scores, classifier_pr_curve,
+#       score_calibration_bins, cohens_kappa_rules.
+#   (d) slot 32: the 1 NEW round-13 registration (well under the ≤9
+#       cap): multimodal_decode_checksums — FULL stdlib PNG pixel / WAV
+#       sample decode (r12 verdict order #7), formula-derived oracle,
+#       green locally at sf0.001/0.01 + the roundtrip/stdlib-wave pins.
+#   (e) slots 33-50: the r6-vintage oracle-paired pool, stalest-first
+#       per tools/stale_report.py (18 of its 40; the remaining 22 head
+#       the r14 queue: ngram_overlap_decontam onward alphabetically).
+# The WINDOW_ROWS_ONLY allowlist rotates to (b)'s 5 + bradley_terry_ratings.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # (a) the 7 post-r11-window registrations (4 oracle + 3 rows-only)
-    "ann_recall_report",
-    "duplicate_block_filter",
-    "quality_classifier_scores",
-    "pq_recall_report",
-    "quality_classifier_weights",
-    "wordpiece_learned_merges",
-    "wordpiece_fertility_by_source",
-    # (b) the 2 new round-12 oracle-paired registrations
-    "multimodal_metadata",
-    "merge_into_orders_upsert",
-    # (c) the full r5-vintage oracle-paired pool, stalest-first
-    "analyze_column_stats",
-    "basket_part_pairs",
-    "bloom_decontaminate",
-    "cohort_retention",
-    "containment_dedup_pairs",
-    "count_min_heavy_hitters",
-    "data_quality_report",
-    "dup_ngram_stats",
-    "dup_passage_coverage",
-    "edit_distance_part_pairs",
-    "embedding_truncated_topk",
-    "entity_resolution_clusters",
-    "equi_depth_histogram",
-    "event_transition_matrix",
-    "events_gap_fill_hourly",
-    "funnel_view_click_purchase",
-    "incremental_agg_maintenance",
-    "key_skew_report",
-    "minhash_signatures_portable",
-    "multimodal_bytes_meta",
-    "pagerank_copurchase",
-    # (d) the 4 stalest rows-only refreshes
-    "rolling_fingerprint",
-    "simhash_near_pairs",
-    "tablesample_seeded",
-    "approx_count_distinct_parts",
-    # (e) the round-12 batch-2/3 registrations, landing their binding rows
-    # the round they ship (5 oracle-paired + 1 rows-only-by-design with
-    # its pure-Python MM replay pin) — these displace the 6 tail slots of
-    # (c) (token_budget_waterfill, training_shard_stats, trigram_typicality,
-    # view_click_attribution_outer, vocab_coverage, weighted_sample_tokens),
-    # which keep their r5 rows and head the r13 stale queue
+    # (a) the full r5-vintage oracle-paired pool
+    "ols_price_size_by_brand",
+    "percentile_disc_prices",
+    "purchase_touch_attribution",
+    "python_datasource_squares",
+    "q12_priority_by_returnflag",
+    "quality_decile_mixture",
+    "rfm_segmentation",
+    "robust_outliers_mad",
+    "sequence_pack_spans",
+    "stratified_sample_sources",
+    "token_budget_waterfill",
+    "training_shard_stats",
+    "trigram_typicality",
+    "view_click_attribution_outer",
+    "vocab_coverage",
+    "weighted_sample_tokens",
+    # (b) the 5 stale rows-only refreshes
+    "cross_snapshot_minhash",
+    "jaccard_pairs_df_capped",
+    "stratified_split_hashed",
+    "percentile_approx_prices",
+    "minhash_dedup_pairs",
+    # (c) changed-this-round (semantics / oracle text / plan)
     "best_of_n_selection",
     "dpo_pair_construction",
     "preference_win_matrix",
-    "dp_noisy_counts",
-    "randomized_response_estimate",
     "bradley_terry_ratings",
-    # (f) round-12 batch-4/5: LPA communities (oracle-EXACT integer
-    # propagation + modularity ingredients) and the distributed-Gram PCA
-    # (rows-only by design, numpy-pinned) — displacing 3 more (c)-tail
-    # r5-vintage slots (robust_outliers_mad, sequence_pack_spans,
-    # stratified_sample_sources) to the r13 queue
     "label_propagation_communities",
     "community_quality_report",
-    "pca_top_component",
-    # (g) round-12 batches 6/7: deterministic epoch shuffling and the
-    # Poisson-bootstrap CI (both oracle-paired; displace rfm_segmentation
-    # and quality_decile_mixture to the r13 queue)
-    "epoch_shuffle_assignment",
-    "poisson_bootstrap_ci",
-    # (h) round-12 batch 8: the classifier-evaluation tier (PR curve,
-    # calibration bins, Cohen's kappa — oracle-exact; displace
-    # purchase_touch_attribution, python_datasource_squares and
-    # q12_priority_by_returnflag to the r13 queue, all holding r5 rows)
+    "quality_classifier_scores",
     "classifier_pr_curve",
     "score_calibration_bins",
     "cohens_kappa_rules",
-    # (i) round-12 batch 9: the spatial tier (grid-bucketed radius join +
-    # density grid, oracle-exact dyadic coordinates; displace
-    # ols_price_size_by_brand and percentile_disc_prices to the r13 queue)
-    "spatial_radius_join",
-    "spatial_density_grid",
+    # (d) the new round-13 registration
+    "multimodal_decode_checksums",
+    # (e) the r6-vintage oracle-paired pool, stalest-first
+    "asof_tolerance_join",
+    "attribution_time_decay",
+    "copurchase_triangles",
+    "debounce_consecutive_events",
+    "dedup_exact",
+    "deterministic_sample_pct",
+    "distinct_segments",
+    "edit_distance_pairs_symspell",
+    "embedding_dim_stats",
+    "from_json_struct",
+    "funnel_staged_minjoin",
+    "higher_order_token_fns",
+    "intersect_all_quantities",
+    "intersect_nations",
+    "join_right_outer_parts",
+    "map_column_functions",
+    "math_conditional",
+    "median_exact_prices",
 )
+
 
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset(
     {
-        "quality_classifier_weights",
-        "wordpiece_learned_merges",
-        "wordpiece_fertility_by_source",
-        "rolling_fingerprint",
-        "simhash_near_pairs",
-        "tablesample_seeded",
-        "approx_count_distinct_parts",
+        "cross_snapshot_minhash",
+        "jaccard_pairs_df_capped",
+        "stratified_split_hashed",
+        "percentile_approx_prices",
+        "minhash_dedup_pairs",
         "bradley_terry_ratings",
-        "pca_top_component",
     }
 )
 
@@ -387,6 +387,7 @@ def load_all() -> None:
         pipeline46,
         pipeline47,
         pipeline48,
+        pipeline49,
     )
 
     ordered = [n for n in CHECK_PRIORITY if n in QUERIES]

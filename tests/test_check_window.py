@@ -42,5 +42,5 @@ def test_every_windowed_query_is_oracle_paired():
 def test_registry_counts_match_docs():
     # the README/SURVEY/COVERAGE counts are synced by hand each round;
     # this pin makes a drift loud at commit time instead of judge time
-    assert len(QUERIES) == 348, len(QUERIES)
-    assert len(ORACLES) == 321, len(ORACLES)
+    assert len(QUERIES) == 349, len(QUERIES)
+    assert len(ORACLES) == 322, len(ORACLES)

@@ -235,3 +235,118 @@ def test_decode_media_parses_real_headers_without_libs(spark):
             byte_rate = f["sample_rate"] * f["n_channels"] * f["bits_per_sample"] // 8
             assert got[i].duration_ms == int(f["data_bytes"] * 1000.0 / byte_rate)
             assert got[i].width is None and got[i].features is None
+
+
+# ------------------------------------------------- round 13: FULL decode
+
+
+def test_png_full_decode_roundtrip_all_filters():
+    """Every PNG filter type must reconstruct exactly: the encoder cycles
+    filters per scanline ((seed + y) % 5), so any 5-row image crosses all
+    of None/Sub/Up/Average/Paeth."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(40):
+        w, h = rng.randint(1, 24), rng.randint(5, 16)
+        ct = rng.choice([0, 2])
+        ch = 1 if ct == 0 else 3
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        payload = multimodal.make_png_bytes(w, h, ct, px, filter_seed=rng.randrange(5))
+        got = multimodal.decode_png_pixels(payload)
+        assert got is not None, trial
+        assert (got["width"], got["height"], got["channels"]) == (w, h, ch)
+        assert got["pixels"] == px, f"trial {trial}: pixel bytes differ"
+
+
+def test_png_decode_concatenates_multiple_idat_chunks():
+    px = bytes(range(3 * 4 * 3))  # 3x4 RGB
+    payload = multimodal.make_png_bytes(3, 4, 2, px)
+    # the encoder splits the zlib stream into two IDAT chunks by contract
+    assert payload.count(b"IDAT") == 2
+    assert multimodal.decode_png_pixels(payload)["pixels"] == px
+
+
+def test_png_decode_rejects_unsupported_subset():
+    # header-only PNG (no IDAT) and 16-bit depth fall outside the decode
+    # subset -> None, never a wrong answer
+    hdr_only = multimodal.make_png_header_bytes(8, 8, 8, 0)
+    assert multimodal.decode_png_pixels(hdr_only) is None
+    deep = multimodal.make_png_header_bytes(8, 8, 16, 0)
+    assert multimodal.decode_png_pixels(deep) is None
+    assert multimodal.decode_png_pixels(b"not a png") is None
+
+
+def test_wav_full_decode_matches_stdlib_wave_module():
+    """Cross-check against the stdlib ``wave`` module — an independent
+    reference parser for the same bytes."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    samples = [1, -2, 3, -4, 32767, -32768, 0, 12345]
+    payload = multimodal.make_wav_bytes(16000, 2, samples)
+    got = multimodal.decode_wav_samples(payload)
+    assert got["samples"] == samples
+    assert got["n_channels"] == 2 and got["sample_rate"] == 16000
+    wf = _wave.open(io.BytesIO(payload))
+    assert wf.getnchannels() == 2 and wf.getframerate() == 16000
+    assert wf.readframes(wf.getnframes()) == _struct.pack("<8h", *samples)
+
+
+def test_decode_checksum_frame_matches_pure_python(spark):
+    """The registered query's per-media checksums equal a pure-Python
+    fold over the formula values — end-to-end through encode, Arrow,
+    decode."""
+    from mapreducefw_spark.queries.pipeline49 import (
+        build_media_payload,
+        decode_checksum_frame,
+        media_payload_frame,
+    )
+
+    ids = [0, 1, 2, 3, 4, 5, 10, 11, 47, 123, 254, 255]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r.media_id: r
+        for r in decode_checksum_frame(media_payload_frame(docs)).collect()
+    }
+    assert set(got) == set(ids)
+    for mid in ids:
+        if mid % 2 == 0:
+            dec = multimodal.decode_png_pixels(build_media_payload(mid))
+            vals = list(dec["pixels"])
+            w, h = 4 + mid % 13, 3 + mid % 7
+            ch = 1 if mid % 4 == 0 else 3
+            expect = [
+                (mid * 7 + y * 31 + i * 13) % 256
+                for y in range(h)
+                for i in range(w * ch)
+            ]
+            assert got[mid].kind == "png"
+        else:
+            dec = multimodal.decode_wav_samples(build_media_payload(mid))
+            vals = dec["samples"]
+            nch, frames = 1 + (mid // 2) % 2, 8 + mid % 17
+            expect = [
+                ((mid * 2557 + k * 97) % 65536) - 32768
+                for k in range(frames * nch)
+            ]
+            assert got[mid].kind == "wav"
+        assert vals == expect, f"media {mid}: decoded values != formula"
+        assert got[mid].n_values == len(expect)
+        assert got[mid].value_sum == sum(expect)
+        assert got[mid].value_min == min(expect)
+        assert got[mid].value_max == max(expect)
+
+
+def test_decode_checksums_empty_and_null_ids(spark):
+    from mapreducefw_spark.queries.pipeline49 import (
+        decode_checksum_frame,
+        media_payload_frame,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint")
+    assert decode_checksum_frame(media_payload_frame(empty)).count() == 0
+    nulls = spark.createDataFrame([(None,), (-3,), (4,)], "doc_id bigint")
+    out = decode_checksum_frame(media_payload_frame(nulls)).collect()
+    assert [r.media_id for r in out] == [4]  # NULL and negative ids drop
