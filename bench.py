@@ -295,19 +295,37 @@ def main() -> None:
         _mark(f"warmup {name}")
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # min of 3 reps per query, INTERLEAVED as three separated full passes
+    # over the suite (pass 1 times every query once, then pass 2, then
+    # pass 3) instead of 3 back-to-back reps per query. Back-to-back reps
+    # complete within seconds, so a single multi-minute noisy-neighbor
+    # window on this shared VM inflates ALL reps of a contiguous block of
+    # queries — two r13 runs each flagged a >3x "regression" block that
+    # was a DIFFERENT, disjoint query set, every member of which re-probed
+    # in-band individually (SCALING.md round-13 notes). Interleaving puts
+    # ~a full pass between a query's reps, so one contention window can
+    # poison at most one of its three reps and the min survives.
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        _mark(f"timing {name}")
-        best = None
-        for _ in range(3):  # min of 3 runs: host VM noise swings single reps >2x
+    pass_totals: list[float] = []
+    for rep in range(3):
+        _mark(f"timing pass {rep + 1}/3")
+        pass_total = 0.0
+        for name in HEADLINE:
             # cold cache each rep: a persist() surviving rep 1 would make
             # rep 2 measure the cached path, not the real plan
             spark.catalog.clearCache()
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             el = time.time() - t0
-            best = el if best is None else min(best, el)
-        per_query[name] = round(best, 3)
+            pass_total += el
+            if name not in per_query or el < per_query[name]:
+                per_query[name] = el
+        pass_totals.append(round(pass_total, 3))
+    per_query = {n: round(v, 3) for n, v in per_query.items()}
+    # a contended pass is visible here: one pass total far above the
+    # other two means that pass's reps were inflated (and discarded by
+    # the per-query min wherever another pass was clean)
+    _mark(f"pass totals: {pass_totals}")
 
     total = round(sum(per_query.values()), 3)
     result = {
@@ -315,6 +333,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "pass_totals": pass_totals,
         "sf": sf,
         "cpus": int(cpus),
     }
