@@ -594,6 +594,26 @@ def main() -> None:
         # at every factor, so the broadcast-offset path is what's measured
         timed("packing_prefix_sum", k, P.pack_spans(docs, bucket_size=5000))
 
+        # round 13: full stdlib media decode — encode pass (stands in for a
+        # binaryFile scan) -> PNG/WAV decode -> per-kind checksum agg; both
+        # passes are mapInPandas with no shuffle before the final k-row agg
+        from mapreducefw_spark.queries.pipeline49 import (
+            decode_checksum_frame,
+            media_payload_frame,
+        )
+
+        timed(
+            "media_decode_maponly",
+            k,
+            decode_checksum_frame(media_payload_frame(docs))
+            .groupBy("kind")
+            .agg(
+                F.count(F.lit(1)).alias("n_media"),
+                F.sum("n_values").alias("n_values"),
+                F.sum("value_sum").alias("value_sum"),
+            ),
+        )
+
         # minhash signature + banding + bucket join. Copies are salted in
         # hash space (hs -> xxhash64(i, h)) so copy families are mutually
         # dissimilar: the near-dup graph is replicated k times and candidate
@@ -2115,6 +2135,12 @@ def main() -> None:
             "per-key sort fits one task, an OOM/straggler cliff when it "
             "doesn't; kept as the honest contrast to the two-phase form"
         ),
+        "media_decode_maponly": (
+            "two chained mapInPandas passes (encode fixture + stdlib "
+            "decode), zero shuffles before the k-row kind agg — per-object "
+            "Python work dominates and replicates exactly with the data; "
+            "any superlinear reading here is host noise, not plan"
+        ),
         "topk_funnel_two_phase": (
             "operators/rank.py::topk_per_key — the production path every "
             "ANN/vocabulary top-k routes through: lossless per-partition "
@@ -2133,7 +2159,20 @@ def main() -> None:
         else:
             note = " (SUPERLINEAR — investigate)"
         lines.append(f"- {name}: 16x data -> {ratio:.1f}x time{note}")
-    Path("SCALING.md").write_text("\n".join(lines) + "\n" + BENCH_NOTES)
+    # Preserve the notes tail (every "## Round ..." section) from the
+    # EXISTING SCALING.md: rounds append adjudication notes directly to the
+    # file between regens, so regenerating from the embedded BENCH_NOTES
+    # literal alone would silently clobber them (nearly happened to the
+    # round-13 contention-window adjudication). The literal is only the
+    # fallback for a fresh checkout with no SCALING.md.
+    out = Path("SCALING.md")
+    notes = BENCH_NOTES
+    if out.exists():
+        existing = out.read_text()
+        idx = existing.find("\n## Round")
+        if idx >= 0:
+            notes = existing[idx + 1 :]
+    out.write_text("\n".join(lines) + "\n\n" + notes.lstrip("\n"))
     print("\n".join(lines[-6:]))
 
 
