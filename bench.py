@@ -401,6 +401,7 @@ def main() -> None:
             "sf": result["sf"],
             "cpus": result["cpus"],
             "n_queries": len(per_query),
+            "pass_totals": pass_totals,
             "queries_file": "BENCH_FULL.json",
         }
         if "vs_prev" in result:
