@@ -507,6 +507,19 @@ the remainder (beyond a ≤30ms normalization bound) to fixture distribution
 """
 
 
+def notes_tail(existing: str | None, fallback: str) -> str:
+    """The notes sections to carry through a regen: everything from the
+    first '## Round' heading of the EXISTING SCALING.md (rounds append
+    adjudication notes directly to the file between regens, and a regen
+    must not clobber them); the embedded literal is only the fallback for
+    a fresh checkout with no SCALING.md or one with no notes yet."""
+    if existing:
+        idx = existing.find("\n## Round")
+        if idx >= 0:
+            return existing[idx + 1 :]
+    return fallback
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", cpus=32)
     li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -2159,20 +2172,11 @@ def main() -> None:
         else:
             note = " (SUPERLINEAR — investigate)"
         lines.append(f"- {name}: 16x data -> {ratio:.1f}x time{note}")
-    # Preserve the notes tail (every "## Round ..." section) from the
-    # EXISTING SCALING.md: rounds append adjudication notes directly to the
-    # file between regens, so regenerating from the embedded BENCH_NOTES
-    # literal alone would silently clobber them (nearly happened to the
-    # round-13 contention-window adjudication). The literal is only the
-    # fallback for a fresh checkout with no SCALING.md.
     out = Path("SCALING.md")
-    notes = BENCH_NOTES
-    if out.exists():
-        existing = out.read_text()
-        idx = existing.find("\n## Round")
-        if idx >= 0:
-            notes = existing[idx + 1 :]
-    out.write_text("\n".join(lines) + "\n\n" + notes.lstrip("\n"))
+    existing = out.read_text() if out.exists() else None
+    out.write_text(
+        "\n".join(lines) + "\n\n" + notes_tail(existing, BENCH_NOTES).lstrip("\n")
+    )
     print("\n".join(lines[-6:]))
 
 
