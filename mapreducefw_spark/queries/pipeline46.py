@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducefw_spark.queries import register
+from mapreducefw_spark.operators.textprep import ensure_parallelism
 from mapreducefw_spark.queries._util import dec, t
 
 B_REPLICATES = 64
@@ -130,8 +131,15 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (n_rows, mean_value, ci_lo, ci_hi, n_replicates) — the
     Poisson-bootstrap 95% CI of the mean order value. The B-fold explode
     feeds a map-side-combined hash aggregate (B partial rows per task)."""
-    o = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    # spread BEFORE the B-fold explode: the single-row-group fixture scan
+    # is one task, and the 64x md5 weight draw is ~98% of this query's CPU
+    # (stage probe r13: 10.8s wall / 10.6s CPU on ONE task of 32) —
+    # round-robin repartition is safe here because every downstream
+    # aggregate is exact (decimal sum, bigint sum, count)
+    o = ensure_parallelism(
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_totalprice")
     )
     reps = spark.range(B_REPLICATES).select(F.col("id").cast("bigint").alias("b"))
     u = F.conv(
