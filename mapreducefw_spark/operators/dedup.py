@@ -523,27 +523,30 @@ def dedup_groups(
     )
     changed = 0
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
+        # One round = ONE join + ONE aggregate (r13 optimization): the
+        # neighbor contributions and the node's own label are unioned and
+        # min-folded together — min(self ∪ neighbors) is exactly the old
+        # least(own, coalesce(neighbor_min, own)) — instead of the former
+        # join + groupBy + second (left) join. The own label rides the
+        # union under an _own tag so the SAME aggregate also yields the
+        # old label, which makes the convergence check a scan of the
+        # checkpointed output (new < old somewhere?) rather than a third
+        # join of consecutive label frames. Exact-integer min: identical
+        # labels, identical round count, order-free.
+        contrib = edges.join(labels, edges.dst == labels.doc).select(
+            F.col("src").alias("doc"), "label", F.lit(False).alias("_own")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
-            .select(
-                "doc",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+        folded = (
+            contrib.unionByName(labels.select("doc", "label", F.lit(True).alias("_own")))
+            .groupBy("doc")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = folded.filter(F.col("label") < F.col("_old")).limit(1).count()
+        labels = folded.select("doc", "label")
         if changed == 0:
             break
     if changed != 0:

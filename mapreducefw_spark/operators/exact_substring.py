@@ -100,8 +100,14 @@ def gram_positions(
             f"as bigint) as h))"
         ),
     ).otherwise(F.array().cast("array<struct<p:int,h:bigint>>"))
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    # the per-position md5 hashing is the dominant CPU of every consumer
+    # (r13 stage probe: 2.5s on ONE task from the unsplittable fixture
+    # scan) — spread it before the explode; downstream is all exact
+    # (hash grouping, integer min/max/count), so placement is free
     return (
-        docs.filter(F.col(text_col).isNotNull())
+        ensure_parallelism(docs.filter(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
         .select("doc", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
     )

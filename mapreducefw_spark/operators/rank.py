@@ -117,6 +117,37 @@ def global_rank_running(
     return out.drop(*drop)
 
 
+def top1_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Per-key argmin under the TOTAL order whose ASCENDING lexicographic
+    struct comparison equals the desired ranking (negate a numeric column
+    to rank descending) — the k=1 special case of ``topk_per_key``.
+
+    ``topk_per_key`` needs two window exchanges (local prune, global
+    re-rank) because general k must keep k rows per key. For k=1 the
+    winner is a plain aggregate: ``min(struct(order..., payload...))``,
+    which partial-aggregates map-side and shuffles ONE row per (key,
+    input partition) — strictly less work and plan surface than the
+    window pair, with the identical deterministic result provided
+    ``order_cols`` total-order the rows within a key (all call sites
+    tiebreak on a unique id) and contain no NULLs (the ANN frames are
+    searchable-guarded; labels/counts are non-null by construction).
+    Payload fields ride inside the struct AFTER the order fields, so they
+    can never influence the comparison before the total order has already
+    decided it."""
+    s = F.struct(
+        *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        *[F.col(p).alias(p) for p in payload_cols],
+    )
+    return df.groupBy(*key_cols).agg(F.min(s).alias("_t1")).select(
+        *key_cols, *[F.col(f"_t1.{p}").alias(p) for p in payload_cols]
+    )
+
+
 def topk_per_key(
     df: DataFrame,
     key_cols: list[str],

@@ -360,7 +360,15 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_accuracy_pins.py); at production scale PQ composes with IVF
     (IVF-ADC) so each query scans nprobe cells of byte codes, not floats."""
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    nrm = similarity.l2_normalize(emb)
+    # ONE materialization of the normalized corpus (r13): the staged-norm
+    # projection inside l2_normalize is collapsed by Catalyst back into
+    # the transform lambda (plan-verified), so every downstream consumer
+    # that re-derives anything from `nrm` lazily (searchable guards,
+    # rerank norms, Arrow input projections, Lloyd passes) re-evaluates
+    # an O(dim^2)-per-row fold — measured as 2.4-4.9s SINGLE-TASK scan
+    # stages. The checkpoint pins plain double vectors for its >= 2
+    # downstream passes; same values, same rows.
+    nrm = similarity.l2_normalize(emb).localCheckpoint(eager=False)
     books = similarity.pq_train(nrm, m=16, k=16, iters=2, dim=EMBEDDING_DIM)
     coded = similarity.pq_encode(nrm, books, assume_searchable=True)  # nrm is guarded
     q = nrm.filter(F.col("vid") < 10)
@@ -376,7 +384,15 @@ def embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF's scan cut x PQ's 16x memory cut multiplied together. Recall@5
     pinned >= 0.7 (0.86 measured) in tests/test_accuracy_pins.py."""
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    nrm = similarity.l2_normalize(emb)
+    # ONE materialization of the normalized corpus (r13): the staged-norm
+    # projection inside l2_normalize is collapsed by Catalyst back into
+    # the transform lambda (plan-verified), so every downstream consumer
+    # that re-derives anything from `nrm` lazily (searchable guards,
+    # rerank norms, Arrow input projections, Lloyd passes) re-evaluates
+    # an O(dim^2)-per-row fold — measured as 2.4-4.9s SINGLE-TASK scan
+    # stages. The checkpoint pins plain double vectors for its >= 2
+    # downstream passes; same values, same rows.
+    nrm = similarity.l2_normalize(emb).localCheckpoint(eager=False)
     books = similarity.pq_train(nrm, m=16, k=16, iters=2, dim=EMBEDDING_DIM)
     q = nrm.filter(F.col("vid") < 10)
     return similarity.ivf_pq_topk(

@@ -461,7 +461,15 @@ def ngram_overlap_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     force-broadcast: real benchmark suites are small but unbounded-many —
     the planner broadcasts when stats allow), per-doc hit count, one join
     back to the per-doc gram count. All frames are gram-hash sized."""
-    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    # the tokenize+md5 gram transform below is the dominant CPU (r13
+    # stage probe: 2.5s on ONE task from the unsplittable fixture scan) —
+    # spread the scan so the checkpointed gram arrays materialize in
+    # parallel; every downstream aggregate is exact integers
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     gh = F.when(
         F.size(F.split("text", " ")) >= 5,
         F.array_distinct(

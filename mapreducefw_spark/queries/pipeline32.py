@@ -360,7 +360,14 @@ def stop_gram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus twice and ran 1.6x slower; this one-pass form is the fastest
     (2.6s vs 3.4/5.3 at sf0.1) and combine-eligible. Top-3 per source by
     (df DESC, gram ASC), a source-partitioned window over the df grid."""
-    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    # gram slicing/joining is this query's CPU (r13 stage probe: 2.8s on
+    # ONE task from the unsplittable fixture scan) — spread the scan;
+    # the (source, gram) count partials are exact either way
+    d = ensure_parallelism(
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 4),

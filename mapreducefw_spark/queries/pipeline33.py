@@ -230,7 +230,15 @@ def embedding_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducefw_spark.operators import similarity
 
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    nrm = similarity.l2_normalize(emb)
+    # ONE materialization of the normalized corpus (r13): the staged-norm
+    # projection inside l2_normalize is collapsed by Catalyst back into
+    # the transform lambda (plan-verified), so every downstream consumer
+    # that re-derives anything from `nrm` lazily (searchable guards,
+    # rerank norms, Arrow input projections, Lloyd passes) re-evaluates
+    # an O(dim^2)-per-row fold — measured as 2.4-4.9s SINGLE-TASK scan
+    # stages. The checkpoint pins plain double vectors for its >= 2
+    # downstream passes; same values, same rows.
+    nrm = similarity.l2_normalize(emb).localCheckpoint(eager=False)
     books = _pq_books()
     coded = similarity.pq_encode(nrm, books, assume_searchable=True)  # nrm is guarded
     q = nrm.filter(F.col("vid") < 10)
@@ -314,7 +322,15 @@ def embedding_ivf_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFram
     from mapreducefw_spark.operators import similarity
 
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
-    nrm = similarity.l2_normalize(emb)
+    # ONE materialization of the normalized corpus (r13): the staged-norm
+    # projection inside l2_normalize is collapsed by Catalyst back into
+    # the transform lambda (plan-verified), so every downstream consumer
+    # that re-derives anything from `nrm` lazily (searchable guards,
+    # rerank norms, Arrow input projections, Lloyd passes) re-evaluates
+    # an O(dim^2)-per-row fold — measured as 2.4-4.9s SINGLE-TASK scan
+    # stages. The checkpoint pins plain double vectors for its >= 2
+    # downstream passes; same values, same rows.
+    nrm = similarity.l2_normalize(emb).localCheckpoint(eager=False)
     books = _pq_books()
     q = nrm.filter(F.col("vid") < 10)
     return similarity.ivf_pq_topk(

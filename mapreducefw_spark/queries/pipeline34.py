@@ -210,7 +210,7 @@ def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate frame is k-bounded per anchor; label joins are id->label
     lookups; everything after the LSH tier touches candidate-sized
     rows."""
-    from mapreducefw_spark.operators.rank import topk_per_key
+    from mapreducefw_spark.operators.rank import top1_per_key
 
     lab = t(spark, sf_dir, "embeddings").select("vec_id", "label")
     cands = lsh_dedup_candidates_frame(spark, sf_dir)
@@ -226,14 +226,22 @@ def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("qid").alias("anchor"), "alabel", "nid", "nlabel", "sim")
         .localCheckpoint(eager=False)  # feeds pos, negs and the margin count
     )
-    order = [F.desc("sim"), F.asc("nid")]
-    pos = topk_per_key(
-        pairs.filter(F.col("nlabel").eqNullSafe(F.col("alabel"))), ["anchor"], order, 1
+    # k=1 argmax via ONE partial-aggregable exchange (top1_per_key, r13)
+    # instead of topk_per_key's two window exchanges: min(struct(-sim,
+    # nid, ...)) IS (sim DESC, nid ASC) — sims are finite (searchable-
+    # guarded) and nid unique per anchor, so the order is total and the
+    # winner identical.
+    order = [(-F.col("sim")).alias("ns"), F.col("nid")]
+    pos = top1_per_key(
+        pairs.filter(F.col("nlabel").eqNullSafe(F.col("alabel"))),
+        ["anchor"],
+        order,
+        ["nid", "sim"],
     ).select("anchor", F.col("nid").alias("pos_id"), F.col("sim").alias("pos_sim"))
     negs = pairs.filter(~F.col("nlabel").eqNullSafe(F.col("alabel"))).select(
         "anchor", "nid", "sim"
     )
-    hardest = topk_per_key(negs, ["anchor"], order, 1).select(
+    hardest = top1_per_key(negs, ["anchor"], order, ["nid", "sim"]).select(
         "anchor", F.col("nid").alias("hard_neg_id"), F.col("sim").alias("hard_neg_sim")
     )
     nhard = (
@@ -308,7 +316,7 @@ def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw vectors past the LSH rerank."""
     from mapreducefw_spark.operators import similarity
     from mapreducefw_spark.operators.dedup import dedup_groups
-    from mapreducefw_spark.operators.rank import topk_per_key
+    from mapreducefw_spark.operators.rank import top1_per_key
     from mapreducefw_spark.queries.pipeline32 import lsh_dedup_pairs_frame
 
     emb = similarity.as_double_vecs(t(spark, sf_dir, "embeddings"))
@@ -330,8 +338,12 @@ def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # feeds the canon rank AND the decision join
     )
-    canon = topk_per_key(
-        members, ["cluster_id"], [F.desc("norm2"), F.asc("vid")], 1, rank_col="_r"
+    # k=1 canonical rank as one partial-aggregable exchange (top1_per_key,
+    # r13): min(struct(-norm2, vid)) IS (norm2 DESC, vid ASC); norm2 is a
+    # finite non-null ROUND(dot,6) and vid unique, so the order is total
+    # and the canonical pick identical to the window form.
+    canon = top1_per_key(
+        members, ["cluster_id"], [(-F.col("norm2")).alias("nn"), F.col("vid")], ["vid"]
     ).select("cluster_id", F.col("vid").alias("canonical_vid"))
     return (
         members.join(canon, "cluster_id")

@@ -29,9 +29,9 @@ are checkpointed, so AQE reads their true size and broadcasts while they
 fit, falling back to a shuffle join on `src` once the node-sized frame
 outgrows the threshold (a hard-coded hint here would OOM at graph scale —
 ADVICE r12) — + a (dst, lbl) count whose pre-shuffle partials are
-map-side combined + a two-phase ``topk_per_key`` argmax (no per-node
-window funnel); per-round lineage truncation keeps the plan
-iteration-shaped. At the shuffle-join end this is exactly the GraphX
+map-side combined + a single-exchange ``top1_per_key`` argmax (no
+per-node window funnel, no second rank pass); per-round lineage
+truncation keeps the plan iteration-shaped. At the shuffle-join end this is exactly the GraphX
 shape: edges hashed by src once, labels shuffled to that partitioning
 each round — node-sized per-iteration traffic (the
 ``pagerank_copurchase`` note).
@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducefw_spark.operators.rank import topk_per_key
+from mapreducefw_spark.operators.rank import top1_per_key
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
 
@@ -108,8 +108,14 @@ def lpa_from_edges(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
             .groupBy("dst", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # k=1 argmax as ONE partial-aggregable exchange (top1_per_key)
+        # instead of topk_per_key's two window exchanges + sorts: min over
+        # struct(-c, lbl) IS (c DESC, lbl ASC) — counts are >= 1 BIGINTs,
+        # so the negation is exact and the order total. Identical labels.
         labels = (
-            topk_per_key(counts, ["dst"], [F.desc("c"), F.asc("lbl")], 1, "_lr")
+            top1_per_key(
+                counts, ["dst"], [(-F.col("c")).alias("nc"), F.col("lbl")], ["lbl"]
+            )
             .select(F.col("dst").alias("node"), "lbl")
             .localCheckpoint(eager=False)
         )

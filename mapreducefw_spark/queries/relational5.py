@@ -24,7 +24,14 @@ ORDER BY l_returnflag
 def median_exact_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) — both engines interpolate
     (a + (b-a)*frac) over the sorted values, bit-identical on doubles."""
-    li = t(spark, sf_dir, "lineitem")
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
+    # exact percentile buffers every value in its partial aggregate; on
+    # the unsplittable single-row-group fixture that partial build ran on
+    # 3 tasks (r13 stage probe: 1.9s scan stage) — spread the scan so the
+    # per-partition buffers build on all cores. Percentile merges count
+    # maps, so partitioning cannot change the result.
+    li = ensure_parallelism(t(spark, sf_dir, "lineitem"))
     return (
         li.groupBy("l_returnflag")
         .agg(
