@@ -72,9 +72,12 @@ PUSHDOWN_REQUIRED = {
     # must reach the embeddings scans
     # (semantic_dedup_portable is NOT here: its cell frame is
     # localCheckpoint-pinned like minhash — pushdown lives in the
-    # checkpoint subplan, invisible to the final plan string)
-    "embedding_pq_topk_portable",
-    "embedding_ivf_pq_topk_portable",
+    # checkpoint subplan, invisible to the final plan string;
+    # embedding_pq_topk_portable / embedding_ivf_pq_topk_portable moved
+    # off this list in r13: their normalized corpus is now
+    # localCheckpoint-pinned — one materialization for the >= 2
+    # downstream passes — so their embeddings scans live in the
+    # checkpoint subplan too)
     # round 11: vec_id/label guards must reach the embeddings scan;
     # doc_id IS NOT NULL must reach the documents scan (the other five
     # round-11 headliners are localCheckpoint-truncated like minhash)
