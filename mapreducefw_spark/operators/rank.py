@@ -117,11 +117,65 @@ def global_rank_running(
     return out.drop(*drop)
 
 
+def global_topk(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "global_rank",
+) -> DataFrame:
+    """Global top-k under a TOTAL order (tie-break to uniqueness!) without
+    the full machinery of ``global_rank_running``.
+
+    ``global_rank_running`` exists for FULL rankings (every row keeps a
+    rank), which forces a range exchange, a localCheckpoint of the ranged
+    frame (the range partitioner resamples per execution) and the
+    triangular offsets chain — three extra jobs per call (range sampling,
+    checkpoint, offsets) on top of the exchanges. When the caller only
+    keeps ``rank <= k`` none of that is needed: prune to the top-k of
+    every input partition (lossless for ANY row placement under a total
+    order — every global top-k row is top-k of whichever partition holds
+    it, the ``topk_per_key`` phase-1 argument with zero key columns), then
+    rank the <= k * n_partitions survivors in one bounded single-partition
+    window. One hash exchange of the full frame + one bounded exchange of
+    survivors; no sampling job, no checkpoint, no offsets. Ranks 1..k are
+    identical to ``global_rank_running``'s under the same total order.
+
+    Scale: the survivor frame is k x input-partition-count rows (k <= 50
+    at 10k scan partitions = 500k narrow rows), so the single-task final
+    window is structurally bounded — this is the standard distributed
+    top-k shape, not a data-sized funnel."""
+    tag = "_gtk_pid"
+    while tag in df.columns:
+        tag += "_"
+    w_local = W.partitionBy(tag).orderBy(*order_cols)
+    survivors = (
+        df.withColumn(tag, F.spark_partition_id())
+        .withColumn(rank_col, F.row_number().over(w_local))
+        .filter(F.col(rank_col) <= k)
+        .drop(tag, rank_col)
+    )
+    # repartition(1) gives SinglePartition, which satisfies the final
+    # window's clustering outright — the window adds NO further exchange,
+    # and partitioning by the materialized pid column (constant 0 here)
+    # keeps the partitionSpec non-empty (no unpartitioned WindowExec, and
+    # no foldable literal for the optimizer to fold away).
+    final = survivors.repartition(1).withColumn(tag, F.spark_partition_id())
+    w = W.partitionBy(tag).orderBy(*order_cols)
+    return (
+        final
+        # bigint to match global_rank_running's rank type exactly
+        .withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+        .drop(tag)
+    )
+
+
 def top1_per_key(
     df: DataFrame,
     key_cols: list[str],
     order_cols: list[Column],
     payload_cols: list[str],
+    check_order: bool = False,
 ) -> DataFrame:
     """Per-key argmin under the TOTAL order whose ASCENDING lexicographic
     struct comparison equals the desired ranking (negate a numeric column
@@ -138,13 +192,47 @@ def top1_per_key(
     searchable-guarded; labels/counts are non-null by construction).
     Payload fields ride inside the struct AFTER the order fields, so they
     can never influence the comparison before the total order has already
-    decided it."""
+    decided it.
+
+    ``check_order=True`` adds an in-plan guard that fails the job loudly
+    if any order value is NULL or NaN (struct-min sorts NULLs FIRST where
+    a desc window sorts them last, and min(-x) excludes NaN while
+    F.desc(x) selects it — silent divergence from ``topk_per_key``
+    otherwise; ADVICE r13). Off by default: the guard costs a branch per
+    row, and every current call site is non-null by construction."""
+    # collision-proof the internal names (ADVICE r13): a payload column
+    # literally named _o0/_o1/... would duplicate a struct field name and
+    # make the _t1.<p> extraction ambiguous; a key column named _t1 the
+    # same. Extend with underscores until unique, like topk_per_key.
+    taken = set(payload_cols)
+    otag = "_o"
+    while any(f"{otag}{i}" in taken for i in range(len(order_cols))):
+        otag += "_"
+    t1 = "_t1"
+    while t1 in df.columns:
+        t1 += "_"
+    if check_order:
+        # total NULL/NaN test without type introspection: x <> x is true
+        # only for NaN (and NULL-safe via the isNull arm)
+        order_cols = [
+            F.when(
+                c.isNull() | (c != c),
+                F.raise_error(
+                    F.lit(
+                        "top1_per_key: NULL/NaN in an order column — the "
+                        "struct-min winner would diverge from the window "
+                        "form (see docstring)"
+                    )
+                ),
+            ).otherwise(c)
+            for c in order_cols
+        ]
     s = F.struct(
-        *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        *[c.alias(f"{otag}{i}") for i, c in enumerate(order_cols)],
         *[F.col(p).alias(p) for p in payload_cols],
     )
-    return df.groupBy(*key_cols).agg(F.min(s).alias("_t1")).select(
-        *key_cols, *[F.col(f"_t1.{p}").alias(p) for p in payload_cols]
+    return df.groupBy(*key_cols).agg(F.min(s).alias(t1)).select(
+        *key_cols, *[F.col(f"{t1}.{p}").alias(p) for p in payload_cols]
     )
 
 

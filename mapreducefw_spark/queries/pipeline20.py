@@ -300,6 +300,11 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # NOTE (r14 measured negative): repartitioning `uniq` below the
+    # per-gram md5 transform (the AQE-coalesce-class stage the r13 log
+    # flagged) was tried and CPU-probed at 2.17 -> 8.51 CPU-s, wall
+    # 4.12 -> 5.99s — the same multi-consumer-checkpoint x tiny-partition
+    # loss signature as the r13 gated-scan spread. Do not re-try blind.
     grams = uniq.select("doc_id", "source", "n_words", gh.alias("gh")).localCheckpoint(
         eager=False
     )

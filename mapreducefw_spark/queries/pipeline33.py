@@ -87,6 +87,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducefw_spark.operators.persist import pin
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
 
@@ -238,7 +239,7 @@ def embedding_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an O(dim^2)-per-row fold — measured as 2.4-4.9s SINGLE-TASK scan
     # stages. The checkpoint pins plain double vectors for its >= 2
     # downstream passes; same values, same rows.
-    nrm = similarity.l2_normalize(emb).localCheckpoint(eager=False)
+    nrm = pin(similarity.l2_normalize(emb))
     books = _pq_books()
     coded = similarity.pq_encode(nrm, books, assume_searchable=True)  # nrm is guarded
     q = nrm.filter(F.col("vid") < 10)
@@ -330,7 +331,7 @@ def embedding_ivf_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFram
     # an O(dim^2)-per-row fold — measured as 2.4-4.9s SINGLE-TASK scan
     # stages. The checkpoint pins plain double vectors for its >= 2
     # downstream passes; same values, same rows.
-    nrm = similarity.l2_normalize(emb).localCheckpoint(eager=False)
+    nrm = pin(similarity.l2_normalize(emb))
     books = _pq_books()
     q = nrm.filter(F.col("vid") < 10)
     return similarity.ivf_pq_topk(

@@ -38,7 +38,9 @@ equal to Spark's ``aggregate(zip_with(...))`` and DuckDB's
 rounding-midpoint class documented in pipeline33.
 
 Scale posture: both retriever rankings route through the two-phase
-``global_rank_running`` (no unpartitioned window anywhere); the fusion
+``global_topk`` (no unpartitioned window anywhere, no range-sampling or
+checkpoint jobs — r14: the full-ranking ``global_rank_running`` was
+overkill for rank <= N consumers); the fusion
 join is top-N x top-N; the MMR pool is k-bounded per query and the
 greedy kernel runs per-query-group inside ``applyInPandas`` — millions
 of concurrent queries scale horizontally, each group is O(pool^2) on
@@ -93,9 +95,9 @@ def _qvec_sql() -> str:
 def _bm25_ranked_frame(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     """Top-n lexical ranking (id, lex_rk): Okapi BM25 over the fixed
     query-term set, scored exactly like pipeline23's ``bm25_scores`` but
-    ranked through the two-phase ``global_rank_running`` instead of a
-    bare global window."""
-    from mapreducefw_spark.operators.rank import global_rank_running
+    ranked through the two-phase ``global_topk`` instead of a bare
+    global window."""
+    from mapreducefw_spark.operators.rank import global_topk
 
     toks = (
         t(spark, sf_dir, "documents")
@@ -135,8 +137,8 @@ def _bm25_ranked_frame(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term), 6).alias("bm25"))
     )
-    ranked = global_rank_running(scored, [F.desc("bm25"), F.asc("doc_id")])
-    return ranked.filter(F.col("global_rank") <= n).select(
+    ranked = global_topk(scored, [F.desc("bm25"), F.asc("doc_id")], n)
+    return ranked.select(
         F.col("doc_id").alias("id"), F.col("global_rank").cast("int").alias("lex_rk")
     )
 
@@ -202,12 +204,12 @@ def _dense_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dense_ranked_frame(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     """Top-n dense ranking (id, vec, sim, dense_rk) via the two-phase
-    global rank."""
-    from mapreducefw_spark.operators.rank import global_rank_running
+    global top-k."""
+    from mapreducefw_spark.operators.rank import global_topk
 
     scored = _dense_scored_frame(spark, sf_dir)
-    ranked = global_rank_running(scored, [F.desc("sim"), F.asc("id")])
-    return ranked.filter(F.col("global_rank") <= n).select(
+    ranked = global_topk(scored, [F.desc("sim"), F.asc("id")], n)
+    return ranked.select(
         "id", "vec", "sim", F.col("global_rank").cast("int").alias("dense_rk")
     )
 
@@ -240,20 +242,32 @@ den AS MATERIALIZED (
 # ----------------------------------------------------------------- fusion
 
 def _rrf_fused_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id, lex_rk, dense_rk, rrf): full outer join of the two rank
-    lists; a doc missing from one list contributes 0 from that side —
-    the standard RRF treatment of partial lists."""
+    """(id, lex_rk, dense_rk, rrf): outer-merge of the two rank lists; a
+    doc missing from one list contributes 0 from that side — the standard
+    RRF treatment of partial lists.
+
+    The merge is a union + one map-combinable aggregate rather than a
+    FULL OUTER join (r14): each id appears at most once per list, so
+    max-of-one-non-null per column reproduces the join's row set and
+    values exactly, and a full-outer join cannot broadcast — it would pin
+    a SortMergeJoin (2 exchanges + sorts) into every fused plan where one
+    hash aggregate suffices (guide §2.4). The oracle keeps the FULL OUTER
+    spelling; the results are identical by construction."""
     lex = _bm25_ranked_frame(spark, sf_dir, N_LEX)
     den = _dense_ranked_frame(spark, sf_dir, N_DENSE).select("id", "dense_rk")
+    nulli = F.lit(None).cast("int")
+    merged = (
+        lex.select("id", "lex_rk", nulli.alias("dense_rk"))
+        .unionByName(den.select("id", nulli.alias("lex_rk"), "dense_rk"))
+        .groupBy("id")
+        .agg(F.max("lex_rk").alias("lex_rk"), F.max("dense_rk").alias("dense_rk"))
+    )
     rrf = F.round(
         F.coalesce(1.0 / (RRF_K + F.col("lex_rk")), F.lit(0.0))
         + F.coalesce(1.0 / (RRF_K + F.col("dense_rk")), F.lit(0.0)),
         9,
     )
-    return (
-        lex.join(den, "id", "full_outer")
-        .select("id", "lex_rk", "dense_rk", rrf.alias("rrf"))
-    )
+    return merged.select("id", "lex_rk", "dense_rk", rrf.alias("rrf"))
 
 
 def _rrf_sql() -> str:
@@ -289,14 +303,14 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     space (the synthetic corpus aligns them; partial dense coverage at
     sf0.1 — 2k vectors vs 5k docs — is exactly the partial-list case RRF
     exists for). Scale: each retriever ranks through the two-phase
-    global rank (one range exchange each); the fusion join and final
+    top-k (one hash exchange each); the fusion join and final
     rank touch <= N_LEX + N_DENSE rows."""
-    from mapreducefw_spark.operators.rank import global_rank_running
+    from mapreducefw_spark.operators.rank import global_topk
 
     fused = _rrf_fused_frame(spark, sf_dir)
-    ranked = global_rank_running(fused, [F.desc("rrf"), F.asc("id")])
+    ranked = global_topk(fused, [F.desc("rrf"), F.asc("id")], RRF_TOP)
     return (
-        ranked.filter(F.col("global_rank") <= RRF_TOP)
+        ranked
         .select(
             "id",
             "lex_rk",
@@ -495,11 +509,11 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the scale shape of its standalone form: two-phase ranks, top-N
     fusion join, per-query-group MMR kernel; the normalizing max rides a
     1-row broadcast."""
-    from mapreducefw_spark.operators.rank import global_rank_running
+    from mapreducefw_spark.operators.rank import global_topk
 
     fused = _rrf_fused_frame(spark, sf_dir)
-    ranked = global_rank_running(fused, [F.desc("rrf"), F.asc("id")])
-    ftop = ranked.filter(F.col("global_rank") <= MMR_POOL).select(
+    ranked = global_topk(fused, [F.desc("rrf"), F.asc("id")], MMR_POOL)
+    ftop = ranked.select(
         "id", "rrf", F.col("global_rank").cast("int").alias("fused_rk")
     )
     fmax = ftop.agg(F.max("rrf").alias("m"))

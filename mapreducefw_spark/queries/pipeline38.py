@@ -513,11 +513,19 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     dyadic weight array (every partial sum exact, so double addition is
     order-independent and both engines agree bitwise), then an
     O(sources) map-combined shuffle."""
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
     warr = F.array(*[F.lit(v) for v in _QC_W])
     toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # spread the single-row-group scan before the per-token md5 bucket
+    # fold (guide §2.5, r14 — see pipeline47.scored_frame): integer
+    # counts and sums of exact 1/64-multiples are placement-free.
     d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        ensure_parallelism(
+            t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "source", "text")
+        )
         .select("doc_id", "source", toks.alias("toks"))
         .filter(F.size("toks") > 0)
     )

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducefw_spark.operators.persist import pin
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
 from mapreducefw_spark.queries.pipeline33 import _D0, _PQ_COMMON_SQL, _pq_books
@@ -187,7 +188,7 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an O(dim^2)-per-row fold — measured as 2.4-4.9s SINGLE-TASK scan
     # stages. The checkpoint pins plain double vectors for its >= 2
     # downstream passes; same values, same rows.
-    nrm = similarity.l2_normalize(emb).localCheckpoint(eager=False)
+    nrm = pin(similarity.l2_normalize(emb))
     books = _pq_books()
     coded = similarity.pq_encode(nrm, books, assume_searchable=True)
     q = nrm.filter(F.col("vid") < 10)

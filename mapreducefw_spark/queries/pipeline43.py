@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducefw_spark.operators.persist import pin
 from mapreducefw_spark.operators.rank import top1_per_key
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
@@ -112,12 +113,10 @@ def lpa_from_edges(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
         # instead of topk_per_key's two window exchanges + sorts: min over
         # struct(-c, lbl) IS (c DESC, lbl ASC) — counts are >= 1 BIGINTs,
         # so the negation is exact and the order total. Identical labels.
-        labels = (
+        labels = pin(
             top1_per_key(
                 counts, ["dst"], [(-F.col("c")).alias("nc"), F.col("lbl")], ["lbl"]
-            )
-            .select(F.col("dst").alias("node"), "lbl")
-            .localCheckpoint(eager=False)
+            ).select(F.col("dst").alias("node"), "lbl")
         )
     return labels
 
@@ -127,12 +126,16 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
     frame, checkpointed once."""
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    return (
+    # NOTE (r14 measured negative): repartitioning the edge frame below
+    # the pin (so every round's join inherits 32 partitions instead of
+    # AQE's 1-3) was tried and CPU-probed at 42 -> 64 CPU-s, wall
+    # 6.26 -> 8.23s — per-round per-task overhead multiplies by the
+    # round count. AQE's coalescing is right here; do not re-try blind.
+    return pin(
         a.join(b, "k")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=False)
     )
 
 

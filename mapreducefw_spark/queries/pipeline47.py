@@ -72,11 +72,21 @@ def _scored_sql() -> str:
 def scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, logit, passes): one scan, zero explode — the pipeline38
     deployment-shape scoring pass."""
+    from mapreducefw_spark.operators.textprep import ensure_parallelism
+
     warr = F.array(*[F.lit(v) for v in _QC_W])
     toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # spread the unsplittable single-row-group scan BEFORE the per-token
+    # md5 bucket fold + Gopher rules (guide §2.5 — the same fix as the
+    # gram scans, r14): the logit is a per-row fold over exact dyadic
+    # weights and every consumer aggregate is integer counts or sums of
+    # 1/64-multiples, so placement cannot change any result.
     d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        ensure_parallelism(
+            t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") > 0)
     )

@@ -77,7 +77,9 @@ PUSHDOWN_REQUIRED = {
     # off this list in r13: their normalized corpus is now
     # localCheckpoint-pinned — one materialization for the >= 2
     # downstream passes — so their embeddings scans live in the
-    # checkpoint subplan too)
+    # checkpoint subplan too. Their pushdown is NOT unguarded: r14's
+    # tests/test_checkpoint_pushdown.py audits the PRE-checkpoint
+    # subplan and fails if the vec_id guards stop reaching the scan)
     # round 11: vec_id/label guards must reach the embeddings scan;
     # doc_id IS NOT NULL must reach the documents scan (the other five
     # round-11 headliners are localCheckpoint-truncated like minhash)
@@ -144,10 +146,14 @@ BNL_ALLOWED = {
     # round 10: assign_probe_cells' no-condition cross with the 1-row
     # collected centroid-struct frame (model-sized broadcast)
     "embedding_ivf_pq_topk_portable": 1,
-    # round 11: the two-phase global rank's triangular offset frame
-    # (O(partitions)); the two inner ranks' offsets live in checkpoint
-    # subplans, invisible to the final plan string
-    "rrf_hybrid_retrieval": 1,
+    # round 11 (re-pinned r14): the two 1-row BM25 stats broadcasts
+    # (n_docs onto idf, avgdl onto the scored frame — no-condition
+    # crosses of O(1) frames). Before r14 these were invisible: the
+    # rankings rode global_rank_running, whose localCheckpoint truncated
+    # the plan string below the final rank; global_topk has no checkpoint,
+    # so the whole retriever chain is auditable again (and the offsets
+    # BNL that used to be the 1 allowed here is gone with it).
+    "rrf_hybrid_retrieval": 2,
     # round 11 batch 4: the recall audit's brute-force half crossJoins the
     # broadcast SAMPLED query side (embedding_cosine_topk's documented
     # bounded BNL); the LSH half stays equi-join

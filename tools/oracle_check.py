@@ -33,7 +33,11 @@ for t in [
 
 def norm(v):
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(v)
+        # fixed 12-sig-digit form, -0.0 folded into 0.0: a float32 column
+        # vs a float64 oracle (or a signed zero) must not flag a FAIL when
+        # the values are semantically equal (ADVICE r13). 12 significant
+        # digits is far past every ROUND(6..9) grid the queries emit.
+        return "NaN" if math.isnan(v) else f"{v + 0.0:.12g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):

@@ -4,7 +4,7 @@ Usage: python tools/qprobe.py [--tag TAG] [--reps N] [--sf DIR] name [name ...]
 
 For each named query: one untimed warmup, then N timed noop-sink reps
 (min reported), and the .explain("formatted") text written to
-plans/r13/<name>_<tag>.txt. Session config matches bench.py (get_spark with
+plans/<round>/<name>_<tag>.txt (--round, default r14). Session config matches bench.py (get_spark with
 $SPARK_GRAFT_CPUS), so probe numbers are comparable to BENCH_FULL entries.
 """
 
@@ -38,6 +38,7 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--tag", default=None, help="suffix for the plan file (e.g. before/after); omit to skip plan dump")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--round", default="r14", help="plans/ subdir for --tag dumps")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -48,7 +49,7 @@ def main() -> None:
         q = QUERIES[name]
         df = q(spark, args.sf)
         if args.tag:
-            pdir = REPO / "plans" / "r13"
+            pdir = REPO / "plans" / args.round
             pdir.mkdir(parents=True, exist_ok=True)
             (pdir / f"{name}_{args.tag}.txt").write_text(formatted_plan(df))
         spark.sparkContext.setJobDescription(f"qprobe warmup {name}")

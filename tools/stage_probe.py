@@ -41,7 +41,10 @@ def main() -> None:
         cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
     )
-    base = f"http://localhost:4049/api/v1/applications/{spark.sparkContext.applicationId}"
+    # the configured port is a REQUEST — if it is taken Spark binds port+1
+    # and a hardcoded URL would read a DIFFERENT application's stages
+    # (ADVICE r13); uiWebUrl reports the port actually bound
+    base = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{spark.sparkContext.applicationId}"
 
     q = QUERIES[args.name]
     # warmup (JIT/codegen)
