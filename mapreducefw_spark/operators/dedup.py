@@ -516,16 +516,16 @@ def dedup_groups(
         .distinct()
         .persist()
     )
-    labels = pin(
-        edges.select(F.col("src").alias("doc")).distinct().withColumn("label", F.col("doc"))
-        # per-iteration pin truncates the lineage — without it each round
-        # replans the whole history and runtime grows exponentially; lazy:
-        # round 1's convergence count materializes it in-job (pin() =
-        # localCheckpoint locally; reliable checkpoint on a cluster with a
-        # checkpoint dir — node-sized labels must survive executor loss)
-    )
+    # Round-1 shortcut (r14, exact algebra): labels start as the identity,
+    # so round 1's min(self ∪ neighbor labels) is just least(src, min of
+    # neighbor ids) — ONE map-side-combinable aggregate over the edge
+    # frame replaces the identity-label build + the first edges-x-labels
+    # join (every node appears as src because edges are symmetric; _old
+    # is the identity by definition). Rounds 2+ run the general form.
+    labels = None  # built by round 1; identity fallback only at max_iters=0
     changed = 0
-    for _ in range(max_iters):
+    done = 0
+    while done < max_iters:
         # One round = ONE join + ONE aggregate (r13 optimization): the
         # neighbor contributions and the node's own label are unioned and
         # min-folded together — min(self ∪ neighbors) is exactly the old
@@ -536,30 +536,47 @@ def dedup_groups(
         # checkpointed output (new < old somewhere?) rather than a third
         # join of consecutive label frames. Exact-integer min: identical
         # labels, identical round count, order-free.
-        contrib = edges.join(labels, edges.dst == labels.doc).select(
-            F.col("src").alias("doc"), "label", F.lit(False).alias("_own")
-        )
+        #
         # Pointer doubling (label-of-label self-join after the fold) was
         # implemented and MEASURED here in r14: oracle-identical (the
         # fixpoint is the component minimum either way) but 63 jobs /
-        # 14.7s vs this form's 48 jobs / 9.5s on embedding_dedup_pipeline
-        # — near-dup components are shallow, so the extra self-join's AQE
+        # 14.7s vs 48 jobs / 9.5s on embedding_dedup_pipeline —
+        # near-dup components are shallow, so the extra self-join's AQE
         # stages per round cost more than the rounds it saves. Reverted;
         # re-evaluate only for deep-diameter graphs (guide §2.4 / §1.2).
-        folded = pin(
-            contrib.unionByName(labels.select("doc", "label", F.lit(True).alias("_own")))
-            .groupBy("doc")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+        if labels is None:
+            folded = (
+                edges.groupBy(F.col("src").alias("doc"))
+                .agg(F.min("dst").alias("_m"))
+                .select(
+                    "doc",
+                    F.least(F.col("doc"), F.col("_m")).alias("label"),
+                    F.col("doc").alias("_old"),
+                )
             )
-            # lazy pin + the count below = ONE action per round (r14): the
-            # convergence count's scan is what materializes this round's
-            # checkpoint, where the former eager checkpoint + a separate
-            # limit(1).count() paid two actions per round — at fixture
-            # scale each job costs ~0.2-0.4s of scheduler latency, the
-            # dominant remaining cost of the iterative loop.
-        )
+        else:
+            contrib = edges.join(labels, edges.dst == labels.doc).select(
+                F.col("src").alias("doc"), "label", F.lit(False).alias("_own")
+            )
+            folded = (
+                contrib.unionByName(labels.select("doc", "label", F.lit(True).alias("_own")))
+                .groupBy("doc")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+                )
+            )
+        done += 1
+        # lazy pin + the count below = ONE action per round (r14): the
+        # convergence count's scan is what materializes this round's
+        # checkpoint, where the former eager checkpoint + a separate
+        # limit(1).count() paid two actions per round. A two-rounds-per-
+        # pin variant (lazy odd rounds, check every second round — exact,
+        # since the loop stops iff the LAST round changed nothing) was
+        # also measured in r14: 51 jobs / wall within noise vs this
+        # form's 48 jobs — compiling the doubled plan costs what the
+        # skipped pin saved. Reverted; don't re-try blind.
+        folded = pin(folded)
         changed = folded.filter(F.col("label") < F.col("_old")).count()
         labels = folded.select("doc", "label")
         if changed == 0:
@@ -578,8 +595,13 @@ def dedup_groups(
             import warnings
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    # labels is localCheckpoint()ed (materialized), so the edge cache can be
-    # released as soon as the loop exits — nothing downstream re-reads it
+    if labels is None:  # max_iters == 0: no propagation ran, identity labels
+        labels = (
+            edges.select(F.col("src").alias("doc")).distinct()
+            .withColumn("label", F.col("doc"))
+        )
+    # labels is pinned (materialized), so the edge cache can be released
+    # as soon as the loop exits — nothing downstream re-reads it
     edges.unpersist()
     return labels.select("doc", F.col("label").alias("group_id"))
 

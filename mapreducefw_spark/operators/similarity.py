@@ -318,24 +318,34 @@ def random_hyperplane_topk(
         digest = hashlib.sha256(f"{t}:{p}:{i}".encode()).digest()
         return 1.0 if digest[0] % 2 == 0 else -1.0
 
-    def signature(vec: Column, t: int) -> Column:
-        planes = [
-            F.array(*[F.lit(component(t, p, i)) for i in range(dim)])
-            for p in range(n_planes)
-        ]
-        bits = [F.when(_dot(vec, pl) > 0, F.lit(1)).otherwise(F.lit(0)) for pl in planes]
-        sig = F.lit(0).cast("long")
-        for b, bit in enumerate(bits):
-            sig = sig + F.shiftleft(bit.cast("long"), b)
-        return sig
+    def signature_sql(vec_sql: str, t: int) -> str:
+        # ONE SQL string per table instead of ~dim x n_planes Column ops:
+        # building this tree through F.lit/F.when costs a py4j round trip
+        # PER CALL (~0.25ms each), which r14 profiling measured as 7.5s of
+        # DRIVER time per ann-tier query construction (guide §7.3 — the
+        # driver was the bottleneck, not the executors). The parsed
+        # expression is the same fold over the same double literals in the
+        # same order (repr() round-trips the ±1.0 components exactly), so
+        # every signature bit — and therefore every bucket, candidate and
+        # result — is bit-identical to the Column-built form.
+        bits = []
+        for p in range(n_planes):
+            arr = ", ".join(f"{component(t, p, i)!r}D" for i in range(dim))
+            dot = (
+                f"aggregate(zip_with({vec_sql}, array({arr}), (x, y) -> x * y), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+            bits.append(
+                f"shiftleft(CAST((CASE WHEN {dot} > 0.0D THEN 1 ELSE 0 END) AS BIGINT), {p})"
+            )
+        return "CAST(0 AS BIGINT) + " + " + ".join(bits)
 
     def sigs(df: DataFrame, id_alias: str) -> DataFrame:
-        per_table = F.array(
-            *[
-                F.struct(F.lit(t).alias("table"), signature(F.col("vec"), t).alias("sig"))
-                for t in range(n_tables)
-            ]
+        structs = ", ".join(
+            f"named_struct('table', {t}, 'sig', {signature_sql('vec', t)})"
+            for t in range(n_tables)
         )
+        per_table = F.expr(f"array({structs})")
         return df.select(
             F.col("vid").alias(id_alias), F.explode(per_table).alias("ts")
         ).select(id_alias, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from mapreducefw_spark.operators.persist import pin
 from mapreducefw_spark.operators.rank import top1_per_key
+from mapreducefw_spark.operators.textprep import ensure_parallelism
 from mapreducefw_spark.queries import register
 from mapreducefw_spark.queries._util import t
 
@@ -103,7 +104,23 @@ def lpa_from_edges(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    for _ in range(n_iters):
+    # Round-1 shortcut (r14, exact algebra): labels start as the identity,
+    # so every (dst, lbl=src) group over the DISTINCT symmetric edge set
+    # counts exactly 1 and the (count DESC, lbl ASC) argmax degenerates to
+    # MIN(src) — one map-side-combinable aggregate replaces the first
+    # edges-x-labels join + count + argmax (two exchanges and the l0
+    # distinct saved; every node appears as dst because edges are
+    # symmetric). The oracle's unrolled l1 is identical by the same
+    # argument; rounds 2+ run the general form below.
+    rounds = n_iters
+    if rounds >= 1:
+        labels = pin(
+            edges.groupBy("dst").agg(F.min("src").alias("lbl")).select(
+                F.col("dst").alias("node"), "lbl"
+            )
+        )
+        rounds -= 1
+    for _ in range(rounds):
         counts = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy("dst", "lbl")
@@ -124,6 +141,15 @@ def lpa_from_edges(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
 def copurchase_edges(li: DataFrame) -> DataFrame:
     """Symmetric distinct co-purchase edges from a (l_orderkey, l_partkey)
     frame, checkpointed once."""
+    # spread the SCAN side of the self-join (r14, guide §2.5): the pruned
+    # 2-column lineitem scan is 3 tasks at sf0.1 (single-digit row
+    # groups), so the broadcast-join pair explosion (600k rows -> 2.4M
+    # pairs, stage-probed 2.7s wall / 2.7 CPU-s CPU-BOUND on those 3
+    # tasks) serializes there. ensure_parallelism's partition-count gate
+    # works on a scan (pre-shuffle), unlike the post-shuffle
+    # AQE-coalesce-class sites measured as losses this round; distinct
+    # pairs are placement-free.
+    li = ensure_parallelism(li)
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     # NOTE (r14 measured negative): repartitioning the edge frame below
