@@ -246,19 +246,19 @@ def _minhash_from_hashes(hs_df: DataFrame, num_hashes: int) -> DataFrame:
     network cost of the 100 TB dedup path (collision probability within a
     doc's shingle set at 2^32 is ~n^2/2^33, irrelevant at n ~ thousands;
     recall/precision pins in tests/test_dedup.py hold unchanged)."""
-    def seeded(i: int):
-        # single-parameter lambda, NOT `lambda h, i=i`: transform() treats a
-        # two-arg callable as its (element, index) form, which would silently
-        # replace the seed with the array position.
-        # low-32-bit extraction is mask-and-shift, not a cast: ANSI mode
-        # makes a narrowing CAST throw on overflow rather than truncate
-        return lambda h: (
-            F.xxhash64(F.lit(i), h).bitwiseAND(F.lit(4294967295))
-            - F.lit(2147483648)
-        ).cast("int")
-
-    mins = [F.array_min(F.transform(F.col("hs"), seeded(i))) for i in range(num_hashes)]
-    return hs_df.select("doc", F.array(*mins).alias("minhash"))
+    # ONE SQL expr for all k mins (r14, guide §7.3): building the k
+    # transform/array_min trees Column-by-Column cost ~5k py4j round
+    # trips (~1.3s of driver time per construction, paid by every bench
+    # rep). The parsed tree is identical — integer seed literals, the
+    # bigint mask/shift (low-32-bit extraction is mask-and-subtract, not
+    # a narrowing CAST from the full 64 bits, which ANSI would throw on),
+    # the same 0-based fold — so signatures are bit-identical.
+    mins_sql = ", ".join(
+        f"array_min(transform(hs, h -> "
+        f"CAST(((xxhash64({i}, h) & 4294967295) - 2147483648) AS INT)))"
+        for i in range(num_hashes)
+    )
+    return hs_df.select("doc", F.expr(f"array({mins_sql})").alias("minhash"))
 
 
 def cap_bucket_size(
@@ -287,14 +287,19 @@ def cap_bucket_size(
 def _band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(doc, minhash) -> (doc, band, h): one bucket row per band, the band's
     signature rows folded into a single 64-bit key. Map-only."""
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("h"),
+    # one SQL expr for the whole band array (same py4j-round-trip saving
+    # as _minhash_from_hashes above; identical 0-based GetArrayItem /
+    # xxhash64 tree, so band keys are bit-identical)
+    structs = ", ".join(
+        "named_struct('band', {b}, 'h', xxhash64({args}))".format(
+            b=b,
+            args=", ".join(
+                f"minhash[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
         )
         for b in range(bands)
-    ]
-    return sigs.select("doc", F.explode(F.array(*band_cols)).alias("bh")).select(
+    )
+    return sigs.select("doc", F.explode(F.expr(f"array({structs})")).alias("bh")).select(
         "doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
     )
 

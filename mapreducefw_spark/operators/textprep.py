@@ -74,6 +74,12 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if nparts is None:
         nparts = df.rdd.getNumPartitions()
         if key is not None:
+            # bounded memo (ADVICE r13): keyed by (appId, semanticHash),
+            # never evicted before — a long-lived session constructing
+            # thousands of distinct plans grew it without limit. 4096
+            # entries is ~100x a full bench sweep's distinct probes.
+            if len(_PROBE_CACHE) >= 4096:
+                _PROBE_CACHE.clear()
             _PROBE_CACHE[key] = nparts
     if nparts >= target:
         _SPREAD_OUTPUTS[df] = nparts

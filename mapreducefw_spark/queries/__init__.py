@@ -217,7 +217,7 @@ def register(name: str, oracle: str | None = None):
 # min_match_len parameter at the OPERATOR level with the registered
 # 8-token default unchanged — re-verified green at sf0.001/0.01 this
 # session (tools/check_oracle.py) on top of their r11 binding rows.
-# Round-13 window (this round), per the r12 verdict's order #1 — dedicate
+# Round-13 window, per the r12 verdict's order #1 — dedicate
 # the window to the stale rotation, new registrations capped at ≤9:
 #   (a) slots 1-16: the ENTIRE r5-vintage oracle-paired pool (the 16
 #       queries displaced by the r12 batches, stalest-first per
@@ -250,73 +250,97 @@ def register(name: str, oracle: str | None = None):
 #       per tools/stale_report.py (18 of its 40; the remaining 22 head
 #       the r14 queue: ngram_overlap_decontam onward alphabetically).
 # The WINDOW_ROWS_ONLY allowlist rotates to (b)'s 5 + bradley_terry_ratings.
+# Round-14 window (optimization round 2/2) — the in-window-when-touched
+# rule plus the r14 stale queue the r13 verdict ordered (#9):
+#   (a) slots 1-18: every oracle-paired query whose PLAN changed this
+#       round's optimizations (all hash-green at sf0.01 this session,
+#       plus two full drive_entry simulations):
+#       the retrieval tier (global_topk two-phase top-k replaced
+#       global_rank_running; RRF fusion join -> union+aggregate) ->
+#       rrf_hybrid_retrieval, rag_retrieval_pipeline,
+#       mmr_diversified_rerank; the dedup_groups family (lazy one-action
+#       rounds + the round-1 least(src, min(dst)) shortcut) ->
+#       embedding_dedup_pipeline, embedding_dedup_clusters,
+#       dedup_canonical_selection, simhash_cluster_assignment,
+#       entity_resolution_clusters, dedup_groups_small; LPA (same
+#       round-1 degeneration + pair-gen scan spread) ->
+#       label_propagation_communities, community_quality_report; the
+#       classifier scan tier (ensure_parallelism below the md5 fold) ->
+#       quality_classifier_scores, classifier_pr_curve,
+#       score_calibration_bins, cohens_kappa_rules; the LSH tier (the
+#       signature expr rewrite is tree-identical, windowed as safety) ->
+#       hard_negative_pairs_ann, ann_recall_report,
+#       semantic_decontamination.
+#   (b) slot 19: dedup_connected_groups — the one rows-only consumer of
+#       the changed dedup_groups loop (iterative, rows-only by design).
+#   (c) slots 20-41: the ENTIRE remaining r6-vintage oracle-paired pool
+#       (ngram_overlap_decontam onward, stalest-first per
+#       tools/stale_report.py) — after this window nothing oracle-paired
+#       is older than r7.
+#   (d) slots 42-50: the 9 stalest r7-vintage oracle-paired queries
+#       (dedup_groups_small, also r7, is already windowed in (a)).
+# The WINDOW_ROWS_ONLY allowlist rotates to {dedup_connected_groups}.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # (a) the full r5-vintage oracle-paired pool
-    "ols_price_size_by_brand",
-    "percentile_disc_prices",
-    "purchase_touch_attribution",
-    "python_datasource_squares",
-    "q12_priority_by_returnflag",
-    "quality_decile_mixture",
-    "rfm_segmentation",
-    "robust_outliers_mad",
-    "sequence_pack_spans",
-    "stratified_sample_sources",
-    "token_budget_waterfill",
-    "training_shard_stats",
-    "trigram_typicality",
-    "view_click_attribution_outer",
-    "vocab_coverage",
-    "weighted_sample_tokens",
-    # (b) the 5 stale rows-only refreshes
-    "cross_snapshot_minhash",
-    "jaccard_pairs_df_capped",
-    "stratified_split_hashed",
-    "percentile_approx_prices",
-    "minhash_dedup_pairs",
-    # (c) changed-this-round (semantics / oracle text / plan)
-    "best_of_n_selection",
-    "dpo_pair_construction",
-    "preference_win_matrix",
-    "bradley_terry_ratings",
+    # (a) plan-changed this round
+    "rrf_hybrid_retrieval",
+    "rag_retrieval_pipeline",
+    "mmr_diversified_rerank",
+    "embedding_dedup_pipeline",
+    "embedding_dedup_clusters",
+    "dedup_canonical_selection",
+    "simhash_cluster_assignment",
+    "entity_resolution_clusters",
+    "dedup_groups_small",
     "label_propagation_communities",
     "community_quality_report",
     "quality_classifier_scores",
     "classifier_pr_curve",
     "score_calibration_bins",
     "cohens_kappa_rules",
-    # (d) the new round-13 registration
-    "multimodal_decode_checksums",
-    # (e) the r6-vintage oracle-paired pool, stalest-first
-    "asof_tolerance_join",
-    "attribution_time_decay",
-    "copurchase_triangles",
-    "debounce_consecutive_events",
-    "dedup_exact",
-    "deterministic_sample_pct",
-    "distinct_segments",
-    "edit_distance_pairs_symspell",
-    "embedding_dim_stats",
-    "from_json_struct",
-    "funnel_staged_minjoin",
-    "higher_order_token_fns",
-    "intersect_all_quantities",
-    "intersect_nations",
-    "join_right_outer_parts",
-    "map_column_functions",
-    "math_conditional",
-    "median_exact_prices",
+    "hard_negative_pairs_ann",
+    "ann_recall_report",
+    "semantic_decontamination",
+    # (b) the rows-only consumer of the changed loop
+    "dedup_connected_groups",
+    # (c) the full remaining r6-vintage oracle-paired pool
+    "ngram_overlap_decontam",
+    "ohlc_hourly_bars",
+    "pandas_scalar_udf_margin",
+    "pareto_orders_skyline",
+    "projection_rekey",
+    "range_generator_source",
+    "recursive_cte_reachability",
+    "reservoir_sample_sources",
+    "rolling_weekly_active_users",
+    "salted_skew_aggregate",
+    "scd2_merge_emulation",
+    "session_paths_top",
+    "token_divergence_by_source",
+    "topk_orders_global",
+    "union_all_segments",
+    "window_distribution_fns",
+    "window_frames_running",
+    "window_lag_lead_orders",
+    "window_range_frame",
+    "window_rank_customers",
+    "winsorized_price_stats",
+    "yoy_revenue_growth",
+    # (d) the 9 stalest r7-vintage
+    "approx_topk_event_types",
+    "array_agg_order_parts",
+    "bitmap_exact_distinct",
+    "catalog_input_file_name",
+    "collation_token_counts",
+    "conditional_aggregates",
+    "date_functions",
+    "dedup_exact_keyed",
+    "doc_fingerprint",
 )
 
 
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset(
     {
-        "cross_snapshot_minhash",
-        "jaccard_pairs_df_capped",
-        "stratified_split_hashed",
-        "percentile_approx_prices",
-        "minhash_dedup_pairs",
-        "bradley_terry_ratings",
+        "dedup_connected_groups",
     }
 )
 
