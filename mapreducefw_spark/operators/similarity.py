@@ -383,6 +383,15 @@ def random_hyperplane_topk(
         ),
         "nid",
     ).join(qside, "qid")
+    # NOTE (r14 measured negative): a repartition(defaultParallelism) here
+    # — to spread the rerank fold off the 5 AQE-coalesced tasks (6.5
+    # CPU-s, 1.7s wall on hard_negative_pairs_ann) — roughly DOUBLED the
+    # query's executor CPU (~13.6 -> 28.4 CPU-s): the extra exchange
+    # carries both 64-dim vectors per pair, and serializing them costs
+    # more than the fold it parallelizes (guide §2.3: don't move heavy
+    # payloads an extra time). The bytes-vs-CPU under-split is real but
+    # the production knob is AQE's advisoryPartitionSizeInBytes on the
+    # cluster profile, not an extra vector shuffle.
     sim = F.round(
         _dot(F.col("qvec"), F.col("nvec")) / (F.col("_qn") * F.col("_nn")), 6
     )
